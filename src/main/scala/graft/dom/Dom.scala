@@ -1,0 +1,195 @@
+package graft.dom
+
+import scala.collection.mutable
+
+/**
+ * Minimal mutable DOM for per-row extraction work.
+ *
+ * One tree is built per page row inside `mapPartitions` (never a Spark
+ * column), mirroring the reference's `ExtractionContext` whose parsed DOM
+ * also never crosses documents (`/root/reference/src/core/context.ts:23-55`).
+ * Semantics follow what the reference's cheerio/parse5 usage relies on:
+ * `.text()` is the raw concatenation of descendant text nodes (no added
+ * whitespace), attributes are lowercased, first duplicate attribute wins.
+ */
+sealed trait Node {
+  var parent: Element = _
+  /** Detach from parent. */
+  def remove(): Unit = {
+    if (parent != null) { parent.children -= this; parent = null }
+  }
+  def deepClone(): Node
+}
+
+final class TextNode(var data: String) extends Node {
+  def deepClone(): Node = new TextNode(data)
+}
+
+final class CommentNode(var data: String) extends Node {
+  def deepClone(): Node = new CommentNode(data)
+}
+
+final class Element(val tag: String) extends Node {
+  /** Insertion-ordered; names lowercased; first occurrence wins. */
+  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
+
+  def attr(name: String): Option[String] = attrs.get(name)
+
+  def setAttr(name: String, value: String): Unit =
+    if (!attrs.contains(name)) attrs(name) = value
+
+  def appendChild(n: Node): Unit = { n.parent = this; children += n }
+
+  def childElements: Iterator[Element] = children.iterator.collect { case e: Element => e }
+
+  /** All descendant elements in document order (self excluded) — cheerio `find('*')`. */
+  def descendants: Iterator[Element] = new Iterator[Element] {
+    private val stack = mutable.Stack[Node]()
+    children.reverseIterator.foreach(stack.push)
+    private var nextEl: Element = advance()
+    private def advance(): Element = {
+      while (stack.nonEmpty) {
+        stack.pop() match {
+          case e: Element =>
+            e.children.reverseIterator.foreach(stack.push)
+            return e
+          case _ =>
+        }
+      }
+      null
+    }
+    def hasNext: Boolean = nextEl != null
+    def next(): Element = { val r = nextEl; nextEl = advance(); r }
+  }
+
+  /** Ancestors from nearest parent to root — cheerio `parents()` order. */
+  def ancestors: List[Element] = {
+    var cur = parent
+    val b = List.newBuilder[Element]
+    while (cur != null) { b += cur; cur = cur.parent }
+    b.result()
+  }
+
+  /** Concatenated descendant text — cheerio `.text()` (no added whitespace). */
+  def text(): String = {
+    val sb = new java.lang.StringBuilder
+    appendText(sb)
+    sb.toString
+  }
+
+  private def appendText(sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < children.length) {
+      children(i) match {
+        case t: TextNode => sb.append(t.data)
+        case e: Element  => e.appendText(sb)
+        case _           =>
+      }
+      i += 1
+    }
+  }
+
+  /** Space-separated class tokens. */
+  def classList: Array[String] =
+    attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty)).getOrElse(Array.empty)
+
+  def deepClone(): Node = {
+    val e = new Element(tag)
+    attrs.foreach { case (k, v) => e.attrs(k) = v }
+    children.foreach { c => e.appendChild(c.deepClone()) }
+    e
+  }
+
+  def cloneElement(): Element = deepClone().asInstanceOf[Element]
+
+  /** Serialized children — cheerio `.html()`. */
+  def innerHtml: String = {
+    val sb = new java.lang.StringBuilder
+    children.foreach(HtmlSerializer.write(_, sb))
+    sb.toString
+  }
+
+  /** Serialized element — cheerio `$.html(el)`. */
+  def outerHtml: String = {
+    val sb = new java.lang.StringBuilder
+    HtmlSerializer.write(this, sb)
+    sb.toString
+  }
+}
+
+object HtmlSerializer {
+  /** Raw-text elements whose children serialize verbatim (HTML5 §13.3). */
+  val rawText: Set[String] =
+    Set("script", "style", "xmp", "iframe", "noembed", "noframes", "plaintext", "noscript")
+
+  def write(n: Node, sb: java.lang.StringBuilder): Unit = n match {
+    case t: TextNode =>
+      val p = t.parent
+      if (p != null && rawText.contains(p.tag)) sb.append(t.data)
+      else escapeText(t.data, sb)
+    case c: CommentNode =>
+      sb.append("<!--").append(c.data).append("-->")
+    case e: Element =>
+      sb.append('<').append(e.tag)
+      e.attrs.foreach { case (k, v) =>
+        sb.append(' ').append(k)
+        sb.append("=\"")
+        escapeAttr(v, sb)
+        sb.append('"')
+      }
+      sb.append('>')
+      if (!HtmlParser.voidElements.contains(e.tag)) {
+        e.children.foreach(write(_, sb))
+        sb.append("</").append(e.tag).append('>')
+      }
+  }
+
+  def escapeText(s: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&'      => sb.append("&amp;")
+        case '<'      => sb.append("&lt;")
+        case '>'      => sb.append("&gt;")
+        case '\u00a0' => sb.append("&nbsp;")
+        case c        => sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  def escapeAttr(s: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&'      => sb.append("&amp;")
+        case '"'      => sb.append("&quot;")
+        case '\u00a0' => sb.append("&nbsp;")
+        case c        => sb.append(c)
+      }
+      i += 1
+    }
+  }
+}
+
+/** A parsed document: implied `<html><head/><body/></html>` skeleton. */
+final class DomDoc(val html: Element, val head: Element, val body: Element) {
+  /** All elements in document order (from the html root, inclusive of head+body). */
+  def allElements: Iterator[Element] = Iterator.single(html) ++ html.descendants
+
+  def select(selector: String): Vector[Element] = Selector(selector).findIn(html)
+
+  def selectFirst(selector: String): Option[Element] = Selector(selector).firstIn(html)
+
+  /** Full-document serialization — cheerio `$.root().html()`. */
+  def outerHtml: String = html.outerHtml
+
+  def deepClone(): DomDoc = {
+    val h = html.cloneElement()
+    // re-locate head/body in the clone by position
+    val head2 = h.childElements.find(_.tag == "head").getOrElse(h)
+    val body2 = h.childElements.find(_.tag == "body").getOrElse(h)
+    new DomDoc(h, head2, body2)
+  }
+}
