@@ -1,0 +1,125 @@
+package graft.content
+
+import graft.dom._
+import graft.util.Js
+
+/**
+ * B1 `parseBlocks` — re-expresses `/root/reference/src/content/blocks.ts:55-177`:
+ * drop noise subtrees, find the content container, walk every descendant in
+ * document order classifying block-level elements, prefer leaves over
+ * containers, record ancestry context, stop at `maxBlocks` (default 2000 —
+ * an output-affecting cap per BASELINE.md, and the per-row cost bound that
+ * keeps task skew bounded at cluster scale).
+ *
+ * The reference re-serializes + re-parses the DOM before dropping
+ * (`blocks.ts:66-67`); we deep-clone the already-parsed tree instead — same
+ * semantics, one parse per row (SURVEY.md §7.3 operator fusion).
+ */
+object BlockParser {
+
+  /** blocks.ts:8-17 */
+  val DefaultDropSelectors: Seq[String] = Seq(
+    "script", "style", "noscript", "iframe", "svg", "canvas", "[hidden]", "[aria-hidden=\"true\"]"
+  )
+
+  /** blocks.ts:22-40 — ordered: first match wins. */
+  private val blockTypeSelectors: Vector[(Selector, String)] = Vector(
+    Selector("nav, [role=\"navigation\"]") -> "nav",
+    Selector("footer, [role=\"contentinfo\"]") -> "footer",
+    Selector("aside.promo, .advertisement, .ad, [data-ad]") -> "promo",
+    Selector(".legal, .disclaimer, .terms, .copyright") -> "legal",
+    Selector("blockquote, q") -> "quote",
+    Selector("pre, code") -> "code",
+    Selector("table") -> "table",
+    Selector("ul, ol, dl, li, dt, dd") -> "list",
+    Selector("figure, img, video, audio, picture") -> "media",
+    Selector("figcaption") -> "paragraph",
+    Selector("h1") -> "heading", Selector("h2") -> "heading", Selector("h3") -> "heading",
+    Selector("h4") -> "heading", Selector("h5") -> "heading", Selector("h6") -> "heading",
+    Selector("p") -> "paragraph"
+  )
+
+  private val containerSelector = Selector("article, main, [role=\"main\"], .content, #content")
+  private val blockChildSelector = Selector("p, h1, h2, h3, h4, h5, h6, ul, ol, li, dt, dd, blockquote, pre, table")
+  private val nonTypedBlockTags = Set("p", "div", "section", "article", "li", "dt", "dd", "figcaption")
+  private val headingRe = "^h([1-6])$".r
+
+  def parseBlocks(
+      doc: DomDoc,
+      dropSelectors: Seq[String] = Nil,
+      maxBlocks: Int = 2000,
+      includeHtml: Boolean = false
+  ): Vector[ContentBlock] = {
+    // fresh copy — the reference reloads the serialized root (blocks.ts:66)
+    val root = doc.deepClone()
+
+    val allDrop = DefaultDropSelectors ++ dropSelectors
+    val dropSel = Selector(allDrop.mkString(", "))
+    root.html.descendants.toVector.foreach { e => if (dropSel.matches(e)) e.remove() }
+
+    val container = containerSelector.firstIn(root.html).getOrElse(root.body)
+
+    val blocks = Vector.newBuilder[ContentBlock]
+    var count = 0
+    val it = container.descendants
+    while (it.hasNext && count < maxBlocks) {
+      val el = it.next()
+      val tagName = el.tag
+
+      // type via ordered selector table (first match wins)
+      var blockType = "unknown"
+      var level: Option[Int] = None
+      var idx = 0
+      var matched = false
+      while (idx < blockTypeSelectors.length && !matched) {
+        val (sel, t) = blockTypeSelectors(idx)
+        if (sel.matches(el)) { blockType = t; matched = true }
+        idx += 1
+      }
+      tagName match {
+        case headingRe(l) => blockType = "heading"; level = Some(l.toInt)
+        case _ =>
+      }
+
+      val isBlockTag = blockType != "unknown" || nonTypedBlockTags.contains(tagName)
+      if (isBlockTag) {
+        val text = Js.trim(el.text())
+        if (text.nonEmpty) {
+          val hasBlockChildren = blockChildSelector.firstIn(el).isDefined
+          if (!hasBlockChildren) {
+            // parents nearest-first, tag-mapped, reversed → root-first (blocks.ts:133-138)
+            val parentTags = el.ancestors.map(_.tag).reverse
+            var attrs = Map.empty[String, String]
+            if (blockType == "media") {
+              val img = if (el.tag == "img") Some(el) else Selector("img").firstIn(el)
+              img match {
+                case Some(im) =>
+                  im.attr("alt").filter(_.nonEmpty).foreach(v => attrs += ("alt" -> v))
+                  im.attr("src").filter(_.nonEmpty).foreach(v => attrs += ("src" -> v))
+                case None =>
+                  val video = if (el.tag == "video") Some(el) else Selector("video").firstIn(el)
+                  video.foreach { v =>
+                    val src = v.attr("src").filter(_.nonEmpty)
+                      .orElse(Selector("source").firstIn(v).flatMap(_.attr("src")).filter(_.nonEmpty))
+                    src.foreach(s => attrs += ("src" -> s))
+                    v.attr("poster").filter(_.nonEmpty).foreach(p => attrs += ("poster" -> p))
+                  }
+              }
+            }
+            blocks += ContentBlock(
+              blockType = if (blockType == "unknown") "paragraph" else blockType,
+              text = text,
+              level = level,
+              html = if (includeHtml) Some(el.innerHtml).filter(_.nonEmpty) else None,
+              attrs = attrs,
+              parentTags = parentTags,
+              depth = parentTags.length
+            )
+            count += 1
+          }
+        }
+      }
+    }
+    blocks.result()
+  }
+}

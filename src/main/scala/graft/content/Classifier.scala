@@ -1,0 +1,88 @@
+package graft.content
+
+import java.util.regex.Pattern
+import graft.util.Js
+
+/**
+ * B2/B3 — default block classifier and AND-combinator, re-expressing
+ * `/root/reference/src/content/classifier.ts:21-134`. Pure function over one
+ * block — applied per row to the block array, never a Spark shuffle.
+ */
+object Classifier {
+
+  type BlockClassifier = (ContentBlock, ClassifierContext) => ClassifierResult
+
+  // classifier.ts:39-48 — generic boilerplate phrases (case-insensitive)
+  private val boilerplatePatterns: Array[Pattern] = Array(
+    "\\b(subscribe|sign up|newsletter|notifications|follow us)\\b",
+    "\\b(sponsored|advertis(e|ement|ing)|promotion|partner content)\\b",
+    "\\b(read more|keep reading|continue reading|see more)\\b",
+    "\\b(cookie policy|privacy policy|terms of service|all rights reserved)\\b",
+    "\\b(share on|share this|tweet this|pin it)\\b",
+    "\\b(comments?|leave a reply|join the discussion)\\b"
+  ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+
+  private val mediaCreditPattern =
+    Pattern.compile("\\b(photo by|image:|credit:|source:)\\b", Pattern.CASE_INSENSITIVE)
+
+  // JS /[.!?]\s*$/ — \s is the JS class
+  private val endsWithPunctPattern = Pattern.compile("[.!?][" + Js.wsClass + "]*$")
+
+  private val exemptTypes = Set("heading", "list", "quote", "code")
+
+  /** classifier.ts:21-85 — exact reject labels and scores. */
+  val default: BlockClassifier = (block: ContentBlock, _: ClassifierContext) => {
+    val text = Js.trim(if (block.text == null) "" else block.text)
+    val lowerText = text.toLowerCase(java.util.Locale.ROOT).take(1000) // limit regex input (classifier.ts:25)
+
+    if (text.isEmpty) ClassifierResult(accept = false, label = Some("empty"))
+    else if (block.blockType == "nav") ClassifierResult(accept = false, label = Some("nav"))
+    else if (block.blockType == "footer") ClassifierResult(accept = false, label = Some("footer"))
+    else if (block.blockType == "legal") ClassifierResult(accept = false, label = Some("legal"))
+    else if (block.blockType == "promo") ClassifierResult(accept = false, label = Some("promo"))
+    else if (boilerplatePatterns.exists(_.matcher(lowerText).find()))
+      ClassifierResult(accept = false, label = Some("boilerplate"))
+    else if (mediaCreditPattern.matcher(lowerText).find() && text.length < 120)
+      ClassifierResult(accept = false, label = Some("media-credit"))
+    else {
+      val isShort = text.length < 20
+      val endsWithPunct = endsWithPunctPattern.matcher(text).find()
+      if (isShort && !exemptTypes.contains(block.blockType) && !endsWithPunct)
+        ClassifierResult(accept = false, label = Some("too-short"))
+      else {
+        var score = 0.5
+        if (block.blockType == "heading")
+          score = block.level match {
+            case Some(1) => 0.9
+            case Some(2) => 0.8
+            case _       => 0.7
+          }
+        if (block.blockType == "paragraph")
+          score = math.min(0.9, 0.5 + text.length / 1000.0)
+        if (block.blockType == "quote" || block.blockType == "code")
+          score = 0.7
+        ClassifierResult(accept = true, score = Some(score), label = Some("content"))
+      }
+    }
+  }
+
+  /** classifier.ts:105-134 — AND semantics, first reject wins, scores averaged,
+    * labels joined with '+'. */
+  def combine(classifiers: BlockClassifier*): BlockClassifier =
+    (block, context) => {
+      val results = scala.collection.mutable.ArrayBuffer.empty[ClassifierResult]
+      var rejected: ClassifierResult = null
+      val it = classifiers.iterator
+      while (it.hasNext && rejected == null) {
+        val r = it.next()(block, context)
+        if (!r.accept) rejected = r else results += r
+      }
+      if (rejected != null) rejected
+      else {
+        val scores = results.flatMap(_.score)
+        val avg = if (scores.nonEmpty) Some(scores.sum / scores.length) else None
+        val label = results.flatMap(_.label).filter(_.nonEmpty).mkString("+")
+        ClassifierResult(accept = true, score = avg, label = Some(if (label.isEmpty) "content" else label))
+      }
+    }
+}
