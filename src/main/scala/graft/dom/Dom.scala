@@ -18,6 +18,19 @@ sealed trait Node {
   def remove(): Unit = {
     if (parent != null) { parent.children -= this; parent = null }
   }
+  /** Replace self with `n` in the parent's child list. */
+  def replaceWith(n: Node): Unit = {
+    val p = parent
+    if (p != null) {
+      val idx = p.children.indexWhere(_ eq this)
+      if (idx >= 0) {
+        n.remove()
+        p.children(idx) = n
+        n.parent = p
+        parent = null
+      }
+    }
+  }
   def deepClone(): Node
 }
 
@@ -39,7 +52,34 @@ final class Element(val tag: String) extends Node {
   def setAttr(name: String, value: String): Unit =
     if (!attrs.contains(name)) attrs(name) = value
 
-  def appendChild(n: Node): Unit = { n.parent = this; children += n }
+  def appendChild(n: Node): Unit = { n.remove(); n.parent = this; children += n }
+
+  def insertBefore(n: Node, ref: Node): Unit = {
+    val idx = children.indexWhere(_ eq ref)
+    n.remove()
+    n.parent = this
+    if (idx < 0) children += n else children.insert(idx, n)
+  }
+
+  /** Next sibling node (any type), or null. */
+  def nextSibling: Node = {
+    if (parent == null) return null
+    val sibs = parent.children
+    val idx = sibs.indexWhere(_ eq this)
+    if (idx >= 0 && idx + 1 < sibs.length) sibs(idx + 1) else null
+  }
+
+  /** Next sibling element, or null. */
+  def nextElementSibling: Element = {
+    if (parent == null) return null
+    val sibs = parent.children
+    var idx = sibs.indexWhere(_ eq this) + 1
+    while (idx < sibs.length) {
+      sibs(idx) match { case e: Element => return e; case _ => }
+      idx += 1
+    }
+    null
+  }
 
   def childElements: Iterator[Element] = children.iterator.collect { case e: Element => e }
 

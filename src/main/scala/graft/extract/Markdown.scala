@@ -1,0 +1,276 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import graft.dom._
+
+/**
+ * HTML→Markdown emitter re-expressing the reference's Turndown configuration
+ * (`/root/reference/src/extractors/content.ts:6-16`): ATX headings, fenced
+ * code blocks, `-` bullets, `_` emphasis, `**` strong, inlined links; the
+ * tags script/style/noscript/iframe/nav/footer are removed outright.
+ *
+ * Implements Turndown's documented pipeline: whitespace collapse over a
+ * working copy, per-node replacement rules, newline-aware joining (≤2), and
+ * markdown character escaping in text nodes.
+ */
+object Markdown {
+
+  private val removedTags = Set("script", "style", "noscript", "iframe", "nav", "footer")
+
+  private val blockTags = Set(
+    "address", "article", "aside", "audio", "blockquote", "body", "canvas",
+    "center", "dd", "dir", "div", "dl", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "frameset", "h1", "h2", "h3", "h4", "h5",
+    "h6", "header", "hgroup", "hr", "html", "isindex", "li", "main", "menu",
+    "nav", "noframes", "noscript", "ol", "output", "p", "pre", "section",
+    "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul")
+
+  private val voidTags = Set(
+    "area", "base", "br", "col", "command", "embed", "hr", "img", "input",
+    "keygen", "link", "meta", "param", "source", "track", "wbr")
+
+  private val meaningfulWhenBlank = Set(
+    "a", "table", "thead", "tbody", "tfoot", "th", "td", "iframe", "script", "audio", "video")
+
+  private def isBlock(e: Element): Boolean = blockTags.contains(e.tag)
+  private def isVoid(e: Element): Boolean = voidTags.contains(e.tag)
+  private def isPre(e: Element): Boolean = e.tag == "pre"
+
+  /** Convert an HTML fragment string to markdown. */
+  def fromHtml(html: String): String = {
+    val doc = HtmlParser.parse(html)
+    fromElement(doc.body)
+  }
+
+  /** Convert a DOM element's children to markdown. */
+  def fromElement(rootInput: Element): String = {
+    val root = rootInput.cloneElement()
+    collapseWhitespace(root)
+    val out = processChildren(root)
+    out.replaceAll("^[\\t\\r\\n]+", "").replaceAll("[\\t\\r\\n\\s]+$", "")
+  }
+
+  // ---- whitespace collapse (turndown's collapse-whitespace) ----
+
+  /** Direct port of the collapse-whitespace traversal turndown uses: DFS that
+    * revisits parents on the way up (so block boundaries trim the trailing
+    * space of the last text node inside them). */
+  private def collapseWhitespace(element: Element): Unit = {
+    if (element.children.isEmpty || isPre(element)) return
+    var prevText: TextNode = null
+    var keepLeadingWs = false
+
+    def next(prev: Node, current: Node): Node = {
+      val leaving = (prev != null && prev.parent == current) ||
+        (current match { case e: Element => isPre(e); case _ => false })
+      if (leaving) {
+        val s = siblingAfter(current)
+        if (s != null) s else current.parent
+      } else current match {
+        case e: Element if e.children.nonEmpty => e.children.head
+        case _ =>
+          val s = siblingAfter(current)
+          if (s != null) s else current.parent
+      }
+    }
+
+    var prev: Node = null
+    var node: Node = next(null, element)
+    while (node != null && (node ne element)) {
+      node match {
+        case t: TextNode =>
+          var text = t.data.replaceAll("[ \\r\\n\\t]+", " ")
+          if ((prevText == null || prevText.data.endsWith(" ")) && !keepLeadingWs && text.startsWith(" "))
+            text = text.substring(1)
+          if (text.isEmpty) {
+            val nxt = { val s = siblingAfter(t); if (s != null) s else t.parent }
+            t.remove()
+            node = nxt // prev unchanged — mirrors collapse-whitespace remove()
+          } else {
+            t.data = text
+            prevText = t
+            val nn = next(prev, node)
+            prev = node
+            node = nn
+          }
+        case e: Element =>
+          if (isBlock(e) || e.tag == "br") {
+            if (prevText != null) prevText.data = prevText.data.replaceAll(" $", "")
+            prevText = null
+            keepLeadingWs = false
+          } else if (isVoid(e) || isPre(e)) {
+            prevText = null
+            keepLeadingWs = true
+          } else if (prevText != null) keepLeadingWs = false
+          val nn = next(prev, node)
+          prev = node
+          node = nn
+        case other => // comments etc. are dropped
+          val nxt = { val s = siblingAfter(other); if (s != null) s else other.parent }
+          other.remove()
+          node = nxt
+      }
+    }
+    if (prevText != null) {
+      prevText.data = prevText.data.replaceAll(" $", "")
+      if (prevText.data.isEmpty) prevText.remove()
+    }
+  }
+
+  private def siblingAfter(n: Node): Node = {
+    val p = n.parent
+    if (p == null) return null
+    val idx = p.children.indexWhere(_ eq n)
+    if (idx >= 0 && idx + 1 < p.children.length) p.children(idx + 1) else null
+  }
+
+  // ---- emit ----
+
+  private def processChildren(e: Element): String = {
+    var output = ""
+    e.children.foreach { child =>
+      val replacement = child match {
+        case t: TextNode =>
+          if (t.parent != null && (isPre(t.parent) || isCodeContext(t.parent))) t.data
+          else escape(t.data)
+        case el: Element => replacementFor(el)
+        case _ => ""
+      }
+      output = join(output, replacement)
+    }
+    output
+  }
+
+  private def isCodeContext(e: Element): Boolean = {
+    var cur = e
+    while (cur != null) {
+      if (cur.tag == "code") return true
+      cur = cur.parent
+    }
+    false
+  }
+
+  private def join(a: String, b: String): String = {
+    val s1 = a.replaceAll("\\n+$", "")
+    val s2 = b.replaceAll("^\\n+", "")
+    val nls = math.min(2, math.max(a.length - s1.length, b.length - s2.length))
+    s1 + "\n\n".substring(0, nls) + s2
+  }
+
+  private def isBlankNode(e: Element): Boolean =
+    !isVoid(e) && !meaningfulWhenBlank.contains(e.tag) &&
+      Pattern.compile("^[\\s]*$").matcher(e.text()).matches() &&
+      !e.descendants.exists(d => isVoid(d) || meaningfulWhenBlank.contains(d.tag))
+
+  private def replacementFor(e: Element): String = {
+    if (removedTags.contains(e.tag)) return ""
+    if (isBlankNode(e)) return if (isBlock(e)) "\n\n" else ""
+
+    e.tag match {
+      case "p" => "\n\n" + processChildren(e) + "\n\n"
+      case "br" => "  \n"
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        val level = e.tag.charAt(1) - '0'
+        "\n\n" + ("#" * level) + " " + processChildren(e) + "\n\n"
+      case "blockquote" =>
+        val content = processChildren(e)
+          .replaceAll("^\\n+|\\n+$", "")
+          .replaceAll("(?m)^", "> ")
+        "\n\n" + content + "\n\n"
+      case "ul" | "ol" =>
+        val content = processChildren(e)
+        e.parent match {
+          case p if p != null && p.tag == "li" && (p.children.lastOption.exists(_ eq e)) =>
+            "\n" + content
+          case _ => "\n\n" + content + "\n\n"
+        }
+      case "li" =>
+        var content = processChildren(e)
+          .replaceAll("^\\n+", "")
+          .replaceAll("\\n+$", "\n")
+          .replaceAll("(?m)\\n", "\n    ")
+        val parent = e.parent
+        val prefix =
+          if (parent != null && parent.tag == "ol") {
+            val start = parent.attr("start").flatMap(_.toIntOption)
+            val index = parent.childElements.toVector.indexWhere(_ eq e)
+            (start.map(_ + index).getOrElse(index + 1)).toString + ".  "
+          } else "-   "
+        prefix + content + (if (siblingAfter(e) != null && !content.endsWith("\n")) "\n" else "")
+      case "pre" =>
+        // fenced code block when single CODE child
+        e.childElements.toVector match {
+          case Vector(code) if code.tag == "code" =>
+            val className = code.attr("class").getOrElse("")
+            val langM = Pattern.compile("language-(\\S+)").matcher(className)
+            val language = if (langM.find()) langM.group(1) else ""
+            val codeText = code.text().replaceAll("\\n$", "")
+            // choose a fence longer than any fence-looking run inside
+            var fence = "```"
+            val fenceInCode = Pattern.compile("^`{3,}", Pattern.MULTILINE).matcher(codeText)
+            while (fenceInCode.find()) {
+              if (fenceInCode.group().length >= fence.length) fence = "`" * (fenceInCode.group().length + 1)
+            }
+            "\n\n" + fence + language + "\n" + codeText + "\n" + fence + "\n\n"
+          case _ => "\n\n    " + e.text().replaceAll("\\n", "\n    ") + "\n\n"
+        }
+      case "code" =>
+        val content = e.text()
+        if (content.isEmpty) ""
+        else {
+          val trimmed = content.replaceAll("\\r?\\n|\\r", " ")
+          val extraSpace = if (trimmed.startsWith("`") || trimmed.endsWith("`") || (trimmed.startsWith(" ") && trimmed.endsWith(" ") && trimmed.trim.nonEmpty)) " " else ""
+          var delimiter = "`"
+          while (trimmed.contains(delimiter)) delimiter += "`"
+          delimiter + extraSpace + trimmed + extraSpace + delimiter
+        }
+      case "hr" => "\n\n* * *\n\n"
+      case "a" =>
+        val content = processChildren(e)
+        e.attr("href") match {
+          case Some(href) if href.nonEmpty =>
+            val escapedHref = href.replaceAll("([()])", "\\\\$1")
+            val title = e.attr("title").map(t => " \"" + t.replaceAll("\"", "\\\\\"") + "\"").getOrElse("")
+            "[" + content + "](" + escapedHref + title + ")"
+          case _ => content
+        }
+      case "em" | "i" =>
+        val content = processChildren(e)
+        if (content.trim.isEmpty) "" else "_" + content + "_"
+      case "strong" | "b" =>
+        val content = processChildren(e)
+        if (content.trim.isEmpty) "" else "**" + content + "**"
+      case "img" =>
+        val alt = e.attr("alt").getOrElse("")
+        val src = e.attr("src").getOrElse("")
+        if (src.isEmpty) ""
+        else {
+          val title = e.attr("title").map(t => " \"" + t + "\"").getOrElse("")
+          "![" + alt + "](" + src + title + ")"
+        }
+      case _ =>
+        val content = processChildren(e)
+        if (isBlock(e)) "\n\n" + content + "\n\n" else content
+    }
+  }
+
+  // ---- escaping (turndown default escapes) ----
+
+  private def escape(s: String): String = {
+    var r = s
+    r = r.replace("\\", "\\\\")
+    r = r.replace("*", "\\*")
+    r = r.replaceAll("^-", "\\\\-")
+    r = r.replaceAll("^\\+ ", "\\\\+ ")
+    r = r.replaceAll("^(=+)", "\\\\$1")
+    r = r.replaceAll("^(#{1,6}) ", "\\\\$1 ")
+    r = r.replace("`", "\\`")
+    r = r.replaceAll("^~~~", "\\\\~~~")
+    r = r.replace("[", "\\[")
+    r = r.replace("]", "\\]")
+    r = r.replaceAll("^>", "\\\\>")
+    r = r.replace("_", "\\_")
+    r = r.replaceAll("^(\\d+)\\. ", "$1\\\\. ")
+    r
+  }
+}

@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import graft.content.{BlockParser, NormalizeOptions, Normalizer}
+import graft.dom.HtmlParser
+import graft.extract._
+import graft.urlx.UrlOps
+
+/** Spark-encodable output row — the reference's `ScrapedData`
+  * (`src/core/types.ts:41-97`) plus normalization output. `scrapedAt` /
+  * `scrapeTimeMs` are job-level metadata, not row data (SURVEY.md §7.3
+  * determinism), and ride as literal columns when needed. */
+final case class LinkRow(url: String, text: String, is_external: Boolean)
+
+final case class NormMetaRow(
+    char_count: Int, token_estimate: Int, language: String,
+    boilerplate_removed: Boolean, classifier_used: Boolean, hash: String,
+    blocks_total: Int, blocks_accepted: Int, truncated: Boolean)
+
+final case class ScrapedRow(
+    url: String,
+    canonical_url: String,
+    domain: String,
+    title: String,
+    description: String,
+    image: Option[String],
+    favicon: Option[String],
+    content: String,
+    text_content: String,
+    excerpt: String,
+    word_count: Int,
+    author: Option[String],
+    published_at: Option[String],
+    modified_at: Option[String],
+    site_name: Option[String],
+    language: Option[String],
+    content_type: String,
+    keywords: Seq[String],
+    json_ld: Option[Seq[String]],
+    links: Seq[LinkRow],
+    normalized_text: String,
+    norm_hash: String,
+    norm_meta: NormMetaRow,
+    status: String,          // ok | invalid_url | empty_html
+    error: Option[String])
+
+/**
+ * D1–D4 — the fused per-row extraction fold, re-expressing
+ * `/root/reference/src/core/scrape.ts:221-325` (`scrapeHtml`): one DOM parse
+ * per row, priority-ordered extractor merge (non-undefined wins), error
+ * containment per extractor, then block normalization. Called from
+ * `Dataset.mapPartitions` — all state is per-call, nothing crosses rows.
+ */
+object ScrapePipeline {
+
+  /** Priority-sorted (desc, stable) default extractor chain —
+    * `src/extractors/index.ts:19-34`. */
+  val defaultExtractors: Vector[Extractor] =
+    Vector(MetaExtractor, JsonLdExtractor, FaviconExtractor, ContentExtractor, LinksExtractor)
+      .sortBy(-_.priority)
+
+  def scrapeHtml(
+      html: String,
+      url: String,
+      normalizeOptions: NormalizeOptions = NormalizeOptions(),
+      extractContent: Boolean = true,
+      maxContentLength: Int = 50000
+  ): ScrapedRow = {
+    if (!UrlOps.isValidUrl(url))
+      return errorRow(url, "invalid_url", Some("Invalid URL provided"))
+
+    val normalizedUrl = UrlOps.normalizeUrl(url)
+
+    val doc =
+      try HtmlParser.parse(html)
+      catch { case e: Exception => return errorRow(normalizedUrl, "empty_html", Some(s"parse: ${e.getMessage}")) }
+
+    val ctx = ExtractionContext(normalizedUrl, normalizedUrl, doc, extractContent, maxContentLength)
+
+    var results = Partial()
+    defaultExtractors.foreach { extractor =>
+      try {
+        results = results.merge(extractor.extract(ctx))
+      } catch {
+        case e: Exception =>
+          val msg = s"${extractor.name}: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"
+          results = results.copy(error = Some(results.error.map(_ + "; " + msg).getOrElse(msg)))
+      }
+    }
+
+    val domain = UrlOps.extractDomain(normalizedUrl)
+
+    // normalization step (scrape.ts:39-70): parseBlocks → normalizeText
+    var normalizedText = ""
+    var normHash = ""
+    var normMeta = NormMetaRow(0, 0, normalizeOptions.languageHint.getOrElse("unknown"), false, false, "", 0, 0, false)
+    try {
+      val blocks = BlockParser.parseBlocks(
+        doc,
+        dropSelectors = normalizeOptions.dropSelectors,
+        maxBlocks = normalizeOptions.maxBlocks.getOrElse(2000),
+        includeHtml = normalizeOptions.includeHtml)
+      val nr = Normalizer.normalizeText(blocks, normalizeOptions, Some(normalizedUrl))
+      normalizedText = nr.text
+      normHash = nr.meta.hash
+      normMeta = NormMetaRow(
+        nr.meta.charCount, nr.meta.tokenEstimate, nr.meta.language,
+        nr.meta.boilerplateRemoved, nr.meta.classifierUsed, nr.meta.hash,
+        nr.meta.blocksTotal, nr.meta.blocksAccepted, nr.meta.truncated)
+    } catch {
+      case e: Exception =>
+        val msg = s"normalize: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"
+        results = results.copy(error = Some(results.error.map(_ + "; " + msg).getOrElse(msg)))
+    }
+
+    ScrapedRow(
+      url = normalizedUrl,
+      canonical_url = results.canonicalUrl.getOrElse(normalizedUrl),
+      domain = domain,
+      title = results.title.getOrElse(""),
+      description = results.description.getOrElse(""),
+      image = results.image,
+      favicon = results.favicon,
+      content = results.content.getOrElse(""),
+      text_content = results.textContent.getOrElse(""),
+      excerpt = results.excerpt.getOrElse(""),
+      word_count = results.wordCount.getOrElse(0),
+      author = results.author,
+      published_at = results.publishedAt,
+      modified_at = results.modifiedAt,
+      site_name = results.siteName,
+      language = results.language,
+      content_type = results.contentType.getOrElse("unknown"),
+      keywords = results.keywords.getOrElse(Nil),
+      json_ld = results.jsonLd,
+      links = results.links.getOrElse(Nil).map(l => LinkRow(l.url, l.text, l.isExternal)),
+      normalized_text = normalizedText,
+      norm_hash = normHash,
+      norm_meta = normMeta,
+      status = "ok",
+      error = results.error
+    )
+  }
+
+  private def errorRow(url: String, status: String, error: Option[String]): ScrapedRow =
+    ScrapedRow(url, url, "", "", "", None, None, "", "", "", 0, None, None, None,
+      None, None, "unknown", Nil, None, Nil, "", "",
+      NormMetaRow(0, 0, "unknown", false, false, "", 0, 0, false), status, error)
+}

@@ -38,11 +38,13 @@ object UrlOps {
       case _ => ""
     }
 
-  /** url.ts:76 — resolve vs base; None for null/empty input; raw input on failure. */
+  /** url.ts:76 — resolve vs base; None for null/empty input; raw input on failure.
+    * NB WHATWG `new URL(url, base)` throws on an unparseable base even when
+    * `url` is absolute, so base-parse failure yields the raw input. */
   def resolveUrl(url: String, baseUrl: String): Option[String] = {
     if (url == null || url.isEmpty) return None
     WUrl.parse(baseUrl) match {
-      case None => WUrl.parse(url).map(_.href).orElse(Some(url))
+      case None => Some(url)
       case Some(base) => WUrl.resolve(url, base).map(_.href).orElse(Some(url))
     }
   }
