@@ -1,13 +1,328 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+import graft.pipeline._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *  - `extract_*` / `*_pages`: the scrapex-semantics extraction pipeline over
+  *    the deterministic synthetic pages corpus (PagesGen; seed-fixed, scaled
+  *    by sfDir). DOM semantics are not SQL-expressible → rows-only checks;
+  *    correctness is carried by the ported reference test suite + goldens
+  *    (`sbt -batch test`).
+  *  - oracle-checked queries over the driver's parquet tables (documents /
+  *    embeddings / events / part / lineitem) with DuckDB-equivalent SQL in
+  *    `oracleSql` — hash/tokens/dedup/quality/langid/knn/urlops/aggregation.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full extraction over the synthetic corpus at smoke scale. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesGen.generate(spark, 200)
+    ExtractJob.extract(pages, numPartitions = 8).toDF()
+      .select("url", "domain", "title", "word_count", "content_type", "norm_hash", "status")
+  }
+
+  // ---- shared cached extraction per sfDir (queries share one pass) ----
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Dataset[ScrapedRow]]()
+
+  private def extracted(spark: SparkSession, sfDir: String): Dataset[ScrapedRow] = {
+    cache.computeIfAbsent(sfDir, _ => {
+      val n = PagesGen.pagesFor(sfDir)
+      val parts = spark.sparkContext.defaultParallelism
+      val ds = ExtractJob.extract(PagesGen.generate(spark, n), parts)
+      ds.persist()
+    })
+  }
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ======== extraction family (rows-only; DOM semantics not SQL-expressible) ========
+    "extract_meta" -> ((s, dir) => extracted(s, dir).toDF()
+      .select("url", "title", "description", "canonical_url", "language", "keywords", "author", "published_at")
+      .orderBy("url")),
+
+    "extract_content" -> ((s, dir) => extracted(s, dir).toDF()
+      .select("url", "text_content", "word_count", "excerpt", "content_type")
+      .orderBy("url")),
+
+    "extract_markdown" -> ((s, dir) => extracted(s, dir).toDF()
+      .select("url", "content")
+      .orderBy("url")),
+
+    "extract_links" -> ((s, dir) => extracted(s, dir).toDF()
+      .select(col("url"), explode(col("links")).as("link"))
+      .select(col("url"), col("link.url").as("link_url"), col("link.text").as("link_text"), col("link.is_external"))
+      .orderBy("url", "link_url")),
+
+    "extract_normalized" -> ((s, dir) => extracted(s, dir).toDF()
+      .select(col("url"), col("normalized_text"), col("norm_hash"),
+        col("norm_meta.char_count").as("char_count"),
+        col("norm_meta.token_estimate").as("token_estimate"),
+        col("norm_meta.blocks_total").as("blocks_total"),
+        col("norm_meta.blocks_accepted").as("blocks_accepted"))
+      .orderBy("url")),
+
+    "extract_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.min(PagesGen.pagesFor(dir), 2000)
+      PagesGen.generate(s, n).mapPartitions(_.flatMap { p =>
+        val doc = graft.dom.HtmlParser.parse(ExtractJob.decodeHtml(p.html))
+        graft.content.BlockParser.parseBlocks(doc).zipWithIndex.map { case (b, i) =>
+          (p.url, i, b.blockType, b.text, b.level.getOrElse(0), b.depth)
+        }
+      }).toDF("url", "block_idx", "block_type", "text", "level", "depth")
+        .orderBy("url", "block_idx")
+    }),
+
+    "dedup_exact_pages" -> ((s, dir) => extracted(s, dir).toDF()
+      .groupBy("norm_hash").agg(count("*").as("n"), min("url").as("keeper_url"))
+      .orderBy("norm_hash")),
+
+    "dedup_minhash_pages" -> ((s, dir) => {
+      import s.implicits._
+      // shingle → minhash → LSH band → bucket join → verified near-dup pairs
+      val sigs = extracted(s, dir).map { r =>
+        val sh = TextOps.shingles(r.normalized_text)
+        (r.url, TextOps.minHash(sh, 64))
+      }.toDF("url", "sig")
+      val bands = sigs.as[(String, Array[Long])].flatMap { case (url, sig) =>
+        TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, sig, i, b) }
+      }.toDF("url", "sig", "band_idx", "band_key")
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.url") < col("b.url"))
+        .select(col("a.url").as("url_a"), col("b.url").as("url_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("url_a", "url_b")
+      pairs.as[(String, String, Array[Long], Array[Long])].map { case (a, b, sa, sb) =>
+        (a, b, math.round(TextOps.minHashSimilarity(sa, sb) * 100000) / 100000.0)
+      }.toDF("url_a", "url_b", "est_jaccard")
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("url_a", "url_b")
+    }),
+
+    "dedup_simhash_pages" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = extracted(s, dir).map(r => (r.url, TextOps.simHash(r.normalized_text)))
+        .toDF("url", "simhash")
+      // band on 4×16-bit chunks → candidates within hamming distance ≤ 3 likely share a chunk
+      val chunks = hashed.select(col("url"), col("simhash"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("i"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
+      val cands = chunks.as("a").join(chunks.as("b"),
+          col("a.ch.i") === col("b.ch.i") && col("a.ch.c") === col("b.ch.c") && col("a.url") < col("b.url"))
+        .select(col("a.url").as("url_a"), col("b.url").as("url_b"),
+          col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+        .dropDuplicates("url_a", "url_b")
+      cands.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+        .filter(col("hamming") <= 3)
+        .select("url_a", "url_b", "hamming")
+        .orderBy("url_a", "url_b")
+    }),
+
+    "langid_pages" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).map { r =>
+        val (lang, conf) = TextOps.detectLanguage(r.text_content)
+        (r.url, lang, math.round(conf * 10000) / 10000.0)
+      }.toDF("url", "detected_lang", "confidence").orderBy("url")
+    }),
+
+    "quality_pages" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).map { r =>
+        val q = TextOps.quality(r.text_content)
+        (r.url, q.nChars, q.nWords, math.round(q.score * 10000) / 10000.0)
+      }.toDF("url", "n_chars", "n_words", "quality_score").orderBy("url")
+    }),
+
+    "fingerprint_pages" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).map(r => (r.url, TextOps.fingerprint(r.normalized_text).mkString(",")))
+        .toDF("url", "fingerprint").orderBy("url")
+    }),
+
+    // ======== oracle-checked queries over driver tables ========
+    "doc_hash" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), expr("substring(sha2(text, 256), 1, 32)").as("hash32"))
+      .orderBy("doc_id")),
+
+    "doc_tokens" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size(split(trim(text), '\\\\s+')) END AS BIGINT)").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("CAST(ceil(length(text) / 4.0) AS BIGINT)").as("token_estimate"))
+      .orderBy("doc_id")),
+
+    "doc_dedup_exact" -> ((s, dir) => docs(s, dir)
+      .groupBy(expr("substring(sha2(text, 256), 1, 32)").as("hash32"))
+      .agg(count("*").as("n"), min("doc_id").as("keeper"))
+      .orderBy("hash32")),
+
+    "doc_quality" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("CAST(length(regexp_replace(text, '[^.!?,;:]', '')) AS BIGINT)").as("n_punct"),
+        expr("CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)").as("n_digits"),
+        expr("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size(split(trim(text), '\\\\s+')) END AS BIGINT)").as("n_words"))
+      .orderBy("doc_id")),
+
+    "doc_langid" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)").as("en_hits"),
+        expr("CAST((length(lower(text)) - length(replace(lower(text), ' und ', ''))) / 5 AS BIGINT)").as("de_hits"),
+        expr("CAST((length(lower(text)) - length(replace(lower(text), ' les ', ''))) / 5 AS BIGINT)").as("fr_hits"))
+      .orderBy("doc_id")),
+
+    "events_window" -> ((s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count("*").as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type", "day")),
+
+    "lineitem_q1" -> ((s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "urlops_norm" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/part.parquet")
+        .select("p_partkey", "p_name").as[(Long, String)]
+        .map { case (k, name) =>
+          val slug = name.toLowerCase.replace(' ', '-')
+          val raw = s"https://www.$slug.com/p/$k?utm_source=x&ref=y&id=$k"
+          (k, graft.urlx.UrlOps.normalizeUrl(raw), graft.urlx.UrlOps.extractDomain(raw),
+            graft.urlx.UrlOps.getPath(raw))
+        }.toDF("p_partkey", "normalized_url", "domain", "path")
+        .orderBy("p_partkey")
+    }),
+
+    "embed_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queriesLocal = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val qB = s.sparkContext.broadcast(queriesLocal)
+      val scored = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val qs = qB.value
+          it.flatMap { case (id, v) =>
+            qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
+              (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
+            }
+          }
+        }.toDF("query_id", "vec_id", "cos")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    "embed_knn_lsh" -> ((s, dir) => {
+      import s.implicits._
+      // scale path: LSH-bucketed ANN — candidates share a hyperplane bucket,
+      // exact cosine re-rank inside the bucket only.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, 8)) }
+        .toDF("vec_id", "embedding", "bucket")
+      val q = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb")
+      val cands = q.join(emb, Seq("bucket")).filter(col("query_id") =!= col("vec_id"))
+      val scored = cands.select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (qid, id, qv, v) => (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0) }
+        .toDF("query_id", "vec_id", "cos")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    "embed_agg_label" -> ((s, dir) => s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 5).as("avg_v"))
+      .orderBy("label", "dim"))
+  )
+
+  /** DuckDB-dialect equivalents for the oracle-checkable queries. Extraction
+    * queries are intentionally omitted (non-SQL-expressible → rows-only). */
+  def oracleSql: Map[String, String] = Map(
+    "doc_hash" ->
+      "SELECT doc_id, substr(sha256(text), 1, 32) AS hash32 FROM documents ORDER BY doc_id",
+
+    "doc_tokens" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, " +
+       "length(text) AS n_chars, " +
+       "CAST(ceil(length(text) / 4.0) AS BIGINT) AS token_estimate " +
+       "FROM documents ORDER BY doc_id"),
+
+    "doc_dedup_exact" ->
+      ("SELECT substr(sha256(text), 1, 32) AS hash32, count(*) AS n, min(doc_id) AS keeper " +
+       "FROM documents GROUP BY 1 ORDER BY hash32"),
+
+    "doc_quality" ->
+      ("SELECT doc_id, length(text) AS n_chars, " +
+       "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, " +
+       "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, " +
+       "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_words " +
+       "FROM documents ORDER BY doc_id"),
+
+    "doc_langid" ->
+      ("SELECT doc_id, lang, " +
+       "CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS en_hits, " +
+       "CAST((length(lower(text)) - length(replace(lower(text), ' und ', ''))) / 5 AS BIGINT) AS de_hits, " +
+       "CAST((length(lower(text)) - length(replace(lower(text), ' les ', ''))) / 5 AS BIGINT) AS fr_hits " +
+       "FROM documents ORDER BY doc_id"),
+
+    "events_window" ->
+      ("SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n, " +
+       "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY event_type, day"),
+
+    "lineitem_q1" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+       "count(*) AS count_order FROM lineitem " +
+       "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+       "GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"),
+
+    "urlops_norm" ->
+      ("SELECT p_partkey, " +
+       "concat('https://www.', lower(replace(p_name, ' ', '-')), '.com/p/', p_partkey, '?id=', p_partkey) AS normalized_url, " +
+       "concat(lower(replace(p_name, ' ', '-')), '.com') AS domain, " +
+       "concat('/p/', p_partkey) AS path " +
+       "FROM part ORDER BY p_partkey"),
+
+    "embed_knn" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
+       "scored AS (SELECT q.query_id, e.vec_id, " +
+       "round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cos " +
+       "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), " +
+       "ranked AS (SELECT query_id, vec_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+       "SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "embed_agg_label" ->
+      ("SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS avg_v " +
+       "FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t " +
+       "GROUP BY 1, 2 ORDER BY label, dim")
+  )
 }

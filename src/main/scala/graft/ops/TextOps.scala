@@ -1,0 +1,229 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/**
+ * Text-analysis and dedup primitives for large-scale training-data pipelines
+ * (builder-prompt first-class components): language-ID (stopword/char n-gram
+ * heuristic), quality scoring (length/punct/stopword ratios), token counting
+ * (whitespace + BPE-ish regex), rolling-hash fingerprinting, MinHash and
+ * SimHash signatures, n-gram shingles for Jaccard.
+ *
+ * All pure per-row functions; the cross-row parts (LSH band bucketing,
+ * groupBy joins) are plain Spark ops in SparkEntry. Deterministic — no
+ * wall-clock, no per-JVM randomness (hash seeds are compile-time constants).
+ */
+object TextOps {
+
+  // ---- language ID (tiny stopword-profile heuristic) ----
+
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be", "at", "by", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine", "auf", "für", "im", "dem"),
+    "fr" -> Set("le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "qui", "pour", "pas", "sur", "avec"),
+    "es" -> Set("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del", "se"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "non", "sono", "nel", "alla"),
+    "pt" -> Set("o", "a", "os", "as", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "não", "por")
+  )
+
+  /** Returns (lang, confidence). "und" when nothing matches. */
+  def detectLanguage(text: String): (String, Double) = {
+    if (text == null || text.isEmpty) return ("und", 0.0)
+    val words = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(500).toArray
+    if (words.isEmpty) return ("und", 0.0)
+    var bestLang = "und"
+    var bestHits = 0
+    profiles.foreach { case (lang, stops) =>
+      var hits = 0
+      var i = 0
+      while (i < words.length) { if (stops.contains(words(i))) hits += 1; i += 1 }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+    }
+    if (bestHits == 0) ("und", 0.0) else (bestLang, bestHits.toDouble / words.length)
+  }
+
+  // ---- quality scoring ----
+
+  final case class Quality(
+      nChars: Int, nWords: Int, meanWordLen: Double,
+      punctRatio: Double, stopwordRatio: Double, upperRatio: Double,
+      digitRatio: Double, score: Double)
+
+  def quality(text: String): Quality = {
+    if (text == null || text.isEmpty) return Quality(0, 0, 0, 0, 0, 0, 0, 0)
+    val n = text.length
+    var punct = 0; var upper = 0; var digit = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':') punct += 1
+      if (Character.isUpperCase(c)) upper += 1
+      if (Character.isDigit(c)) digit += 1
+      i += 1
+    }
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val nWords = words.length
+    val meanWordLen = if (nWords == 0) 0.0 else words.map(_.length).sum.toDouble / nWords
+    val en = profiles("en")
+    val stopHits = words.count(w => en.contains(w.replaceAll("[^\\p{L}]", "")))
+    val stopRatio = if (nWords == 0) 0.0 else stopHits.toDouble / nWords
+    val punctRatio = punct.toDouble / n
+    val upperRatio = upper.toDouble / n
+    val digitRatio = digit.toDouble / n
+    // heuristic composite in [0,1]: long enough, sane word lengths, some
+    // stopwords, not shouty, not digit soup
+    val lenScore = math.min(1.0, nWords / 100.0)
+    val wordLenScore = if (meanWordLen >= 3 && meanWordLen <= 10) 1.0 else 0.3
+    val stopScore = math.min(1.0, stopRatio / 0.25)
+    val shoutPenalty = if (upperRatio > 0.3) 0.3 else 1.0
+    val digitPenalty = if (digitRatio > 0.3) 0.3 else 1.0
+    val score = lenScore * 0.3 + wordLenScore * 0.2 + stopScore * 0.3 + 0.2 * shoutPenalty * digitPenalty
+    Quality(n, nWords, meanWordLen, punctRatio, stopRatio, upperRatio, digitRatio, score)
+  }
+
+  // ---- token counting ----
+
+  /** Whitespace token count. */
+  def wsTokens(text: String): Int =
+    if (text == null || text.isEmpty) 0 else text.split("\\s+").count(_.nonEmpty)
+
+  private val bpePattern = java.util.regex.Pattern.compile(
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+
+  /** BPE-ish token count (GPT-2-style pre-tokenizer regex, public). */
+  def bpeTokens(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val m = bpePattern.matcher(text)
+    var c = 0
+    while (m.find()) if (!m.group().forall(Character.isWhitespace)) c += 1
+    c
+  }
+
+  // ---- hashing / fingerprints ----
+
+  def sha256Hex(text: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val bytes = md.digest(text.getBytes(StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(64)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Karp–Rabin rolling-hash document fingerprint: min-sampled k of the
+    * rolling window hashes (winnowing-style, deterministic). */
+  def fingerprint(text: String, window: Int = 16, k: Int = 8): Array[Long] = {
+    if (text == null || text.length < window) return Array(fnv64(text))
+    val n = text.length
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    val hashes = new Array[Long](n - window + 1)
+    i = 0
+    while (i < n) {
+      if (i >= window) h -= pow * text.charAt(i - window)
+      h = h * B + text.charAt(i)
+      if (i >= window - 1) hashes(i - window + 1) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    hashes.distinct.take(k)
+  }
+
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    if (s == null) return h
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---- shingles / MinHash / SimHash ----
+
+  /** Lowercased word n-gram shingles (the usual 5-gram dedup setting). */
+  def shingles(text: String, n: Int = 5): Array[String] = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    if (words.length < n) {
+      if (words.isEmpty) Array.empty else Array(words.mkString(" "))
+    } else
+      (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).toArray
+  }
+
+  /** MinHash signature of k permutations via k seeded mixes of one base hash. */
+  def minHash(shingleSet: Array[String], k: Int = 64): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < shingleSet.length) {
+      val base = fnv64(shingleSet(i))
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: group `bandSize` signature slots per band → one 64-bit key each. */
+  def lshBands(sig: Array[Long], bandSize: Int = 4): Array[Long] = {
+    val nBands = sig.length / bandSize
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var j = 0
+      while (j < bandSize) { h = mix64(h ^ sig(b * bandSize + j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  def minHashSimilarity(a: Array[Long], b: Array[Long]): Double = {
+    var same = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
+    same.toDouble / a.length
+  }
+
+  /** 64-bit SimHash over word features. */
+  def simHash(text: String): Long = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0L
+    val v = new Array[Int](64)
+    words.foreach { w =>
+      val h = mix64(fnv64(w))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) v(bit) += 1 else v(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (v(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

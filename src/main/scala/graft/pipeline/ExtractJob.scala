@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Per-partition lineage/counter record — the checkpoint manifest row of
+  * SURVEY.md §7.5 / the north rule's "per-partition lineage and counters". */
+final case class ManifestRow(
+    run_id: String,
+    partition_id: Int,
+    n_rows: Long,
+    n_parse_failures: Long,
+    n_empty_content: Long,
+    min_url: String,
+    max_url: String)
+
+/**
+ * The distributed extraction job: decode → salted host-hash repartition →
+ * fused per-partition extraction → counters + manifest → sink.
+ *
+ * Scale design (SURVEY.md §3.2): exactly ONE wide dependency — the explicit
+ * `repartition` on `xxhash64(host, salt)`. The mega-host salt split bounds
+ * any single host to ~`rowsPerBucket` rows per task, so a 20%-of-corpus
+ * domain cannot stall a 1000-executor cluster behind one straggler task.
+ * Everything downstream is narrow and codegen-opaque by design (object-heavy
+ * DOM work dominates; setup is amortized per partition, not per row).
+ */
+object ExtractJob {
+
+  /** Extract the URL host in pure built-ins (stays inside codegen). */
+  def hostCol = regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "")
+
+  /**
+   * Hash-by-host partitioning with salt-based skew splitting. Hosts whose
+   * row count exceeds `rowsPerBucket` are split into `ceil(count/rowsPerBucket)`
+   * salt buckets via a second hash on the full url; all other hosts keep
+   * salt 0 so their pages stay co-located (host-local downstream joins and
+   * robots/side-table broadcasts remain cheap).
+   *
+   * The mega-host pre-pass is a columnar count on `url` only (column-pruned
+   * scan + partial agg) — at 100 TB it reads one string column and ships
+   * one row per distinct big host.
+   */
+  def saltedRepartitionByHost(pages: DataFrame, numPartitions: Int): DataFrame = {
+    val withHost = pages.withColumn("__host", hostCol)
+    val total = pages.sparkSession.sparkContext.broadcast {
+      // hosts too big for one bucket: > totalRows / numPartitions.
+      // One column-pruned pass: count per host, total derived from the same agg.
+      val counts = withHost.groupBy("__host").count().persist()
+      try {
+        val totalRows = math.max(1L, Option(counts.agg(sum("count")).first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+        val rowsPerBucket = math.max(1L, totalRows / numPartitions)
+        counts.filter(col("count") > rowsPerBucket)
+          .collect()
+          .map(r => r.getString(0) -> math.ceil(r.getLong(1).toDouble / rowsPerBucket).toInt)
+          .toMap
+      } finally counts.unpersist()
+    }
+    val saltFor = udf { (host: String, url: String) =>
+      val buckets = total.value.getOrElse(host, 1)
+      if (buckets <= 1) 0 else Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), buckets)
+    }
+    withHost
+      .withColumn("__salt", saltFor(col("__host"), col("url")))
+      .repartition(numPartitions, xxhash64(col("__host"), col("__salt")))
+      .drop("__salt")
+  }
+
+  /** Decode `html: binary` → string with a charset sniff (UTF-8 default,
+    * meta-charset override) — first transform per SURVEY.md §1.2. */
+  def decodeHtml(bytes: Array[Byte]): String = {
+    if (bytes == null) return ""
+    val head = new String(bytes, 0, math.min(bytes.length, 2048), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = java.util.regex.Pattern.compile("charset=[\"']?([A-Za-z0-9_\\-]+)", java.util.regex.Pattern.CASE_INSENSITIVE).matcher(head)
+    val charset =
+      if (m.find()) {
+        try java.nio.charset.Charset.forName(m.group(1))
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      } else java.nio.charset.StandardCharsets.UTF_8
+    new String(bytes, charset)
+  }
+
+  final case class Counters(
+      pagesParsed: LongAccumulator,
+      parseFailures: LongAccumulator,
+      emptyContent: LongAccumulator)
+
+  def newCounters(spark: SparkSession): Counters = Counters(
+    spark.sparkContext.longAccumulator("pages_parsed"),
+    spark.sparkContext.longAccumulator("parse_failures"),
+    spark.sparkContext.longAccumulator("empty_content"))
+
+  /**
+   * The fused extraction: one `mapPartitions` over the salted layout. Also
+   * records per-partition lineage into `manifestAcc` (one entry per task,
+   * appended after the partition iterator drains).
+   */
+  def extract(
+      pages: Dataset[PageRow],
+      numPartitions: Int,
+      counters: Option[Counters] = None,
+      manifest: Option[org.apache.spark.util.CollectionAccumulator[ManifestRow]] = None,
+      runId: String = "run"
+  ): Dataset[ScrapedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val repartitioned = saltedRepartitionByHost(pages.toDF(), numPartitions)
+      .as[PageRowWithHost]
+
+    repartitioned.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var nRows = 0L
+      var nFail = 0L
+      var nEmpty = 0L
+      var minUrl: String = null
+      var maxUrl: String = null
+
+      val mapped = it.map { p =>
+        val row = ScrapePipeline.scrapeHtml(decodeHtml(p.html), p.url)
+        nRows += 1
+        if (row.status != "ok" || row.error.isDefined) nFail += 1
+        if (row.text_content.isEmpty) nEmpty += 1
+        if (minUrl == null || p.url < minUrl) minUrl = p.url
+        if (maxUrl == null || p.url > maxUrl) maxUrl = p.url
+        row
+      }
+
+      new Iterator[ScrapedRow] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && nRows >= 0) flush()
+          h
+        }
+        private var flushed = false
+        private def flush(): Unit = if (!flushed) {
+          flushed = true
+          counters.foreach { c =>
+            c.pagesParsed.add(nRows); c.parseFailures.add(nFail); c.emptyContent.add(nEmpty)
+          }
+          manifest.foreach(_.add(ManifestRow(runId, pid, nRows, nFail, nEmpty,
+            Option(minUrl).getOrElse(""), Option(maxUrl).getOrElse(""))))
+        }
+        def next(): ScrapedRow = mapped.next()
+      }
+    }
+  }
+
+  /**
+   * Checkpointed, resumable run (north rule): skips urls already present in
+   * `outDir` via a left-anti join on the checkpoint's url set (column-pruned
+   * read), appends new results, and writes the per-partition manifest.
+   */
+  def runResumable(spark: SparkSession, pages: Dataset[PageRow], outDir: String, numPartitions: Int, runId: String): ManifestSummary = {
+    import spark.implicits._
+    val fs = new java.io.File(outDir)
+    val todo: Dataset[PageRow] =
+      if (fs.exists() && new java.io.File(outDir + "/data").exists()) {
+        val done = spark.read.parquet(outDir + "/data").select("url")
+        pages.join(done, Seq("url"), "left_anti").as[PageRow]
+      } else pages
+
+    val counters = newCounters(spark)
+    val manifestAcc = spark.sparkContext.collectionAccumulator[ManifestRow]("manifest")
+    val extracted = extract(todo, numPartitions, Some(counters), Some(manifestAcc), runId)
+    extracted.write.mode(SaveMode.Append).parquet(outDir + "/data")
+
+    val manifestRows = manifestAcc.value
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(manifestRows.asScala.toSeq)
+      .write.mode(SaveMode.Append).parquet(outDir + "/manifest")
+
+    ManifestSummary(counters.pagesParsed.value, counters.parseFailures.value, counters.emptyContent.value,
+      manifestRows.size())
+  }
+
+  final case class ManifestSummary(pagesParsed: Long, parseFailures: Long, emptyContent: Long, nPartitions: Int)
+}
+
+/** PageRow plus the derived host column used by the partitioner. */
+final case class PageRowWithHost(
+    url: String, warc_ts: java.sql.Timestamp, html: Array[Byte], text: String, lang: String,
+    __host: String)
