@@ -1,18 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{ExtractJob, PagesGen}
+import graft.pipeline.{ExtractJob, PageRow, PagesGen}
 
 /**
  * Benchmark main — one JSON line per run (driver contract).
  *
- * Headline metric: extraction throughput (docs/sec) over the deterministic
- * synthetic corpus at `SPARK_GRAFT_SF_DIR` scale, after a JIT warm-up run,
- * plus per-query wall seconds for every `SparkEntry.queries` entry.
+ * Follows the BASELINE.md protocol: the synthetic corpus is generated ONCE
+ * into parquet (seed-fixed → identical files regardless of which level
+ * created them); the timed section is read → salted host repartition → fused
+ * extraction → count, after one discarded warm-up pass (JIT).
  *
- * Scaling protocol (BASELINE.md): the same main is run at two parallelism
- * levels (`SPARK_GRAFT_CPUS=8` then `32`) on identical input; efficiency =
- * tput(4N) / (4 × tput(N)) — reported in BASELINE.md from the two JSON lines.
+ * Scaling evidence: run this main at `SPARK_GRAFT_CPUS=8` and `32` on the
+ * same corpus; efficiency = tput(32) / (4 × tput(8)) — recorded in
+ * BASELINE.md. Extraction partitions = 4× cores so per-task skew (doc size
+ * variance) can't leave cores idle in the tail — the same ratio that holds
+ * on a real multi-executor cluster.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,17 +29,32 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val nDocs = PagesGen.pagesFor(sfDir)
-    val parts = cpus.toInt
+    val parts = cpus.toInt * 4
 
-    // warm-up (JIT) — discarded
-    ExtractJob.extract(PagesGen.generate(spark, math.min(500, nDocs)), parts).toDF().count()
+    // corpus parquet — generated once, shared by every level (identical files)
+    val corpusDir = s"target/bench_corpus_$nDocs"
+    if (!new java.io.File(corpusDir + "/_SUCCESS").exists()) {
+      PagesGen.generate(spark, nDocs).repartition(64)
+        .write.mode("overwrite").parquet(corpusDir)
+    }
+    val pages = spark.read.parquet(corpusDir).as[PageRow]
 
-    // headline: extraction throughput over the salted-host layout
-    val t0 = System.nanoTime()
-    val extractedCount = ExtractJob.extract(PagesGen.generate(spark, nDocs), parts).toDF().count()
-    val extractSec = (System.nanoTime() - t0) / 1e9
+    // warm-up (JIT) — two discarded full passes; the DOM/Readability stack
+    // needs deep warming before timings stabilize
+    ExtractJob.extract(pages, parts).toDF().count()
+    ExtractJob.extract(pages, parts).toDF().count()
+
+    // headline: extraction throughput over the salted-host layout — median of 3
+    var extractedCount = 0L
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      extractedCount = ExtractJob.extract(pages, parts).toDF().count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val extractSec = times(1)
     val docsPerSec = extractedCount / extractSec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -148,7 +148,59 @@ object SparkEntry {
         .toDF("url", "fingerprint").orderBy("url")
     }),
 
+    "feed_parse" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic per-row feed synthesis from the events table shape,
+      // exploded to item level — exercises K4/K5/K8 at any sf
+      val n = math.min(PagesGen.pagesFor(dir), 2000)
+      s.range(n).mapPartitions(_.map { i =>
+        val xml =
+          s"""<rss version="2.0"><channel><title>Feed $i</title><link>https://feeds.example.com/f$i</link>
+             |<item><title>Item A$i</title><link>/a/$i</link><guid>https://feeds.example.com/a/$i</guid>
+             |<pubDate>Mon, 06 Sep 2024 16:45:00 +0000</pubDate><description>Alpha $i</description>
+             |<category>Tech</category></item>
+             |<item><title>Item B$i</title><link>http://insecure.example.com/b/$i</link></item>
+             |</channel></rss>""".stripMargin
+        (i, xml)
+      }).flatMap { case (i, xml) =>
+        val feed = new graft.feed.RssParser().parse(xml, Some(s"https://feeds.example.com/f$i")).data
+        feed.items.zipWithIndex.map { case (item, idx) =>
+          (i, idx, feed.title, item.title, item.link, item.publishedAt.getOrElse(""), item.categories.mkString(","))
+        }
+      }.toDF("feed_id", "item_idx", "feed_title", "item_title", "item_link", "published_at", "categories")
+        .orderBy("feed_id", "item_idx")
+    }),
+
+    "markdown_parse" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).map { r =>
+        val md = graft.feed.MarkdownParser.parse(r.content)
+        (r.url, md.title.getOrElse(""), md.sections.length.toLong, md.links.length.toLong, md.codeBlocks.length.toLong)
+      }.toDF("url", "md_title", "n_sections", "n_links", "n_code_blocks").orderBy("url")
+    }),
+
+    "chunk_docs" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.embed.Embed.chunkText(text, size = 64, overlapIn = 8).zipWithIndex.map {
+            case (c, i) => (id, i, c.text, c.startIndex, c.endIndex, c.tokens)
+          }
+        }.toDF("doc_id", "chunk_idx", "chunk_text", "start_index", "end_index", "tokens")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ======== oracle-checked queries over driver tables ========
+    "pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, t) =>
+          val r = graft.embed.Embed.redactPii(t)
+          (id, r.text, r.redactionCount.toLong)
+        }.toDF("doc_id", "redacted_text", "n_redactions")
+        .orderBy("doc_id")
+    }),
+
     "doc_hash" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), expr("substring(sha2(text, 256), 1, 32)").as("hash32"))
       .orderBy("doc_id")),
@@ -263,7 +315,20 @@ object SparkEntry {
 
   /** DuckDB-dialect equivalents for the oracle-checkable queries. Extraction
     * queries are intentionally omitted (non-SQL-expressible → rows-only). */
+  // PII regexes (RE2-compatible subset, identical semantics in Java regex)
+  private val ccRe = """\b(?:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|3[47][0-9]{13}|6(?:011|5[0-9]{2})[0-9]{12}|(?:[0-9]{4}[-\s]){3}[0-9]{4}|[0-9]{13,19})\b"""
+  private val emailRe = """\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"""
+  private val phoneRe = """(?:\+?1[-.\s]?)?\(?[0-9]{3}\)?[-.\s]?[0-9]{3}[-.\s]?[0-9]{4}\b"""
+  private val ssnRe = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
+  private val ipRe = """\b(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"""
+
   def oracleSql: Map[String, String] = Map(
+    "pii_redact" ->
+      ("SELECT doc_id, " +
+       s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '$ccRe', '[REDACTED]', 'g'), '$emailRe', '[REDACTED]', 'g'), '$phoneRe', '[REDACTED]', 'g'), '$ssnRe', '[REDACTED]', 'g'), '$ipRe', '[REDACTED]', 'g') AS redacted_text, " +
+       s"CAST(length(regexp_extract_all(text, '$ccRe')) + length(regexp_extract_all(text, '$emailRe')) + length(regexp_extract_all(text, '$phoneRe')) + length(regexp_extract_all(text, '$ssnRe')) + length(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_redactions " +
+       "FROM documents ORDER BY doc_id"),
+
     "doc_hash" ->
       "SELECT doc_id, substr(sha256(text), 1, 32) AS hash32 FROM documents ORDER BY doc_id",
 

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Distributed-execution invariants from the north rule: the Spark-run
+  * output must be byte-identical to the scalar oracle at EVERY parallelism
+  * level; the salted host partitioner must split the mega-host; runs must be
+  * resumable with per-partition lineage + counters. */
+class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("graft-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val N = 120
+
+  test("Spark output is byte-identical to the scalar oracle at two parallelism levels") {
+    // scalar oracle: same per-row function, single JVM, no Spark
+    val oracle = (0 until N).map { i =>
+      val p = PagesGen.makePage(i.toLong)
+      val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
+      r.url -> (r.text_content, r.normalized_text, r.norm_hash, r.title)
+    }.toMap
+
+    for (parts <- Seq(2, 8)) {
+      val rows = ExtractJob.extract(PagesGen.generate(spark, N), parts).collect()
+      assert(rows.length == N, s"parts=$parts row count")
+      rows.foreach { r =>
+        val (tc, nt, nh, title) = oracle(r.url)
+        assert(r.text_content == tc, s"text_content mismatch at ${r.url} parts=$parts")
+        assert(r.normalized_text == nt, s"normalized_text mismatch at ${r.url} parts=$parts")
+        assert(r.norm_hash == nh)
+        assert(r.title == title)
+      }
+    }
+  }
+
+  test("salted partitioner splits the mega-host across tasks") {
+    import org.apache.spark.sql.functions._
+    val df = ExtractJob.saltedRepartitionByHost(PagesGen.generate(spark, 600).toDF(), 8)
+    val perPartition = df
+      .select(col("__host"), spark_partition_id().as("pid"))
+      .filter(col("__host").startsWith("megahost")) // hostCol strips the www. prefix
+      .groupBy("pid").count().collect()
+    // the ~20% mega-host must land in >1 partition (salt split), and no
+    // single partition may hold all of its rows
+    assert(perPartition.length > 1, s"mega-host in ${perPartition.length} partition(s)")
+    val counts = perPartition.map(_.getLong(1))
+    assert(counts.max < counts.sum, "salt failed to split the mega-host")
+  }
+
+  test("resumable run: second invocation extracts zero new rows; manifest written") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pages = PagesGen.generate(spark, 60)
+    val s1 = ExtractJob.runResumable(spark, pages, out, 4, "run1")
+    assert(s1.pagesParsed == 60)
+    assert(s1.nPartitions > 0)
+    val s2 = ExtractJob.runResumable(spark, pages, out, 4, "run2")
+    assert(s2.pagesParsed == 0, "resume must skip completed urls")
+    val data = spark.read.parquet(out + "/data")
+    assert(data.count() == 60)
+    assert(data.select("url").distinct().count() == 60)
+    val sp = spark
+    import sp.implicits._
+    val manifest = spark.read.parquet(out + "/manifest").as[ManifestRow].collect()
+    assert(manifest.map(_.n_rows).sum == 60)
+    assert(manifest.forall(m => m.run_id == "run1" || m.run_id == "run2"))
+  }
+
+  test("counters: pages_parsed / parse_failures / empty_content") {
+    val counters = ExtractJob.newCounters(spark)
+    ExtractJob.extract(PagesGen.generate(spark, 50), 4, Some(counters)).toDF().count()
+    assert(counters.pagesParsed.value == 50L)
+    assert(counters.parseFailures.value == 0L)
+    assert(counters.emptyContent.value == 0L)
+  }
+
+  test("plan hygiene: pages scan prunes columns for a projection query") {
+    // writing then reading back parquet: a url-only projection must not read html
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    PagesGen.generate(spark, 50).write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).select("url").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && plan.contains("url"))
+    assert(!plan.contains("html"), s"html column not pruned:\n$plan")
+  }
+}
