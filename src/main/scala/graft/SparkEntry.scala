@@ -148,6 +148,28 @@ object SparkEntry {
         .toDF("url", "fingerprint").orderBy("url")
     }),
 
+    "media_features" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.min(PagesGen.pagesFor(dir), 2000)
+      graft.multimodal.Multimodal.extractFeatures(graft.multimodal.Multimodal.mediaGen(s, n))
+        .map(f => (f.media_id, f.kind, f.lsh_bucket, f.decode_ok,
+          math.round(f.feature.head * 100000) / 100000.0))
+        .toDF("media_id", "kind", "lsh_bucket", "decode_ok", "f0")
+        .orderBy("media_id")
+    }),
+
+    "media_frames" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.min(PagesGen.pagesFor(dir), 500)
+      graft.multimodal.Multimodal.mediaGen(s, n)
+        .filter(_.kind == "video")
+        .flatMap(m => graft.multimodal.Multimodal.frameSampleStub(m).map { case (ts, fb) =>
+          (m.media_id, ts, fb.length.toLong)
+        })
+        .toDF("media_id", "frame_ts_ms", "frame_bytes")
+        .orderBy("media_id", "frame_ts_ms")
+    }),
+
     "feed_parse" -> ((s, dir) => {
       import s.implicits._
       // deterministic per-row feed synthesis from the events table shape,
@@ -204,6 +226,16 @@ object SparkEntry {
     "doc_hash" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), expr("substring(sha2(text, 256), 1, 32)").as("hash32"))
       .orderBy("doc_id")),
+
+    "embed_cache_key" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = graft.embed.EmbedCache.CacheConfig(providerKey = "stub")
+      docs(s, dir).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, t) =>
+          (id, graft.embed.EmbedCache.cacheKey(cfg, t), graft.embed.EmbedCache.checksum(t))
+        }.toDF("doc_id", "cache_key", "checksum")
+        .orderBy("doc_id")
+    }),
 
     "doc_tokens" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"),
@@ -331,6 +363,13 @@ object SparkEntry {
 
     "doc_hash" ->
       "SELECT doc_id, substr(sha256(text), 1, 32) AS hash32 FROM documents ORDER BY doc_id",
+
+    "embed_cache_key" -> {
+      val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
+        .replace("'", "''")
+      s"SELECT doc_id, sha256(concat('$fp', chr(0), text)) AS cache_key, " +
+      "substr(sha256(text), 1, 16) AS checksum FROM documents ORDER BY doc_id"
+    },
 
     "doc_tokens" ->
       ("SELECT doc_id, " +
