@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.{ExtractJob, PageRow, ScrapePipeline, ScrapedRow}
+
+/**
+ * Structured Streaming surface: continuous extraction over newly-arriving
+ * page files (the Iceberg-snapshot-tailing design from SURVEY.md §1.1 —
+ * `readStream` over the landing directory, the SAME fused per-row extraction,
+ * `writeStream` append). Batch and streaming share one code path, so the
+ * byte-identity guarantees carry over per micro-batch.
+ *
+ * The extraction map is stateless per row → no watermark needed for the
+ * extract stage itself; the host-rate monitor shows the stateful side
+ * (windowed counts with a watermark bounding state size at scale).
+ */
+object StreamingExtract {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** readStream over a landing dir → fused extraction. */
+  def extractStream(spark: SparkSession, inputDir: String, maxFilesPerTrigger: Int = 4): Dataset[ScrapedRow] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[PageRow]
+      .mapPartitions(_.map(p => ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)))
+  }
+
+  /** Stateful monitor: pages per host per 1-minute window, watermarked so
+    * state is bounded (late data beyond 5 minutes dropped). */
+  def hostRateStream(spark: SparkSession, inputDir: String): DataFrame = {
+    spark.readStream
+      .schema(pageSchema)
+      .parquet(inputDir)
+      .withColumn("host", regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", ""))
+      .withWatermark("warc_ts", "5 minutes")
+      .groupBy(window(col("warc_ts"), "1 minute"), col("host"))
+      .agg(count("*").as("pages"), sum(length(col("html"))).as("bytes"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.PagesGen
+
+/** Streaming extraction must produce the same rows as batch over the same
+  * files (shared code path), via a memory-sink smoke per the local pattern. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("graft-streaming-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming extraction equals batch extraction over the same landing dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    PagesGen.generate(spark, 40).repartition(4).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.extractStream(spark, dir, maxFilesPerTrigger = 2)
+      .toDF()
+      .select("url", "title", "norm_hash", "word_count")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("extract_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM extract_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    val batch = {
+      val sp = spark
+      import sp.implicits._
+      spark.read.parquet(dir).as[graft.pipeline.PageRow]
+        .collect()
+        .map(p => graft.pipeline.ScrapePipeline.scrapeHtml(graft.pipeline.ExtractJob.decodeHtml(p.html), p.url))
+        .map(r => (r.url, r.title, r.norm_hash)).toSet
+    }
+    assert(streamed.size == 40)
+    assert(streamed == batch)
+  }
+
+  test("host-rate stream: windowed watermarked counts complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    PagesGen.generate(spark, 60).write.mode("overwrite").parquet(dir)
+    val q = StreamingExtract.hostRateStream(spark, dir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("host_rate")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT host, pages FROM host_rate").collect()
+    assert(rows.map(_.getLong(1)).sum == 60)
+    assert(rows.exists(_.getString(0).startsWith("megahost")))
+  }
+}
