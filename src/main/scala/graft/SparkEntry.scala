@@ -108,13 +108,53 @@ object SparkEntry {
         .orderBy("url_a", "url_b")
     }),
 
+    "dedup_jaccard_pages" -> ((s, dir) => {
+      import s.implicits._
+      // n-gram Jaccard near-dup: LSH candidates → EXACT shingle-set Jaccard
+      // verify (the candidate pairs are cheap; exact Jaccard runs only on them)
+      val shingled = extracted(s, dir).map { r =>
+        val sh = TextOps.shingles(r.normalized_text, 3)
+        (r.url, sh, TextOps.minHash(sh, 32))
+      }.toDF("url", "shingles", "sig")
+      val bands = shingled.as[(String, Array[String], Array[Long])].flatMap { case (url, _, sig) =>
+        TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, i, b) }
+      }.toDF("url", "band_idx", "band_key")
+      // mega-bucket suppression: an LSH bucket shared by >64 docs is
+      // non-discriminative boilerplate — skip it (bounded join fan-out at scale)
+      val bucketSizes = bands.groupBy("band_idx", "band_key").count()
+      val smallBuckets = bands.join(bucketSizes.filter(col("count") <= 64), Seq("band_idx", "band_key"))
+      val cands = smallBuckets.as("a").join(smallBuckets.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.url") < col("b.url"))
+        .select(col("a.url").as("url_a"), col("b.url").as("url_b"))
+        .dropDuplicates("url_a", "url_b")
+      val withSets = cands
+        .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
+        .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
+      withSets.select("url_a", "url_b", "sh_a", "sh_b")
+        .as[(String, String, Array[String], Array[String])]
+        .map { case (a, b, sa, sb) =>
+          (a, b, math.round(TextOps.jaccard(sa, sb) * 100000) / 100000.0)
+        }.toDF("url_a", "url_b", "jaccard")
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("url_a", "url_b")
+    }),
+
     "dedup_simhash_pages" -> ((s, dir) => {
       import s.implicits._
       val hashed = extracted(s, dir).map(r => (r.url, TextOps.simHash(r.normalized_text)))
         .toDF("url", "simhash")
       // band on 4×16-bit chunks → candidates within hamming distance ≤ 3 likely share a chunk
-      val chunks = hashed.select(col("url"), col("simhash"),
+      val chunks0 = hashed.select(col("url"), col("simhash"),
         explode(array((0 until 4).map(i => struct(lit(i).as("i"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
+      // mega-bucket suppression: chunks shared by >64 docs are template
+      // boilerplate signatures — joining them is quadratic noise at scale
+      val chunkSizes = chunks0.groupBy(col("ch.i").as("ci"), col("ch.c").as("cc")).count()
+      val chunks = chunks0.join(
+        chunkSizes.filter(col("count") <= 64),
+        col("ch.i") === col("ci") && col("ch.c") === col("cc"))
+        .select("url", "simhash", "ch")
       val cands = chunks.as("a").join(chunks.as("b"),
           col("a.ch.i") === col("b.ch.i") && col("a.ch.c") === col("b.ch.c") && col("a.url") < col("b.url"))
         .select(col("a.url").as("url_a"), col("b.url").as("url_b"),

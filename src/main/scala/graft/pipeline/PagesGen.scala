@@ -92,9 +92,17 @@ object PagesGen {
   }
 
   def makePage(i: Long): PageRow = {
-    val r = new Rnd(mix(Seed ^ (i * 0x9e3779b97f4a7c15L)))
-    val host = pickHost(r)
-    val cat = cats(r.nextInt(cats.length))
+    // dedup-realism: every 100th row is an EXACT content dup of its
+    // predecessor (same body, different url/host), every other 50th row a
+    // NEAR dup (one extra trailing sentence) — ~2% + ~2% of the corpus,
+    // exercising exact-hash, minhash/simhash and jaccard dedup paths
+    val isDup = i > 0 && i % 50 == 0
+    val isNearDup = isDup && i % 100 != 0
+    val contentId = if (isDup) i - 1 else i
+    val r = new Rnd(mix(Seed ^ (contentId * 0x9e3779b97f4a7c15L)))
+    val rUrl = new Rnd(mix(Seed ^ 0x75726cL ^ (i * 0x9e3779b97f4a7c15L)))
+    val host = pickHost(rUrl)
+    val cat = cats(rUrl.nextInt(cats.length))
     val url = s"https://$host/$cat/post-$i"
     val lang = langs(r.nextInt(langs.length))
     val title = sentence(r, 3 + r.nextInt(4)).dropRight(1)
@@ -102,7 +110,10 @@ object PagesGen {
     val author = s"${lexicon(r.nextInt(lexicon.length)).capitalize} ${lexicon(r.nextInt(lexicon.length)).capitalize}"
     val date = f"2023-${1 + r.nextInt(12)}%02d-${1 + r.nextInt(28)}%02d"
     val nParas = 3 + r.nextInt(10)
-    val paras = (0 until nParas).map(_ => paragraph(r))
+    val paras0 = (0 until nParas).map(_ => paragraph(r))
+    val paras =
+      if (isNearDup) paras0 :+ s"Editorial update ${i % 97}: minor correction appended to this revision."
+      else paras0
     val hasOg = r.nextInt(10) < 8
     val hasJsonLd = r.nextInt(10) < 4
     val hasList = r.nextInt(10) < 5
