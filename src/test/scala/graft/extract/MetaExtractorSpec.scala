@@ -80,3 +80,30 @@ class MetaExtractorSpec extends AnyFunSuite {
       .siteName.contains("My Site"))
   }
 }
+
+/** M5 — detectContentType heuristics (`src/extractors/content.ts:108-165`). */
+class ContentTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def detect(html: String, url: String): String =
+    ContentTypeDetect.detect(ExtractionContext(url, url, graft.dom.HtmlParser.parse(html)))
+
+  test("github repo / npm / pypi / docs / video") {
+    assert(detect("<html></html>", "https://github.com/user/repo") == "repo")
+    assert(detect("<html></html>", "https://github.com/user/repo/blob/main/x") != "repo")
+    assert(detect("<html></html>", "https://www.npmjs.com/package/foo") == "package")
+    assert(detect("<html></html>", "https://pypi.org/project/foo") == "package")
+    assert(detect("<html></html>", "https://site.com/docs/intro") == "docs")
+    assert(detect("<html></html>", "https://proj.readthedocs.io/en/latest") == "docs")
+    assert(detect("<html></html>", "https://www.youtube.com/watch?v=x") == "video")
+  }
+
+  test("product via price/cart selectors") {
+    assert(detect("""<html><body><span class="price">$9</span></body></html>""", "https://shop.example.com/x") == "product")
+    assert(detect("""<html><body><button>Add to cart</button></body></html>""", "https://shop.example.com/x") == "product")
+  }
+
+  test("article via og:type and article+dateline; unknown fallback") {
+    assert(detect("""<html><head><meta property="og:type" content="article"></head></html>""", "https://example.com/x") == "article")
+    assert(detect("""<html><body><article><time datetime="2024-01-01">x</time>body</article></body></html>""", "https://example.com/x") == "article")
+    assert(detect("<html><body><p>hi</p></body></html>", "https://example.com/x") == "unknown")
+  }
+}

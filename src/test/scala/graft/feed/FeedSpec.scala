@@ -175,3 +175,46 @@ class FeedSpec extends AnyFunSuite {
     assert(r.meta.blocksTotal == 2)
   }
 }
+
+/** Additional fixture coverage: dc fallbacks, dirty CDATA, podcast custom fields. */
+class FeedFixturesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/scrapex-fixtures/$name")
+    require(in != null, s"missing $name")
+    val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close(); s
+  }
+
+  test("rss2-dc: dublin-core creator and GMT pubDate") {
+    val data = new RssParser().parse(fixture("rss2-dc.xml"), Some("https://example.com/feed")).data
+    assert(data.title == "My Blog")
+    val item = data.items(0)
+    assert(item.author.contains("Jane Roe"))
+    assert(item.publishedAt.contains("2024-09-06T16:45:00.000Z"))
+    assert(item.categories == Seq("Tech", "News"))
+    assert(data.items(1).publishedAt.contains("2024-09-05T10:00:00.000Z"))
+  }
+
+  test("rss2-dirty: CDATA + entities, relative links resolved against base") {
+    val data = new RssParser().parse(fixture("rss2-dirty.xml"), Some("https://example.com/feed.xml")).data
+    assert(data.title == "Dirty Feed & Stuff")
+    assert(data.description.contains("Contains <b>HTML</b> and stuff"))
+    val item = data.items(0)
+    assert(item.title == "CDATA <em>Title</em>")
+    assert(item.link == "https://example.com/relative/article/1")
+    assert(item.content.contains("Full content with bold text."))
+    assert(item.description.exists(_.contains("""<a href="/internal">link</a>""")))
+  }
+
+  test("podcast-itunes: namespaced custom fields") {
+    val parser = new RssParser(Map("duration" -> "itunes\\:duration"))
+    val data = parser.parse(fixture("podcast-itunes.xml"), Some("https://example.com/pod")).data
+    assert(data.items.nonEmpty)
+    assert(data.items.exists(_.customFields.contains("duration")))
+  }
+
+  test("atom unsafe links: javascript/data/http all dropped") {
+    val data = new RssParser().parse(fixture("atom-unsafe-links.xml"), Some("https://example.com/atom")).data
+    data.items.foreach(i => assert(i.link == "" || i.link.startsWith("https://")))
+  }
+}
