@@ -277,12 +277,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "doc_tokens" -> ((s, dir) => docs(s, dir)
+    // n_words via the native codegen TokenCount expression (graft.plans) —
+    // one byte-scan per row, no regex/array alloc; equals the DuckDB
+    // regexp_split oracle on whitespace-sane text (verified per-row at sf0.01).
+    "doc_tokens" -> ((s, dir) => { graft.plans.GraftExtensions.register(s); docs(s, dir)
       .select(col("doc_id"),
-        expr("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size(split(trim(text), '\\\\s+')) END AS BIGINT)").as("n_words"),
+        expr("CAST(token_count(text) AS BIGINT)").as("n_words"),
         length(col("text")).cast("long").as("n_chars"),
         expr("CAST(ceil(length(text) / 4.0) AS BIGINT)").as("token_estimate"))
-      .orderBy("doc_id")),
+      .orderBy("doc_id") }),
 
     "doc_dedup_exact" -> ((s, dir) => docs(s, dir)
       .groupBy(expr("substring(sha2(text, 256), 1, 32)").as("hash32"))
@@ -382,7 +385,25 @@ object SparkEntry {
       .withColumn("dim", col("dim").cast("long"))
       .groupBy("label", "dim")
       .agg(round(avg(col("v").cast("double")), 5).as("avg_v"))
-      .orderBy("label", "dim"))
+      .orderBy("label", "dim")),
+
+    // Same aggregate via the typed VectorAvgAggregator (graft.plans): the
+    // shuffle carries ONE 64-dim partial buffer per (label, map-partition)
+    // instead of 64 exploded rows per input vector — the scale path for E5.
+    // Result (one row per label) is exploded only for oracle comparison.
+    "embed_agg_vec" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label").cast("int"), col("embedding").cast("array<float>"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.plans.VectorAvgAggregator.toColumn.name("avg_vec"))
+        .toDF("label", "avg_vec")
+        .select(col("label"), posexplode(col("avg_vec")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("v").cast("double"), 5).as("avg_v"))
+        .orderBy("label", "dim")
+    })
   )
 
   /** DuckDB-dialect equivalents for the oracle-checkable queries. Extraction
@@ -466,6 +487,14 @@ object SparkEntry {
 
     "embed_agg_label" ->
       ("SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS avg_v " +
+       "FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t " +
+       "GROUP BY 1, 2 ORDER BY label, dim"),
+
+    // aggregator emits float vectors (reference E5 semantics) → truncate the
+    // oracle's double mean through REAL before rounding, mirroring finish()
+    "embed_agg_vec" ->
+      ("SELECT label, CAST(i - 1 AS BIGINT) AS dim, " +
+       "round(CAST(CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS DOUBLE), 5) AS avg_v " +
        "FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t " +
        "GROUP BY 1, 2 ORDER BY label, dim")
   )

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Custom Catalyst surface: native expression inside whole-stage codegen and
+  * the typed element-wise vector Aggregator. */
+class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-plans-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("token_count native expression: SQL-registered, matches split semantics") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("hello world", "  leading and trailing  ", "", "one", "a\tb\nc  d").toDF("s")
+    df.createOrReplaceTempView("toks")
+    val got = spark.sql("SELECT s, token_count(s) AS n FROM toks").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("hello world") == 2)
+    assert(got("  leading and trailing  ") == 3)
+    assert(got("") == 0)
+    assert(got("one") == 1)
+    assert(got("a\tb\nc  d") == 4)
+    // equivalence with the split-based formulation on non-degenerate input
+    val eq = spark.sql(
+      """SELECT count(*) AS bad FROM toks
+        |WHERE length(trim(s)) > 0
+        |  AND token_count(s) != size(split(trim(s), '\\s+'))""".stripMargin).first().getLong(0)
+    assert(eq == 0)
+  }
+
+  test("token_count participates in whole-stage codegen") {
+    GraftExtensions.register(spark)
+    // literal-only projections plan as LocalTableScan; use a codegen'd scan
+    val df = spark.range(100).selectExpr("token_count(concat('a b ', CAST(id AS STRING))) AS n")
+    // the `*(1)` prefix in the plan string = WholeStageCodegen stage 1; assert on the node type
+    val codegenned = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenned.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0) == 300L)
+  }
+
+  test("VectorAvgAggregator: distributed element-wise average with map-side combine") {
+    val sp = spark
+    import sp.implicits._
+    val ds = Seq(
+      ("a", Array(1f, 2f)), ("a", Array(3f, 4f)),
+      ("b", Array(10f, 20f)), ("b", Array(30f, 40f)), ("b", Array(50f, 60f))
+    ).toDS()
+    val out = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorAvgAggregator.toColumn.name("avg_vec"))
+      .collect().toMap
+      .map { case (k, v) => k -> v.toSeq }
+    assert(out("a") == Seq(2f, 3f))
+    assert(out("b") == Seq(30f, 40f))
+  }
+}
