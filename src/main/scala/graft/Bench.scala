@@ -31,7 +31,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val nDocs = PagesGen.pagesFor(sfDir)
+    // SPARK_GRAFT_DOCS overrides corpus size (scaling runs use a larger fixed
+    // corpus so constant job overheads don't read as lost efficiency)
+    val nDocs = sys.env.get("SPARK_GRAFT_DOCS").map(_.toInt)
+      .getOrElse(PagesGen.pagesFor(sfDir))
     val parts = cpus.toInt * 4
 
     // corpus parquet — generated once, shared by every level (identical files)
@@ -48,20 +51,31 @@ object Bench {
     ExtractJob.extract(pages, parts).toDF().count()
 
     // headline: extraction throughput over the salted-host layout — median of 3
+    // extract-only (scaling protocol) runs 5 reps — the shared-host CPU noise
+    // at 32 threads is large (observed 10s vs 29s for identical work within
+    // one JVM); median of 5 rejects the outliers
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
+      .getOrElse(if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) 5 else 3)
     var extractedCount = 0L
-    val times = (1 to 3).map { _ =>
+    val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       extractedCount = ExtractJob.extract(pages, parts).toDF().count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] timed run $i: $dt%.2f s")
+      dt
     }.sorted
-    val extractSec = times(1)
+    val extractSec = times(times.length / 2)
     val docsPerSec = extractedCount / extractSec
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - q0) / 1e9
-    }
+    // SPARK_GRAFT_EXTRACT_ONLY=1 → skip the query suite (scaling-protocol runs
+    // time only the extraction job)
+    val results =
+      if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - q0) / 1e9
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = extractSec + results.map(_._2).sum
     println(

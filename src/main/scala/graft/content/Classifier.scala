@@ -12,21 +12,30 @@ object Classifier {
 
   type BlockClassifier = (ContentBlock, ClassifierContext) => ClassifierResult
 
-  // classifier.ts:39-48 — generic boilerplate phrases (case-insensitive)
-  private val boilerplatePatterns: Array[Pattern] = Array(
-    "\\b(subscribe|sign up|newsletter|notifications|follow us)\\b",
-    "\\b(sponsored|advertis(e|ement|ing)|promotion|partner content)\\b",
-    "\\b(read more|keep reading|continue reading|see more)\\b",
-    "\\b(cookie policy|privacy policy|terms of service|all rights reserved)\\b",
-    "\\b(share on|share this|tweet this|pin it)\\b",
-    "\\b(comments?|leave a reply|join the discussion)\\b"
-  ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+  // classifier.ts:39-48 — generic boilerplate phrases (case-insensitive).
+  // Detection is `exists(_.find())`, so the six patterns are fused into one
+  // alternation: one scan instead of six (reject label is the same
+  // "boilerplate" whichever phrase hits).
+  private val boilerplateRe: Pattern = Pattern.compile(
+    Array(
+      "\\b(subscribe|sign up|newsletter|notifications|follow us)\\b",
+      "\\b(sponsored|advertis(e|ement|ing)|promotion|partner content)\\b",
+      "\\b(read more|keep reading|continue reading|see more)\\b",
+      "\\b(cookie policy|privacy policy|terms of service|all rights reserved)\\b",
+      "\\b(share on|share this|tweet this|pin it)\\b",
+      "\\b(comments?|leave a reply|join the discussion)\\b"
+    ).mkString("|"), Pattern.CASE_INSENSITIVE)
 
   private val mediaCreditPattern =
     Pattern.compile("\\b(photo by|image:|credit:|source:)\\b", Pattern.CASE_INSENSITIVE)
 
-  // JS /[.!?]\s*$/ — \s is the JS class
-  private val endsWithPunctPattern = Pattern.compile("[.!?][" + Js.wsClass + "]*$")
+  // JS /[.!?]\s*$/ — \s is the JS class; equivalent backwards scan: last
+  // non-JS-whitespace char is '.', '!' or '?'
+  private def endsWithPunct(text: String): Boolean = {
+    var i = text.length - 1
+    while (i >= 0 && Js.isJsWs(text.charAt(i))) i -= 1
+    i >= 0 && { val c = text.charAt(i); c == '.' || c == '!' || c == '?' }
+  }
 
   private val exemptTypes = Set("heading", "list", "quote", "code")
 
@@ -40,14 +49,13 @@ object Classifier {
     else if (block.blockType == "footer") ClassifierResult(accept = false, label = Some("footer"))
     else if (block.blockType == "legal") ClassifierResult(accept = false, label = Some("legal"))
     else if (block.blockType == "promo") ClassifierResult(accept = false, label = Some("promo"))
-    else if (boilerplatePatterns.exists(_.matcher(lowerText).find()))
+    else if (boilerplateRe.matcher(lowerText).find())
       ClassifierResult(accept = false, label = Some("boilerplate"))
     else if (mediaCreditPattern.matcher(lowerText).find() && text.length < 120)
       ClassifierResult(accept = false, label = Some("media-credit"))
     else {
       val isShort = text.length < 20
-      val endsWithPunct = endsWithPunctPattern.matcher(text).find()
-      if (isShort && !exemptTypes.contains(block.blockType) && !endsWithPunct)
+      if (isShort && !exemptTypes.contains(block.blockType) && !endsWithPunct(text))
         ClassifierResult(accept = false, label = Some("too-short"))
       else {
         var score = 0.5

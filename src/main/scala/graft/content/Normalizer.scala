@@ -51,7 +51,9 @@ object Normalizer {
   ): String = {
     var result = text
 
-    if (decodeEntities) {
+    // every entity pattern requires a literal '&' — one indexOf gates all 7
+    // passes (exact: a pass with no possible match returns the input)
+    if (decodeEntities && result.indexOf('&') >= 0) {
       result = nbspRe.matcher(result).replaceAll(" ")
       result = ampRe.matcher(result).replaceAll("&")
       result = ltRe.matcher(result).replaceAll("<")
@@ -62,19 +64,59 @@ object Normalizer {
       result = replaceAllFn(hexRe, result)(m => Js.fromCharCode(safeParseLong(m.group(1), 16)))
     }
 
-    if (stripLinks)
+    if (stripLinks && result.indexOf('[') >= 0)
       result = mdLinkRe.matcher(result).replaceAll("$1")
 
-    if (normalizeUnicode)
+    if (normalizeUnicode && !JNormalizer.isNormalized(result, JNormalizer.Form.NFC))
       result = JNormalizer.normalize(result, JNormalizer.Form.NFC)
 
-    result = spaceTabRe.matcher(result).replaceAll(" ")
+    result = Js.collapseSpaceTab(result) // == replaceAll("[ \t]+", " ")
 
     result =
-      if (preserveLineBreaks) threeNlRe.matcher(result).replaceAll("\n\n")
-      else anyNlRe.matcher(result).replaceAll(" ")
+      if (preserveLineBreaks) collapseThreeNl(result)
+      else collapseAnyNl(result)
 
     Js.trim(result)
+  }
+
+  /** Exact equivalent of `replaceAll("\\n{3,}", "\n\n")`. */
+  private def collapseThreeNl(s: String): String = {
+    var i = s.indexOf("\n\n\n")
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, i)
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\n' && i + 2 < n && s.charAt(i + 1) == '\n' && s.charAt(i + 2) == '\n') {
+        sb.append("\n\n")
+        while (i < n && s.charAt(i) == '\n') i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Exact equivalent of `replaceAll("\\n+", " ")`. */
+  private def collapseAnyNl(s: String): String = {
+    var i = s.indexOf('\n')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, i)
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\n') {
+        sb.append(' ')
+        while (i < n && s.charAt(i) == '\n') i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   private def safeParseLong(s: String, radix: Int): Long =

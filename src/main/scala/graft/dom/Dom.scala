@@ -132,7 +132,7 @@ final class Element(val tag: String) extends Node {
 
   /** Space-separated class tokens. */
   def classList: Array[String] =
-    attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty)).getOrElse(Array.empty)
+    attrs.get("class").map(c => Element.javaWsRunRe.split(c).filter(_.nonEmpty)).getOrElse(Array.empty)
 
   def deepClone(): Node = {
     val e = new Element(tag)
@@ -232,4 +232,8 @@ final class DomDoc(val html: Element, val head: Element, val body: Element) {
     val body2 = h.childElements.find(_.tag == "body").getOrElse(h)
     new DomDoc(h, head2, body2)
   }
+}
+
+object Element {
+  private[dom] val javaWsRunRe = java.util.regex.Pattern.compile("\\s+")
 }

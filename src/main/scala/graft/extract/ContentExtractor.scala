@@ -48,7 +48,7 @@ object ContentExtractor extends Extractor {
   private def extractFallback(ctx: ExtractionContext): Partial = {
     val body = ctx.doc.body
     val content = Markdown.fromElement(body)
-    val textContent = Js.trim(body.text().replaceAll("[" + Js.wsClass + "]+", " "))
+    val textContent = Js.trim(Js.collapseWsAll(body.text()))
     Partial(
       content = Some(content.take(ctx.maxContentLength)),
       textContent = Some(textContent),

@@ -47,8 +47,13 @@ object Markdown {
     val root = rootInput.cloneElement()
     collapseWhitespace(root)
     val out = processChildren(root)
-    out.replaceAll("^[\\t\\r\\n]+", "").replaceAll("[\\t\\r\\n\\s]+$", "")
+    leadingTrnRe.matcher(out).replaceFirst("") match {
+      case s => trailingWsRe.matcher(s).replaceFirst("")
+    }
   }
+
+  private val leadingTrnRe = Pattern.compile("^[\\t\\r\\n]+")
+  private val trailingWsRe = Pattern.compile("[\\t\\r\\n\\s]+$")
 
   // ---- whitespace collapse (turndown's collapse-whitespace) ----
 
@@ -79,7 +84,7 @@ object Markdown {
     while (node != null && (node ne element)) {
       node match {
         case t: TextNode =>
-          var text = t.data.replaceAll("[ \\r\\n\\t]+", " ")
+          var text = collapseAsciiWs(t.data)
           if ((prevText == null || prevText.data.endsWith(" ")) && !keepLeadingWs && text.startsWith(" "))
             text = text.substring(1)
           if (text.isEmpty) {
@@ -95,7 +100,7 @@ object Markdown {
           }
         case e: Element =>
           if (isBlock(e) || e.tag == "br") {
-            if (prevText != null) prevText.data = prevText.data.replaceAll(" $", "")
+            if (prevText != null) prevText.data = dropOneTrailingSpace(prevText.data)
             prevText = null
             keepLeadingWs = false
           } else if (isVoid(e) || isPre(e)) {
@@ -112,10 +117,43 @@ object Markdown {
       }
     }
     if (prevText != null) {
-      prevText.data = prevText.data.replaceAll(" $", "")
+      prevText.data = dropOneTrailingSpace(prevText.data)
       if (prevText.data.isEmpty) prevText.remove()
     }
   }
+
+  /** Exact equivalent of `replaceAll("[ \\r\\n\\t]+", " ")` — every run of
+    * ASCII space/CR/LF/TAB (including length-1) becomes one space. */
+  private def collapseAsciiWs(s: String): String = {
+    def isWs(c: Char) = c == ' ' || c == '\r' || c == '\n' || c == '\t'
+    var i = 0
+    val n = s.length
+    var dirty = false
+    while (!dirty && i < n) {
+      val c = s.charAt(i)
+      if (c == '\r' || c == '\n' || c == '\t' ||
+          (c == ' ' && i + 1 < n && isWs(s.charAt(i + 1)))) dirty = true
+      i += 1
+    }
+    if (!dirty) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      if (isWs(s.charAt(i))) {
+        sb.append(' ')
+        i += 1
+        while (i < n && isWs(s.charAt(i))) i += 1
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Exact equivalent of `replaceAll(" $", "")`. */
+  private def dropOneTrailingSpace(s: String): String =
+    if (s.nonEmpty && s.charAt(s.length - 1) == ' ') s.substring(0, s.length - 1) else s
 
   private def siblingAfter(n: Node): Node = {
     val p = n.parent
@@ -151,15 +189,42 @@ object Markdown {
   }
 
   private def join(a: String, b: String): String = {
-    val s1 = a.replaceAll("\\n+$", "")
-    val s2 = b.replaceAll("^\\n+", "")
-    val nls = math.min(2, math.max(a.length - s1.length, b.length - s2.length))
-    s1 + "\n\n".substring(0, nls) + s2
+    var e1 = a.length
+    while (e1 > 0 && a.charAt(e1 - 1) == '\n') e1 -= 1
+    var s2s = 0
+    while (s2s < b.length && b.charAt(s2s) == '\n') s2s += 1
+    val nls = math.min(2, math.max(a.length - e1, s2s))
+    a.substring(0, e1) + "\n\n".substring(0, nls) + b.substring(s2s)
   }
+
+  /** `^[\s]*$` with Java `\s` = [ \t\n\x0B\f\r]. */
+  private def isJavaWsOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != ' ' && c != '\t' && c != '\n' && c != '\u000b' && c != '\f' && c != '\r') return false
+      i += 1
+    }
+    true
+  }
+
+  // precompiled per-tag emit patterns (previously String.replaceAll per node)
+  private val edgeNlRe = Pattern.compile("^\\n+|\\n+$")
+  private val lineStartRe = Pattern.compile("(?m)^")
+  private val leadNlRe = Pattern.compile("^\\n+")
+  private val trailNlRe = Pattern.compile("\\n+$")
+  private val anyNlMRe = Pattern.compile("(?m)\\n")
+  private val langClassRe = Pattern.compile("language-(\\S+)")
+  private val fenceRe = Pattern.compile("^`{3,}", Pattern.MULTILINE)
+  private val oneTrailNlRe = Pattern.compile("\\n$")
+  private val nlRe = Pattern.compile("\\n")
+  private val crlfRe = Pattern.compile("\\r?\\n|\\r")
+  private val parenRe = Pattern.compile("([()])")
+  private val dquoteRe = Pattern.compile("\"")
 
   private def isBlankNode(e: Element): Boolean =
     !isVoid(e) && !meaningfulWhenBlank.contains(e.tag) &&
-      Pattern.compile("^[\\s]*$").matcher(e.text()).matches() &&
+      isJavaWsOnly(e.text()) &&
       !e.descendants.exists(d => isVoid(d) || meaningfulWhenBlank.contains(d.tag))
 
   private def replacementFor(e: Element): String = {
@@ -173,9 +238,8 @@ object Markdown {
         val level = e.tag.charAt(1) - '0'
         "\n\n" + ("#" * level) + " " + processChildren(e) + "\n\n"
       case "blockquote" =>
-        val content = processChildren(e)
-          .replaceAll("^\\n+|\\n+$", "")
-          .replaceAll("(?m)^", "> ")
+        val content = lineStartRe.matcher(
+          edgeNlRe.matcher(processChildren(e)).replaceAll("")).replaceAll("> ")
         "\n\n" + content + "\n\n"
       case "ul" | "ol" =>
         val content = processChildren(e)
@@ -185,10 +249,10 @@ object Markdown {
           case _ => "\n\n" + content + "\n\n"
         }
       case "li" =>
-        var content = processChildren(e)
-          .replaceAll("^\\n+", "")
-          .replaceAll("\\n+$", "\n")
-          .replaceAll("(?m)\\n", "\n    ")
+        var content = anyNlMRe.matcher(
+          trailNlRe.matcher(
+            leadNlRe.matcher(processChildren(e)).replaceAll("")
+          ).replaceAll("\n")).replaceAll("\n    ")
         val parent = e.parent
         val prefix =
           if (parent != null && parent.tag == "ol") {
@@ -202,23 +266,23 @@ object Markdown {
         e.childElements.toVector match {
           case Vector(code) if code.tag == "code" =>
             val className = code.attr("class").getOrElse("")
-            val langM = Pattern.compile("language-(\\S+)").matcher(className)
+            val langM = langClassRe.matcher(className)
             val language = if (langM.find()) langM.group(1) else ""
-            val codeText = code.text().replaceAll("\\n$", "")
+            val codeText = oneTrailNlRe.matcher(code.text()).replaceAll("")
             // choose a fence longer than any fence-looking run inside
             var fence = "```"
-            val fenceInCode = Pattern.compile("^`{3,}", Pattern.MULTILINE).matcher(codeText)
+            val fenceInCode = fenceRe.matcher(codeText)
             while (fenceInCode.find()) {
               if (fenceInCode.group().length >= fence.length) fence = "`" * (fenceInCode.group().length + 1)
             }
             "\n\n" + fence + language + "\n" + codeText + "\n" + fence + "\n\n"
-          case _ => "\n\n    " + e.text().replaceAll("\\n", "\n    ") + "\n\n"
+          case _ => "\n\n    " + nlRe.matcher(e.text()).replaceAll("\n    ") + "\n\n"
         }
       case "code" =>
         val content = e.text()
         if (content.isEmpty) ""
         else {
-          val trimmed = content.replaceAll("\\r?\\n|\\r", " ")
+          val trimmed = crlfRe.matcher(content).replaceAll(" ")
           val extraSpace = if (trimmed.startsWith("`") || trimmed.endsWith("`") || (trimmed.startsWith(" ") && trimmed.endsWith(" ") && trimmed.trim.nonEmpty)) " " else ""
           var delimiter = "`"
           while (trimmed.contains(delimiter)) delimiter += "`"
@@ -229,8 +293,8 @@ object Markdown {
         val content = processChildren(e)
         e.attr("href") match {
           case Some(href) if href.nonEmpty =>
-            val escapedHref = href.replaceAll("([()])", "\\\\$1")
-            val title = e.attr("title").map(t => " \"" + t.replaceAll("\"", "\\\\\"") + "\"").getOrElse("")
+            val escapedHref = parenRe.matcher(href).replaceAll("\\\\$1")
+            val title = e.attr("title").map(t => " \"" + dquoteRe.matcher(t).replaceAll("\\\\\"") + "\"").getOrElse("")
             "[" + content + "](" + escapedHref + title + ")"
           case _ => content
         }
@@ -256,21 +320,34 @@ object Markdown {
 
   // ---- escaping (turndown default escapes) ----
 
+  /** Turndown's default escapes. The `^`-anchored replaceAll calls are
+    * replaced by equivalent first-char dispatch (each pattern can only match
+    * at position 0, and each rewrite = inserting one backslash). */
   private def escape(s: String): String = {
     var r = s
     r = r.replace("\\", "\\\\")
     r = r.replace("*", "\\*")
-    r = r.replaceAll("^-", "\\\\-")
-    r = r.replaceAll("^\\+ ", "\\\\+ ")
-    r = r.replaceAll("^(=+)", "\\\\$1")
-    r = r.replaceAll("^(#{1,6}) ", "\\\\$1 ")
+    if (r.startsWith("-")) r = "\\" + r                       // ^-        → \-
+    if (r.startsWith("+ ")) r = "\\" + r                      // ^\+ (sp)  → \+ (sp)
+    if (r.startsWith("=")) r = "\\" + r                       // ^(=+)     → \$1
+    if (r.nonEmpty && r.charAt(0) == '#') {                   // ^(#{1,6}) (sp)
+      var k = 0
+      while (k < r.length && k < 6 && r.charAt(k) == '#') k += 1
+      if (k >= 1 && k < r.length && r.charAt(k) == ' ') r = "\\" + r
+    }
     r = r.replace("`", "\\`")
-    r = r.replaceAll("^~~~", "\\\\~~~")
+    if (r.startsWith("~~~")) r = "\\" + r                     // ^~~~      → \~~~
     r = r.replace("[", "\\[")
     r = r.replace("]", "\\]")
-    r = r.replaceAll("^>", "\\\\>")
+    if (r.startsWith(">")) r = "\\" + r                       // ^>        → \>
     r = r.replace("_", "\\_")
-    r = r.replaceAll("^(\\d+)\\. ", "$1\\\\. ")
+    def isAsciiDigit(c: Char) = c >= '0' && c <= '9'          // regex \d is ASCII-only
+    if (r.nonEmpty && isAsciiDigit(r.charAt(0))) {            // ^(\d+)\. (sp) → $1\. (sp)
+      var k = 0
+      while (k < r.length && isAsciiDigit(r.charAt(k))) k += 1
+      if (k + 1 < r.length && r.charAt(k) == '.' && r.charAt(k + 1) == ' ')
+        r = r.substring(0, k) + "\\" + r.substring(k)
+    }
     r
   }
 }

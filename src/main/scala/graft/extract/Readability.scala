@@ -58,6 +58,19 @@ object Readability {
   private val titleSepTestRe = Pattern.compile(" [\\|\\-\\\\/>»] ")
   private val titleHierSepTestRe = Pattern.compile(" [\\\\/>»] ")
   private val sentenceDotRe = Pattern.compile("\\.( |$)")
+  // per-document helpers hoisted out of the row loop (JFR: Pattern.compile in hot path)
+  private val titleSepReplaceRe = Pattern.compile("(?i)(.*)[\\|\\-\\\\/>»] .*")
+  private val titleSepTailRe = Pattern.compile("(?i)[^\\|\\-\\\\/>»]*[\\|\\-\\\\/>»](.*)")
+  private val titleSepStripRe = Pattern.compile("[\\|\\-\\\\/>»]+")
+  private val cdataWrapRe = Pattern.compile("^\\s*<!\\[CDATA\\[|\\]\\]>\\s*$")
+  private val schemaOrgRe = Pattern.compile("^https?://schema\\.org/?$")
+  private val javaWsRe = Pattern.compile("\\s")
+  private val basicEntRe = Pattern.compile("&(quot|amp|apos|lt|gt);")
+  private val numEntRe = Pattern.compile("&#(?:x([0-9a-f]+)|([0-9]+));", Pattern.CASE_INSENSITIVE)
+  private val jsonLdArticleTypesRe = Pattern.compile(
+    "^(Article|AdvertiserContentArticle|NewsArticle|AnalysisNewsArticle|AskPublicNewsArticle|BackgroundNewsArticle|OpinionNewsArticle|ReportageNewsArticle|ReviewNewsArticle|Report|SatiricalArticle|ScholarlyArticle|MedicalScholarlyArticle|SocialMediaPosting|BlogPosting|LiveBlogPosting|DiscussionForumPosting|TechArticle|APIReference)$")
+  private val jsonLdMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[extract] val nonWordRe = Pattern.compile("\\W+")
   private val unlikelyRoles = Set("menu", "menubar", "complementary", "navigation", "alert", "alertdialog", "dialog")
 
   private val tagsToScore = Set("section", "h2", "h3", "h4", "h5", "h6", "p", "td", "pre")
@@ -91,7 +104,8 @@ object Readability {
 
     private def innerText(e: Element, normalizeSpaces: Boolean = true): String = {
       val t = Js.trim(e.text())
-      if (normalizeSpaces) normalizeRe.matcher(t).replaceAll(" ") else t
+      // Js.collapseWsRuns == replaceAll("[wsClass]{2,}", " ") exactly (hot path)
+      if (normalizeSpaces) Js.collapseWsRuns(t) else t
     }
 
     private def allTags(root: Element, tags: Set[String]): Vector[Element] =
@@ -231,9 +245,8 @@ object Readability {
     }
 
     private def textSimilarity(a: String, b: String): Double = {
-      val tokenRe = "\\W+"
-      val tokensA = a.toLowerCase(java.util.Locale.ROOT).split(tokenRe).filter(_.nonEmpty)
-      val tokensB = b.toLowerCase(java.util.Locale.ROOT).split(tokenRe).filter(_.nonEmpty)
+      val tokensA = Readability.nonWordRe.split(a.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+      val tokensB = Readability.nonWordRe.split(b.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
       if (tokensA.isEmpty || tokensB.isEmpty) return 0.0
       val setA = tokensA.toSet
       val uniq = tokensB.filter(t => !setA.contains(t))
@@ -250,9 +263,9 @@ object Readability {
 
       if (titleSepTestRe.matcher(curTitle).find()) {
         titleHadHierarchicalSeparators = titleHierSepTestRe.matcher(curTitle).find()
-        curTitle = origTitle.replaceAll("(?i)(.*)[\\|\\-\\\\/>»] .*", "$1")
+        curTitle = titleSepReplaceRe.matcher(origTitle).replaceAll("$1")
         if (wordCount(curTitle) < 3)
-          curTitle = origTitle.replaceAll("(?i)[^\\|\\-\\\\/>»]*[\\|\\-\\\\/>»](.*)", "$1")
+          curTitle = titleSepTailRe.matcher(origTitle).replaceAll("$1")
       } else if (curTitle.contains(": ")) {
         val trimmedTitle = Js.trim(curTitle)
         val headingMatch = allTags(doc.html, Set("h1", "h2")).exists(h => Js.trim(h.text()) == trimmedTitle)
@@ -268,10 +281,10 @@ object Readability {
         if (hOnes.length == 1) curTitle = innerText(hOnes.head)
       }
 
-      curTitle = normalizeRe.matcher(Js.trim(curTitle)).replaceAll(" ")
+      curTitle = Js.collapseWsRuns(Js.trim(curTitle))
       val curCount = wordCount(curTitle)
       if (curCount <= 4 && (!titleHadHierarchicalSeparators ||
-          curCount != wordCount(origTitle.replaceAll("[\\|\\-\\\\/>»]+", "")) - 1))
+          curCount != wordCount(titleSepStripRe.matcher(origTitle).replaceAll("")) - 1))
         curTitle = origTitle
       curTitle
     }
@@ -283,20 +296,19 @@ object Readability {
         siteName: Option[String], datePublished: Option[String])
 
     private def getJsonLd(): JsonLdMeta = {
-      import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-      val mapper = new ObjectMapper()
-      val articleTypesRe = Pattern.compile(
-        "^(Article|AdvertiserContentArticle|NewsArticle|AnalysisNewsArticle|AskPublicNewsArticle|BackgroundNewsArticle|OpinionNewsArticle|ReportageNewsArticle|ReviewNewsArticle|Report|SatiricalArticle|ScholarlyArticle|MedicalScholarlyArticle|SocialMediaPosting|BlogPosting|LiveBlogPosting|DiscussionForumPosting|TechArticle|APIReference)$")
+      import com.fasterxml.jackson.databind.JsonNode
+      val mapper = jsonLdMapper
+      val articleTypesRe = jsonLdArticleTypesRe
       val empty = JsonLdMeta(None, None, None, None, None)
       val scripts = Selector("""script[type="application/ld+json"]""").findIn(doc.html)
       scripts.foreach { s =>
         try {
-          val content = s.text().replaceAll("^\\s*<!\\[CDATA\\[|\\]\\]>\\s*$", "")
+          val content = cdataWrapRe.matcher(s.text()).replaceAll("")
           var parsed: JsonNode = mapper.readTree(content)
           if (parsed != null && parsed.isObject) {
             val ctx = Option(parsed.get("@context")).map(n =>
               if (n.isTextual) n.asText() else Option(n.get("@vocab")).filter(_.isTextual).map(_.asText()).getOrElse(""))
-            if (ctx.exists(c => c.matches("^https?://schema\\.org/?$"))) {
+            if (ctx.exists(c => schemaOrgRe.matcher(c).matches())) {
               if (parsed.get("@type") == null && parsed.get("@graph") != null && parsed.get("@graph").isArray) {
                 var found: JsonNode = null
                 parsed.get("@graph").forEach { it =>
@@ -366,12 +378,12 @@ object Readability {
           if (elementProperty.nonEmpty) {
             val m = metaPropertyRe.matcher(elementProperty)
             if (m.find()) {
-              values(m.group().toLowerCase(java.util.Locale.ROOT).replaceAll("\\s", "")) = content
+              values(javaWsRe.matcher(m.group().toLowerCase(java.util.Locale.ROOT)).replaceAll("")) = content
               matched = true
             }
           }
           if (!matched && elementName.nonEmpty && metaNameRe.matcher(elementName).matches()) {
-            val name = elementName.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s", "").replace(".", ":")
+            val name = javaWsRe.matcher(elementName.toLowerCase(java.util.Locale.ROOT)).replaceAll("").replace(".", ":")
             values(name) = content
           }
         }
@@ -395,8 +407,8 @@ object Readability {
     private def unescapeHtmlEntities(s: String): String = {
       if (s == null || s.isEmpty) return s
       val basic = Map("quot" -> "\"", "amp" -> "&", "apos" -> "'", "lt" -> "<", "gt" -> ">")
-      var r = Pattern.compile("&(quot|amp|apos|lt|gt);").matcher(s).replaceAll(m => basic(m.group(1)))
-      val m = Pattern.compile("&#(?:x([0-9a-f]+)|([0-9]+));", Pattern.CASE_INSENSITIVE).matcher(r)
+      var r = basicEntRe.matcher(s).replaceAll(m => basic(m.group(1)))
+      val m = numEntRe.matcher(r)
       val sb = new java.lang.StringBuilder
       var last = 0
       while (m.find()) {

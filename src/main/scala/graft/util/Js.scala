@@ -17,7 +17,7 @@ object Js {
   val wsClass: String =
     "\\t\\n\\u000b\\f\\r \\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
 
-  private def isJsWs(c: Char): Boolean =
+  def isJsWs(c: Char): Boolean =
     c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r' || c == ' ' ||
     c == '\u00a0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200a') ||
     c == '\u2028' || c == '\u2029' || c == '\u202f' || c == '\u205f' ||
@@ -35,10 +35,101 @@ object Js {
   /** JS `String.fromCharCode` — single arg, ToUint16 semantics. */
   def fromCharCode(code: Long): String = ((code % 65536 + 65536) % 65536).toChar.toString
 
+  private val wsRunPattern = java.util.regex.Pattern.compile("[" + wsClass + "]+")
+
   /** Split on JS `/\s+/` (like `"a b".split(/\s+/)`) — no trailing empties,
     * but a leading empty element when the string starts with whitespace,
-    * matching JS split semantics. */
+    * matching JS split semantics. (Precompiled — `String.split` with a
+    * multi-char regex recompiles the pattern on every call, which JFR showed
+    * in the extraction hot path.) */
   def splitWs(s: String): Array[String] =
     if (s.isEmpty) Array("")
-    else s.split("[" + wsClass + "]+", -1)
+    else wsRunPattern.split(s, -1)
+
+  /** Exact hand-rolled equivalent of `replaceAll("[<JS \\s>]{2,}", " ")`:
+    * runs of ≥2 JS-whitespace chars collapse to one ASCII space; single
+    * whitespace chars are left untouched. This is Readability's innerText
+    * normalizer — the hottest regex in the extraction profile (the
+    * char-class union predicate alone was 18.5% of executor samples). */
+  def collapseWsRuns(s: String): String = {
+    var i = 0
+    val n = s.length
+    // fast path: scan for the first 2-run; most strings have none
+    var first = -1
+    while (first < 0 && i < n - 1) {
+      if (isJsWs(s.charAt(i)) && isJsWs(s.charAt(i + 1))) first = i
+      i += 1
+    }
+    if (first < 0) return s
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, first)
+    i = first
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isJsWs(c) && i + 1 < n && isJsWs(s.charAt(i + 1))) {
+        sb.append(' ')
+        i += 1
+        while (i < n && isJsWs(s.charAt(i))) i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Exact equivalent of `replaceAll("[<JS \\s>]+", " ")` — every run
+    * (including single chars) becomes one ASCII space. */
+  def collapseWsAll(s: String): String = {
+    var i = 0
+    val n = s.length
+    var dirty = false
+    while (!dirty && i < n) {
+      val c = s.charAt(i)
+      if (isJsWs(c) && (c != ' ' || (i + 1 < n && isJsWs(s.charAt(i + 1))))) dirty = true
+      i += 1
+    }
+    if (!dirty) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isJsWs(c)) {
+        sb.append(' ')
+        i += 1
+        while (i < n && isJsWs(s.charAt(i))) i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Exact equivalent of Java `replaceAll("[ \\t]+", " ")`. */
+  def collapseSpaceTab(s: String): String = {
+    var i = 0
+    val n = s.length
+    var dirty = false
+    while (!dirty && i < n) {
+      val c = s.charAt(i)
+      if (c == '\t' || (c == ' ' && i + 1 < n && (s.charAt(i + 1) == ' ' || s.charAt(i + 1) == '\t'))) dirty = true
+      i += 1
+    }
+    if (!dirty) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t') {
+        sb.append(' ')
+        i += 1
+        while (i < n && { val d = s.charAt(i); d == ' ' || d == '\t' }) i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 }

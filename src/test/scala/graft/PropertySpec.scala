@@ -101,4 +101,33 @@ class PropertySpec extends AnyFunSuite {
       if (VectorOps.norm(vs.head) > 1e-3) assert(math.abs(nn - 1.0) < 1e-3)
     }
   }
+
+  // ---- hand-rolled whitespace loops vs their regex oracles (perf rewrites) ----
+
+  private val wsHeavyGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    4 -> Gen.oneOf(' ', '\t', '\n', '\r', '\u000b', '\f'),
+    2 -> Gen.oneOf('\u00a0', '\u2003', '\u2028', '\u3000', '\ufeff'),
+    1 -> Gen.oneOf('.', '!', '?', '-', '+', '=', '#', '>', '~', '0', '5')
+  )).map(_.mkString)
+
+  test("Js.collapseWsRuns == replaceAll(\"[ws]{2,}\", \" \")") {
+    val re = java.util.regex.Pattern.compile("[" + graft.util.Js.wsClass + "]{2,}")
+    forAll(wsHeavyGen) { s =>
+      assert(graft.util.Js.collapseWsRuns(s) == re.matcher(s).replaceAll(" "), s"input=${s.map(_.toInt)}")
+    }
+  }
+
+  test("Js.collapseWsAll == replaceAll(\"[ws]+\", \" \")") {
+    val re = java.util.regex.Pattern.compile("[" + graft.util.Js.wsClass + "]+")
+    forAll(wsHeavyGen) { s =>
+      assert(graft.util.Js.collapseWsAll(s) == re.matcher(s).replaceAll(" "), s"input=${s.map(_.toInt)}")
+    }
+  }
+
+  test("Js.collapseSpaceTab == replaceAll(\"[ \\t]+\", \" \")") {
+    forAll(wsHeavyGen) { s =>
+      assert(graft.util.Js.collapseSpaceTab(s) == s.replaceAll("[ \\t]+", " "), s"input=${s.map(_.toInt)}")
+    }
+  }
 }
