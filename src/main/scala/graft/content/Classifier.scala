@@ -13,10 +13,50 @@ object Classifier {
   type BlockClassifier = (ContentBlock, ClassifierContext) => ClassifierResult
 
   // classifier.ts:39-48 — generic boilerplate phrases (case-insensitive).
-  // Detection is `exists(_.find())`, so the six patterns are fused into one
-  // alternation: one scan instead of six (reject label is the same
-  // "boilerplate" whichever phrase hits).
-  private val boilerplateRe: Pattern = Pattern.compile(
+  // Detection is `exists(_.find())` over already-lowercased text, so the six
+  // `\b(alt|...)\b` patterns reduce to word-boundary-checked literal search
+  // (regex `\b` = transition of \w = [a-zA-Z0-9_]; `advertis(e|ement|ing)`
+  // and `comments?` expanded to their literal alternatives). The regex
+  // alternation was 18% of executor samples — Pattern retried every branch
+  // at every position of the 1000-char window per block.
+  private[content] final class BoundaryAlt(phrases: String*) {
+    private val arr = phrases.toArray
+    private def isWord(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+    def findIn(s: String): Boolean = {
+      var p = 0
+      while (p < arr.length) {
+        val ph = arr(p)
+        var idx = s.indexOf(ph)
+        while (idx >= 0) {
+          val startOk =
+            if (idx == 0) isWord(ph.charAt(0))
+            else isWord(s.charAt(idx - 1)) != isWord(ph.charAt(0))
+          val e = idx + ph.length
+          val endOk = isWord(s.charAt(e - 1)) != (e < s.length && isWord(s.charAt(e)))
+          if (startOk && endOk) return true
+          idx = s.indexOf(ph, idx + 1)
+        }
+        p += 1
+      }
+      false
+    }
+  }
+
+  private[content] val boilerplateAlt = new BoundaryAlt(
+    "subscribe", "sign up", "newsletter", "notifications", "follow us",
+    "sponsored", "advertise", "advertisement", "advertising", "promotion",
+    "partner content",
+    "read more", "keep reading", "continue reading", "see more",
+    "cookie policy", "privacy policy", "terms of service", "all rights reserved",
+    "share on", "share this", "tweet this", "pin it",
+    "comment", "comments", "leave a reply", "join the discussion")
+
+  private[content] val mediaCreditAlt = new BoundaryAlt(
+    "photo by", "image:", "credit:", "source:")
+
+  // original regexes retained as oracles for ClassifierFastPathSpec
+  private[content] val boilerplateRe: Pattern = Pattern.compile(
     Array(
       "\\b(subscribe|sign up|newsletter|notifications|follow us)\\b",
       "\\b(sponsored|advertis(e|ement|ing)|promotion|partner content)\\b",
@@ -26,7 +66,7 @@ object Classifier {
       "\\b(comments?|leave a reply|join the discussion)\\b"
     ).mkString("|"), Pattern.CASE_INSENSITIVE)
 
-  private val mediaCreditPattern =
+  private[content] val mediaCreditPattern =
     Pattern.compile("\\b(photo by|image:|credit:|source:)\\b", Pattern.CASE_INSENSITIVE)
 
   // JS /[.!?]\s*$/ — \s is the JS class; equivalent backwards scan: last
@@ -49,9 +89,9 @@ object Classifier {
     else if (block.blockType == "footer") ClassifierResult(accept = false, label = Some("footer"))
     else if (block.blockType == "legal") ClassifierResult(accept = false, label = Some("legal"))
     else if (block.blockType == "promo") ClassifierResult(accept = false, label = Some("promo"))
-    else if (boilerplateRe.matcher(lowerText).find())
+    else if (boilerplateAlt.findIn(lowerText))
       ClassifierResult(accept = false, label = Some("boilerplate"))
-    else if (mediaCreditPattern.matcher(lowerText).find() && text.length < 120)
+    else if (mediaCreditAlt.findIn(lowerText) && text.length < 120)
       ClassifierResult(accept = false, label = Some("media-credit"))
     else {
       val isShort = text.length < 20

@@ -83,24 +83,35 @@ final class Element(val tag: String) extends Node {
 
   def childElements: Iterator[Element] = children.iterator.collect { case e: Element => e }
 
-  /** All descendant elements in document order (self excluded) — cheerio `find('*')`. */
+  /** All descendant elements in document order (self excluded) — cheerio
+    * `find('*')`. Element-only manual array stack: this iterator runs for
+    * every selector scan / allTags call, so no per-node Iterator allocs. */
   def descendants: Iterator[Element] = new Iterator[Element] {
-    private val stack = mutable.Stack[Node]()
-    children.reverseIterator.foreach(stack.push)
-    private var nextEl: Element = advance()
-    private def advance(): Element = {
-      while (stack.nonEmpty) {
-        stack.pop() match {
-          case e: Element =>
-            e.children.reverseIterator.foreach(stack.push)
-            return e
+    private var stack = new Array[Element](16)
+    private var top = 0
+    pushChildrenOf(Element.this)
+    private def pushChildrenOf(e: Element): Unit = {
+      val ch = e.children
+      var i = ch.length - 1
+      while (i >= 0) {
+        ch(i) match {
+          case el: Element =>
+            if (top == stack.length) stack = java.util.Arrays.copyOf(stack, top * 2)
+            stack(top) = el
+            top += 1
           case _ =>
         }
+        i -= 1
       }
-      null
     }
-    def hasNext: Boolean = nextEl != null
-    def next(): Element = { val r = nextEl; nextEl = advance(); r }
+    def hasNext: Boolean = top > 0
+    def next(): Element = {
+      top -= 1
+      val e = stack(top)
+      stack(top) = null
+      pushChildrenOf(e)
+      e
+    }
   }
 
   /** Ancestors from nearest parent to root — cheerio `parents()` order. */

@@ -25,7 +25,7 @@ object ContentExtractor extends Extractor {
 
         val textContent = Js.trim(article.textContent)
         val excerpt = createExcerpt(textContent)
-        val wordCount = Js.splitWs(textContent).count(_.nonEmpty)
+        val wordCount = Js.countTokens(textContent)
         val contentType = ContentTypeDetect.detect(ctx)
 
         Partial(
@@ -53,7 +53,7 @@ object ContentExtractor extends Extractor {
       content = Some(content.take(ctx.maxContentLength)),
       textContent = Some(textContent),
       excerpt = Some(createExcerpt(textContent)),
-      wordCount = Some(Js.splitWs(textContent).count(_.nonEmpty)),
+      wordCount = Some(Js.countTokens(textContent)),
       contentType = Some("unknown")
     )
   }

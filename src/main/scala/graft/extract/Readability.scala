@@ -44,16 +44,17 @@ object Readability {
 
   private def ci(p: String) = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
 
-  private val unlikelyCandidatesRe = ci(
+  // retained as test oracles for the LiteralAlt fast paths (ReadabilityFastPathSpec)
+  private[extract] val unlikelyCandidatesRe = ci(
     "-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap|disqus|extra|footer|gdpr|header|legends|menu|related|remark|replies|rss|shoutbox|sidebar|skyscraper|social|sponsor|supplemental|ad-break|agegate|pagination|pager|popup|yom-remote")
-  private val okMaybeItsACandidateRe = ci("and|article|body|column|content|main|mathjax|shadow")
-  private val positiveRe = ci("article|body|content|entry|hentry|h-entry|main|page|pagination|post|text|blog|story")
-  private val negativeRe = ci(
+  private[extract] val okMaybeItsACandidateRe = ci("and|article|body|column|content|main|mathjax|shadow")
+  private[extract] val positiveRe = ci("article|body|content|entry|hentry|h-entry|main|page|pagination|post|text|blog|story")
+  private[extract] val negativeRe = ci(
     "-ad-|hidden|^hid$| hid$| hid |^hid |banner|combx|comment|com-|contact|footer|gdpr|masthead|media|meta|outbrain|promo|related|scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|widget")
-  private val bylineRe = ci("byline|author|dateline|writtenby|p-author")
+  private[extract] val bylineRe = ci("byline|author|dateline|writtenby|p-author")
   private val videosRe = ci("//(www\\.)?((dailymotion|youtube|youtube-nocookie|player\\.vimeo|v\\.qq)\\.com|(archive|upload\\.wikimedia)\\.org|player\\.twitch\\.tv)")
   private val shareElementsRe = ci("(\\b|_)(share|sharedaddy)(\\b|_)")
-  private val commasRe = Pattern.compile("\\u002C|\\u060C|\\uFE50|\\uFE10|\\uFE11|\\u2E41|\\u2E34|\\u2E32|\\uFF0C")
+  private[extract] val commasRe = Pattern.compile("\\u002C|\\u060C|\\uFE50|\\uFE10|\\uFE11|\\u2E41|\\u2E34|\\u2E32|\\uFF0C")
   private val normalizeRe = Pattern.compile("[" + Js.wsClass + "]{2,}")
   private val titleSepTestRe = Pattern.compile(" [\\|\\-\\\\/>»] ")
   private val titleHierSepTestRe = Pattern.compile(" [\\\\/>»] ")
@@ -71,6 +72,71 @@ object Readability {
     "^(Article|AdvertiserContentArticle|NewsArticle|AnalysisNewsArticle|AskPublicNewsArticle|BackgroundNewsArticle|OpinionNewsArticle|ReportageNewsArticle|ReviewNewsArticle|Report|SatiricalArticle|ScholarlyArticle|MedicalScholarlyArticle|SocialMediaPosting|BlogPosting|LiveBlogPosting|DiscussionForumPosting|TechArticle|APIReference)$")
   private val jsonLdMapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private[extract] val nonWordRe = Pattern.compile("\\W+")
+
+  // ---- literal-alternation fast paths ----
+  // Java CASE_INSENSITIVE (without UNICODE_CASE) folds ASCII only, so for a
+  // pattern that is an alternation of plain literals, `matcher(s).find()` ==
+  // "asciiLower(s) contains any asciiLower(literal)". The class/id heuristic
+  // regexes run on (almost) every element — the profile showed ~27% of
+  // executor time in Pattern.Branch/GroupHead/SliceI matching them.
+
+  private[extract] def asciiLower(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == n) return s
+    val a = s.toCharArray
+    while (i < n) { val c = a(i); if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar; i += 1 }
+    new String(a)
+  }
+
+  private[extract] final class LiteralAlt(lits: String*) {
+    private val arr = lits.toArray
+    /** `find()` over an already-ascii-lowered string. */
+    def findIn(sLower: String): Boolean = {
+      var i = 0
+      while (i < arr.length) { if (sLower.contains(arr(i))) return true; i += 1 }
+      false
+    }
+  }
+
+  private[extract] val unlikelyAlt = new LiteralAlt(
+    "-ad-", "ai2html", "banner", "breadcrumbs", "combx", "comment", "community",
+    "cover-wrap", "disqus", "extra", "footer", "gdpr", "header", "legends",
+    "menu", "related", "remark", "replies", "rss", "shoutbox", "sidebar",
+    "skyscraper", "social", "sponsor", "supplemental", "ad-break", "agegate",
+    "pagination", "pager", "popup", "yom-remote")
+  private[extract] val okMaybeAlt = new LiteralAlt(
+    "and", "article", "body", "column", "content", "main", "mathjax", "shadow")
+  private[extract] val positiveAlt = new LiteralAlt(
+    "article", "body", "content", "entry", "hentry", "h-entry", "main", "page",
+    "pagination", "post", "text", "blog", "story")
+  private val negativeLitAlt = new LiteralAlt(
+    "-ad-", "hidden", "banner", "combx", "comment", "com-", "contact", "footer",
+    "gdpr", "masthead", "media", "meta", "outbrain", "promo", "related",
+    "scroll", "share", "shoutbox", "sidebar", "skyscraper", "sponsor",
+    "shopping", "tags", "widget")
+  /** negativeRe incl. its `^hid$ | hid$ | hid | ^hid ` word-ish branches. */
+  private[extract] def negativeFind(sLower: String): Boolean =
+    negativeLitAlt.findIn(sLower) ||
+      sLower == "hid" || sLower.startsWith("hid ") ||
+      sLower.endsWith(" hid") || sLower.contains(" hid ")
+  private[extract] val bylineAlt = new LiteralAlt(
+    "byline", "author", "dateline", "writtenby", "p-author")
+
+  /** Count of comma-class chars + 1 == `commasRe.split(s, -1).length`. */
+  private[extract] def commaCount(s: String): Int = {
+    var c = 1
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\u002c' || ch == '\u060c' || ch == '\ufe50' || ch == '\ufe10' ||
+          ch == '\ufe11' || ch == '\u2e41' || ch == '\u2e34' || ch == '\u2e32' ||
+          ch == '\uff0c') c += 1
+      i += 1
+    }
+    c
+  }
   private val unlikelyRoles = Set("menu", "menubar", "complementary", "navigation", "alert", "alertdialog", "dialog")
 
   private val tagsToScore = Set("section", "h2", "h3", "h4", "h5", "h6", "p", "td", "pre")
@@ -102,10 +168,42 @@ object Readability {
 
     // ---- generic helpers ----
 
+    /** `Js.collapseWsRuns(Js.trim(e.text()))` fused into one tree walk — no
+      * intermediate text()/trim/collapse strings. Leading/trailing JS-ws is
+      * dropped (trim); inner runs of ≥2 JS-ws chars become one space; single
+      * JS-ws chars are kept as-is (the `{2,}` quantifier). Hottest function
+      * in the profile (called per scoring step by charCount/linkDensity). */
     private def innerText(e: Element, normalizeSpaces: Boolean = true): String = {
-      val t = Js.trim(e.text())
-      // Js.collapseWsRuns == replaceAll("[wsClass]{2,}", " ") exactly (hot path)
-      if (normalizeSpaces) Js.collapseWsRuns(t) else t
+      if (!normalizeSpaces) return Js.trim(e.text())
+      val sb = new java.lang.StringBuilder
+      var wsLen = 0
+      var wsChar = ' '
+      def walk(el: Element): Unit = {
+        val ch = el.children
+        var i = 0
+        while (i < ch.length) {
+          ch(i) match {
+            case t: TextNode =>
+              val d = t.data
+              var j = 0
+              while (j < d.length) {
+                val c = d.charAt(j)
+                if (Js.isJsWs(c)) { if (wsLen == 0) wsChar = c; wsLen += 1 }
+                else {
+                  if (wsLen > 0 && sb.length > 0) sb.append(if (wsLen == 1) wsChar else ' ')
+                  wsLen = 0
+                  sb.append(c)
+                }
+                j += 1
+              }
+            case e2: Element => walk(e2)
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      walk(e)
+      sb.toString // pending trailing ws intentionally dropped (trim)
     }
 
     private def allTags(root: Element, tags: Set[String]): Vector[Element] =
@@ -113,7 +211,7 @@ object Readability {
 
     private def wordCount(s: String): Int = Js.splitWs(s).length
 
-    private def charCount(e: Element): Int = commasRe.split(innerText(e), -1).length
+    private def charCount(e: Element): Int = commaCount(innerText(e))
 
     private def getLinkDensity(e: Element): Double = {
       val textLength = innerText(e).length
@@ -130,12 +228,14 @@ object Readability {
       if (!flagActive(FlagWeightClasses)) return 0.0
       var weight = 0.0
       e.attr("class").filter(_.nonEmpty).foreach { cn =>
-        if (negativeRe.matcher(cn).find()) weight -= 25
-        if (positiveRe.matcher(cn).find()) weight += 25
+        val l = asciiLower(cn)
+        if (negativeFind(l)) weight -= 25
+        if (positiveAlt.findIn(l)) weight += 25
       }
       e.attr("id").filter(_.nonEmpty).foreach { id =>
-        if (negativeRe.matcher(id).find()) weight -= 25
-        if (positiveRe.matcher(id).find()) weight += 25
+        val l = asciiLower(id)
+        if (negativeFind(l)) weight -= 25
+        if (positiveAlt.findIn(l)) weight += 25
       }
       weight
     }
@@ -509,6 +609,7 @@ object Readability {
         var node: Element = doc.html
         while (node != null) {
           val matchString = node.attr("class").getOrElse("") + " " + node.attr("id").getOrElse("")
+          val matchLower = asciiLower(matchString)
           var advanced = false
 
           if (!isProbablyVisible(node)) { node = removeAndGetNext(node); advanced = true }
@@ -521,8 +622,8 @@ object Readability {
             node = removeAndGetNext(node); advanced = true
           }
           else if (stripUnlikelyCandidates &&
-              unlikelyCandidatesRe.matcher(matchString).find() &&
-              !okMaybeItsACandidateRe.matcher(matchString).find() &&
+              unlikelyAlt.findIn(matchLower) &&
+              !okMaybeAlt.findIn(matchLower) &&
               !hasAncestorTag(node, "table") && !hasAncestorTag(node, "code") &&
               node.tag != "body" && node.tag != "a") {
             node = removeAndGetNext(node); advanced = true
@@ -583,7 +684,7 @@ object Readability {
               val ancestors = getNodeAncestors(el, 5)
               if (ancestors.nonEmpty) {
                 var contentScore = 1.0
-                contentScore += commasRe.split(text, -1).length
+                contentScore += commaCount(text)
                 contentScore += math.min(math.floor(text.length / 100.0), 3.0)
                 ancestors.zipWithIndex.foreach { case (ancestor, level) =>
                   if (ancestor.parent != null || ancestor.tag == "body" || ancestor.tag == "html") {
@@ -748,7 +849,7 @@ object Readability {
       if (articleByline.isDefined) return false
       val rel = node.attr("rel").getOrElse("")
       val itemprop = node.attr("itemprop").getOrElse("")
-      if (rel == "author" || itemprop.contains("author") || bylineRe.matcher(matchString).find()) {
+      if (rel == "author" || itemprop.contains("author") || bylineAlt.findIn(asciiLower(matchString))) {
         val text = Js.trim(node.text())
         if (text.nonEmpty && text.length < 100) {
           articleByline = Some(text)

@@ -78,6 +78,20 @@ object Js {
     sb.toString
   }
 
+  /** Exact equivalent of `splitWs(s).count(_.nonEmpty)` — the number of
+    * non-whitespace runs — without materializing the token array. */
+  def countTokens(s: String): Int = {
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      if (isJsWs(s.charAt(i))) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
+
   /** Exact equivalent of `replaceAll("[<JS \\s>]+", " ")` — every run
     * (including single chars) becomes one ASCII space. */
   def collapseWsAll(s: String): String = {
