@@ -124,15 +124,17 @@ object Readability {
   private[extract] val bylineAlt = new LiteralAlt(
     "byline", "author", "dateline", "writtenby", "p-author")
 
+  private[extract] def isCommaChar(ch: Char): Boolean =
+    ch == '\u002c' || ch == '\u060c' || ch == '\ufe50' || ch == '\ufe10' ||
+      ch == '\ufe11' || ch == '\u2e41' || ch == '\u2e34' || ch == '\u2e32' ||
+      ch == '\uff0c'
+
   /** Count of comma-class chars + 1 == `commasRe.split(s, -1).length`. */
   private[extract] def commaCount(s: String): Int = {
     var c = 1
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      if (ch == '\u002c' || ch == '\u060c' || ch == '\ufe50' || ch == '\ufe10' ||
-          ch == '\ufe11' || ch == '\u2e41' || ch == '\u2e34' || ch == '\u2e32' ||
-          ch == '\uff0c') c += 1
+      if (isCommaChar(s.charAt(i))) c += 1
       i += 1
     }
     c
@@ -206,20 +208,88 @@ object Readability {
       sb.toString // pending trailing ws intentionally dropped (trim)
     }
 
+    /** `innerText(e).length` without materializing the string: an inner
+      * JS-ws run of any length contributes exactly 1; edge runs contribute 0. */
+    private def innerTextLength(e: Element): Int = {
+      var len = 0
+      var wsLen = 0
+      def walk(el: Element): Unit = {
+        val ch = el.children
+        var i = 0
+        while (i < ch.length) {
+          ch(i) match {
+            case t: TextNode =>
+              val d = t.data
+              var j = 0
+              while (j < d.length) {
+                if (Js.isJsWs(d.charAt(j))) wsLen += 1
+                else { if (wsLen > 0 && len > 0) len += 1; wsLen = 0; len += 1 }
+                j += 1
+              }
+            case e2: Element => walk(e2)
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      walk(e)
+      len
+    }
+
+    /** `Js.trim(e.text()).isEmpty` with early exit — true iff every text
+      * char is JS whitespace. */
+    private def textIsAllWs(e: Element): Boolean = {
+      val ch = e.children
+      var i = 0
+      while (i < ch.length) {
+        ch(i) match {
+          case t: TextNode =>
+            val d = t.data
+            var j = 0
+            while (j < d.length) { if (!Js.isJsWs(d.charAt(j))) return false; j += 1 }
+          case e2: Element => if (!textIsAllWs(e2)) return false
+          case _ =>
+        }
+        i += 1
+      }
+      true
+    }
+
     private def allTags(root: Element, tags: Set[String]): Vector[Element] =
       root.descendants.filter(e => tags.contains(e.tag)).toVector
 
     private def wordCount(s: String): Int = Js.splitWs(s).length
 
-    private def charCount(e: Element): Int = commaCount(innerText(e))
+    /** == `commaCount(innerText(e))` — trim/collapse only touch whitespace,
+      * so commas can be counted straight off the text nodes. */
+    private def charCount(e: Element): Int = {
+      var c = 1
+      def walk(el: Element): Unit = {
+        val ch = el.children
+        var i = 0
+        while (i < ch.length) {
+          ch(i) match {
+            case t: TextNode =>
+              val d = t.data
+              var j = 0
+              while (j < d.length) { if (isCommaChar(d.charAt(j))) c += 1; j += 1 }
+            case e2: Element => walk(e2)
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      walk(e)
+      c
+    }
 
     private def getLinkDensity(e: Element): Double = {
-      val textLength = innerText(e).length
+      val textLength = innerTextLength(e)
       if (textLength == 0) return 0.0
       var linkLength = 0.0
       allTags(e, Set("a")).foreach { a =>
         val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
-        linkLength += innerText(a).length * coeff
+        linkLength += innerTextLength(a) * coeff
       }
       linkLength / textLength
     }
@@ -679,13 +749,13 @@ object Readability {
         val candidates = mutable.ArrayBuffer.empty[Element]
         elementsToScore.foreach { el =>
           if (el.parent != null) {
-            val text = innerText(el)
-            if (text.length >= 25) {
+            val textLen = innerTextLength(el)
+            if (textLen >= 25) {
               val ancestors = getNodeAncestors(el, 5)
               if (ancestors.nonEmpty) {
                 var contentScore = 1.0
-                contentScore += commaCount(text)
-                contentScore += math.min(math.floor(text.length / 100.0), 3.0)
+                contentScore += charCount(el)
+                contentScore += math.min(math.floor(textLen / 100.0), 3.0)
                 ancestors.zipWithIndex.foreach { case (ancestor, level) =>
                   if (ancestor.parent != null || ancestor.tag == "body" || ancestor.tag == "html") {
                     if (!scores.containsKey(ancestor)) {
@@ -820,7 +890,7 @@ object Readability {
           articleContent.appendChild(div)
         }
 
-        val textLength = innerText(articleContent, normalizeSpaces = true).length
+        val textLength = innerTextLength(articleContent)
         var parseSuccessful = true
         if (textLength < CharThreshold) {
           parseSuccessful = false
@@ -936,10 +1006,10 @@ object Readability {
     }
 
     private def getTextDensity(e: Element, tags: Set[String]): Double = {
-      val textLength = innerText(e, normalizeSpaces = true).length
+      val textLength = innerTextLength(e)
       if (textLength == 0) return 0.0
       var childrenLength = 0
-      allTags(e, tags).foreach(c => childrenLength += innerText(c, normalizeSpaces = true).length)
+      allTags(e, tags).foreach(c => childrenLength += innerTextLength(c))
       childrenLength.toDouble / textLength
     }
 
@@ -952,8 +1022,8 @@ object Readability {
           if (!isList0 && tag == "div") {
             // treat div as list when most of its text is inside lists
             var listLength = 0.0
-            allTags(node, Set("ul", "ol")).foreach(l => listLength += innerText(l).length)
-            val total = innerText(node).length
+            allTags(node, Set("ul", "ol")).foreach(l => listLength += innerTextLength(l))
+            val total = innerTextLength(node)
             isList = total > 0 && listLength / total > 0.9
           }
           val skip =
@@ -979,7 +1049,7 @@ object Readability {
                 val input = allTags(node, Set("input")).length
                 val headingDensity = getTextDensity(node, Set("h1", "h2", "h3", "h4", "h5", "h6"))
                 val linkDensity = getLinkDensity(node)
-                val contentLength = innerText(node).length
+                val contentLength = innerTextLength(node)
                 val haveToRemove =
                   (img > 1 && p.toDouble / img < 0.5 && !hasAncestorTag(node, "figure")) ||
                   (!isList && li > p) ||
@@ -1031,7 +1101,7 @@ object Readability {
         val embedCount = allTags(para, Set("embed")).length
         val objectCount = allTags(para, Set("object")).length
         val iframeCount = allTags(para, Set("iframe")).length
-        if (imgCount + embedCount + objectCount + iframeCount == 0 && innerText(para, normalizeSpaces = false).isEmpty)
+        if (imgCount + embedCount + objectCount + iframeCount == 0 && textIsAllWs(para))
           para.remove()
       }
 
