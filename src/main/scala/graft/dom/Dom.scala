@@ -42,10 +42,57 @@ final class CommentNode(var data: String) extends Node {
   def deepClone(): Node = new CommentNode(data)
 }
 
+/** Insertion-ordered attribute list with LinkedHashMap semantics (update
+  * keeps original position; remove shifts). Elements typically carry 0–2
+  * attributes, so a compact pair array beats a hash table — the per-element
+  * LinkedHashMap was a top allocation source in the extraction profile. */
+final class AttrList {
+  private var ks: Array[String] = AttrList.emptyArr
+  private var vs: Array[String] = AttrList.emptyArr
+  private var n = 0
+  private def indexOf(k: String): Int = {
+    var i = 0
+    while (i < n) { if (ks(i) == k) return i; i += 1 }
+    -1
+  }
+  def get(k: String): Option[String] = { val i = indexOf(k); if (i < 0) None else Some(vs(i)) }
+  def contains(k: String): Boolean = indexOf(k) >= 0
+  def update(k: String, v: String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) vs(i) = v
+    else {
+      if (n == ks.length) {
+        val cap = if (n == 0) 4 else n * 2
+        ks = java.util.Arrays.copyOf(ks, cap)
+        vs = java.util.Arrays.copyOf(vs, cap)
+      }
+      ks(n) = k; vs(n) = v; n += 1
+    }
+  }
+  def remove(k: String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) {
+      System.arraycopy(ks, i + 1, ks, i, n - i - 1)
+      System.arraycopy(vs, i + 1, vs, i, n - i - 1)
+      n -= 1; ks(n) = null; vs(n) = null
+    }
+  }
+  def foreach(f: ((String, String)) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f((ks(i), vs(i))); i += 1 }
+  }
+  def values: Iterator[String] = (0 until n).iterator.map(vs)
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+}
+object AttrList { private val emptyArr = new Array[String](0) }
+
 final class Element(val tag: String) extends Node {
   /** Insertion-ordered; names lowercased; first occurrence wins. */
-  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
-  val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
+  val attrs: AttrList = new AttrList
+  // initial capacity 2, not ArrayBuffer's eager 16 — most elements hold ≤2
+  // children and the per-element waste dominated DOM-build allocation
+  val children: mutable.ArrayBuffer[Node] = new mutable.ArrayBuffer[Node](2)
 
   def attr(name: String): Option[String] = attrs.get(name)
 

@@ -164,19 +164,30 @@ object Markdown {
 
   // ---- emit ----
 
+  /** Folds `join` over the children into one StringBuilder — the string
+    * fold was quadratic in document size. `join(a, b)` trims a's trailing
+    * and b's leading newlines and re-inserts min(2, max(dropped)) — done
+    * here in place with setLength. */
   private def processChildren(e: Element): String = {
-    var output = ""
+    val sb = new java.lang.StringBuilder
     e.children.foreach { child =>
-      val replacement = child match {
+      val r = child match {
         case t: TextNode =>
           if (t.parent != null && (isPre(t.parent) || isCodeContext(t.parent))) t.data
           else escape(t.data)
         case el: Element => replacementFor(el)
         case _ => ""
       }
-      output = join(output, replacement)
+      var e1 = sb.length
+      while (e1 > 0 && sb.charAt(e1 - 1) == '\n') e1 -= 1
+      var s2 = 0
+      while (s2 < r.length && r.charAt(s2) == '\n') s2 += 1
+      val nls = math.min(2, math.max(sb.length - e1, s2))
+      sb.setLength(e1)
+      sb.append("\n\n", 0, nls)
+      sb.append(r, s2, r.length)
     }
-    output
+    sb.toString
   }
 
   private def isCodeContext(e: Element): Boolean = {

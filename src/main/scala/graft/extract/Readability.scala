@@ -287,9 +287,13 @@ object Readability {
       val textLength = innerTextLength(e)
       if (textLength == 0) return 0.0
       var linkLength = 0.0
-      allTags(e, Set("a")).foreach { a =>
-        val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
-        linkLength += innerTextLength(a) * coeff
+      val it = e.descendants // no mutation here — safe to stream
+      while (it.hasNext) {
+        val a = it.next()
+        if (a.tag == "a") {
+          val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
+          linkLength += innerTextLength(a) * coeff
+        }
       }
       linkLength / textLength
     }
