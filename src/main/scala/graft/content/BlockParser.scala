@@ -40,7 +40,17 @@ object BlockParser {
   )
 
   private val containerSelector = Selector("article, main, [role=\"main\"], .content, #content")
-  private val blockChildSelector = Selector("p, h1, h2, h3, h4, h5, h6, ul, ol, li, dt, dd, blockquote, pre, table")
+  // == Selector("p, h1..h6, ul, ol, li, dt, dd, blockquote, pre, table").firstIn(el).isDefined
+  // — plain tag disjunction, so a Set scan over descendants is exact and skips
+  // the selector machinery (hot: runs per candidate block)
+  private val blockChildTags = Set(
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "dt", "dd",
+    "blockquote", "pre", "table")
+  private def hasBlockChild(el: Element): Boolean = {
+    val it = el.descendants
+    while (it.hasNext) if (blockChildTags.contains(it.next().tag)) return true
+    false
+  }
   private val nonTypedBlockTags = Set("p", "div", "section", "article", "li", "dt", "dd", "figcaption")
   private val headingRe = "^h([1-6])$".r
 
@@ -85,7 +95,7 @@ object BlockParser {
       if (isBlockTag) {
         val text = Js.trim(el.text())
         if (text.nonEmpty) {
-          val hasBlockChildren = blockChildSelector.firstIn(el).isDefined
+          val hasBlockChildren = hasBlockChild(el)
           if (!hasBlockChildren) {
             // parents nearest-first, tag-mapped, reversed → root-first (blocks.ts:133-138)
             val parentTags = el.ancestors.map(_.tag).reverse

@@ -18,10 +18,14 @@ object Js {
     "\\t\\n\\u000b\\f\\r \\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
 
   def isJsWs(c: Char): Boolean =
-    c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r' || c == ' ' ||
-    c == '\u00a0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200a') ||
-    c == '\u2028' || c == '\u2029' || c == '\u202f' || c == '\u205f' ||
-    c == '\u3000' || c == '\ufeff'
+    // fast reject for printable ASCII above space — the overwhelmingly common case
+    if (c > ' ' && c < '\u00a0') false
+    else if (c <= ' ')
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
+    else
+      c == '\u00a0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200a') ||
+      c == '\u2028' || c == '\u2029' || c == '\u202f' || c == '\u205f' ||
+      c == '\u3000' || c == '\ufeff'
 
   /** JS `String.prototype.trim`. */
   def trim(s: String): String = {
