@@ -166,5 +166,10 @@ class EmbedSpec extends AnyFunSuite {
     assert(VectorOps.dot(a, b) == 0.0)
     assert(math.abs(VectorOps.euclidean(a, b) - math.sqrt(2)) < 1e-12)
     assert(math.abs(VectorOps.norm(VectorOps.normalize(Array(3f, 4f))) - 1.0) < 1e-6)
+    // aggregation.test.ts:94-123 — zero vector, opposite vectors, identity distance
+    assert(VectorOps.norm(VectorOps.normalize(Array(0f, 0f, 0f))) == 0.0) // zero vector unchanged
+    assert(VectorOps.cosine(a, Array(-1f, 0f, 0f)) == -1.0)
+    assert(VectorOps.euclidean(a, a) == 0.0)
+    assert(VectorOps.dot(Array(1f, 2f, 3f), Array(4f, 5f, 6f)) == 32.0)
   }
 }

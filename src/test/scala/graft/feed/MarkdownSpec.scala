@@ -139,4 +139,49 @@ Body paragraph.
     assert(isAllowed("", "https://example.com/x"))
     assert(!isAllowed("User-agent: *\nDisallow: /x", "https://example.com/x/page"))
   }
+
+  // ---- remaining reference assertions ported verbatim ----
+
+  test("canParse detection cases (markdown.test.ts:7-26)") {
+    assert(MarkdownParser.canParse("# Heading"))
+    assert(MarkdownParser.canParse("## Subheading"))
+    assert(MarkdownParser.canParse("- [Link](https://example.com)"))
+    assert(MarkdownParser.canParse("* [Link](https://example.com)"))
+    assert(MarkdownParser.canParse("```js\nconsole.log(\"hi\");\n```"))
+    assert(!MarkdownParser.canParse("Just plain text without markdown"))
+  }
+
+  test("link title captured (markdown.test.ts:97-101)") {
+    val r = MarkdownParser.parse("[Link](https://example.com \"Link Title\")")
+    assert(r.links.head.title.contains("Link Title"))
+  }
+
+  test("code block meta and missing language (markdown.test.ts:137-148)") {
+    val withMeta = MarkdownParser.parse("```ts title=\"example.ts\"\nconst x = 1;\n```")
+    assert(withMeta.codeBlocks.head.language.contains("ts"))
+    assert(withMeta.codeBlocks.head.meta.contains("title=\"example.ts\""))
+    val noLang = MarkdownParser.parse("```\nplain code\n```")
+    assert(noLang.codeBlocks.head.language.isEmpty)
+    val js = MarkdownParser.parse("# Code Example\n\n```javascript\nconsole.log('Hello');\n```\n")
+    assert(js.codeBlocks.length == 1)
+    assert(js.codeBlocks.head.language.contains("javascript"))
+    assert(js.codeBlocks.head.code == "console.log('Hello');")
+  }
+
+  test("frontmatter quoted strings and numerics (markdown.test.ts:151-177)") {
+    val nums = MarkdownParser.parse("---\ncount: 42\nprice: 19.99\n---\n")
+    assert(nums.frontmatter.get("count").contains("42"))
+    assert(nums.frontmatter.get("price").contains("19.99"))
+    val quoted = MarkdownParser.parse("---\nsingle: 'quoted'\ndouble: \"quoted\"\n---\n")
+    assert(quoted.frontmatter.get("single").contains("quoted"))
+    assert(quoted.frontmatter.get("double").contains("quoted"))
+  }
+
+  test("extractListLinks: nested lists find all unique urls (markdown.test.ts:197-210)") {
+    val md = "\n## Category\n\n- [Parent](https://parent.com)\n  - [Child One](https://child1.com)\n  - [Child Two](https://child2.com)\n"
+    val urls = MarkdownParser.extractListLinks(md).map(_.url).toSet
+    assert(urls.contains("https://parent.com"))
+    assert(urls.contains("https://child1.com"))
+    assert(urls.contains("https://child2.com"))
+  }
 }
