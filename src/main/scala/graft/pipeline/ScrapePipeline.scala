@@ -63,7 +63,9 @@ object ScrapePipeline {
       url: String,
       normalizeOptions: NormalizeOptions = NormalizeOptions(),
       extractContent: Boolean = true,
-      maxContentLength: Int = 50000
+      maxContentLength: Int = 50000,
+      extractors: Seq[Extractor] = Nil,
+      replaceDefaultExtractors: Boolean = false
   ): ScrapedRow = {
     if (!UrlOps.isValidUrl(url))
       return errorRow(url, "invalid_url", Some("Invalid URL provided"))
@@ -76,8 +78,19 @@ object ScrapePipeline {
 
     val ctx = ExtractionContext(normalizedUrl, normalizedUrl, doc, extractContent, maxContentLength)
 
+    // scrape.ts:125-135 — customs APPEND to defaults (or replace them
+    // outright with replaceDefaultExtractors), then a stable priority-desc
+    // sort: equal priority keeps defaults before customs (JS stable sort)
+    val effectiveExtractors: Seq[Extractor] =
+      if (extractors.isEmpty && !replaceDefaultExtractors) defaultExtractors
+      else {
+        val combined = if (replaceDefaultExtractors) extractors.toVector
+                       else defaultExtractors ++ extractors
+        combined.sortBy(-_.priority)
+      }
+
     var results = Partial()
-    defaultExtractors.foreach { extractor =>
+    effectiveExtractors.foreach { extractor =>
       try {
         results = results.merge(extractor.extract(ctx))
       } catch {

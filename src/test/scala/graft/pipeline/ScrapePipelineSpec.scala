@@ -151,4 +151,41 @@ class ScrapePipelineSpec extends AnyFunSuite {
     assert(a.text_content == b.text_content)
     assert(a.norm_hash == b.norm_hash)
   }
+
+  // scrape.test.ts:123-159 — pluggable extractor registration
+  test("custom extractors append to defaults; replaceDefaultExtractors runs only customs") {
+    val html = """<html><head><title>Doc Title</title>
+      |<meta name="description" content="A description"></head>
+      |<body><p>Body text.</p></body></html>""".stripMargin
+
+    object TitleOverride extends graft.extract.Extractor {
+      val name = "custom"
+      val priority = 10 // lowest priority -> runs last -> its non-empty fields win (D1/D2)
+      def extract(ctx: graft.extract.ExtractionContext): graft.extract.Partial =
+        graft.extract.Partial(title = Some("Custom Title"))
+    }
+
+    val appended = ScrapePipeline.scrapeHtml(html, "https://example.com/x",
+      extractors = Seq(TitleOverride))
+    assert(appended.title == "Custom Title")       // custom merged in
+    assert(appended.description == "A description") // defaults still ran
+
+    val replaced = ScrapePipeline.scrapeHtml(html, "https://example.com/x",
+      extractors = Seq(TitleOverride), replaceDefaultExtractors = true)
+    assert(replaced.title == "Custom Title")
+    assert(replaced.description == "")              // defaults did not run
+  }
+
+  test("failing custom extractor appends to error and does not abort (scrape.test.ts:161-181)") {
+    object Exploder extends graft.extract.Extractor {
+      val name = "exploder"
+      val priority = 99
+      def extract(ctx: graft.extract.ExtractionContext): graft.extract.Partial =
+        throw new RuntimeException("boom")
+    }
+    val html = "<html><head><title>T</title></head><body><p>x</p></body></html>"
+    val row = ScrapePipeline.scrapeHtml(html, "https://example.com/x", extractors = Seq(Exploder))
+    assert(row.error.exists(_.contains("exploder: boom")))
+    assert(row.title == "T") // remaining extractors still ran
+  }
 }
