@@ -335,6 +335,29 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // S1 fetch gate over a synthesized (statusCode, contentType) pair — the
+    // Scala mapping (sources.FetchGate, fetch.ts:38-84) checked against an
+    // independent CASE encoding in the DuckDB oracle.
+    "fetch_gate" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val status = (id % 10) match {
+            case 0 => 404; case 1 => 403; case 2 => 429; case 3 => 500
+            case 4 => 301; case _ => 200
+          }
+          val ct = (id % 3) match {
+            case 0 => "text/html; charset=utf-8"
+            case 1 => "application/xhtml+xml"
+            case _ => "application/pdf"
+          }
+          (id, status.toLong, ct,
+            graft.sources.FetchGate.errorCode(status, ct).getOrElse("OK"))
+        }.toDF("doc_id", "status_code", "content_type", "fetch_error")
+        .orderBy("doc_id")
+    }),
+
     "embed_knn" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -475,6 +498,18 @@ object SparkEntry {
        "concat(lower(replace(p_name, ' ', '-')), '.com') AS domain, " +
        "concat('/p/', p_partkey) AS path " +
        "FROM part ORDER BY p_partkey"),
+
+    "fetch_gate" ->
+      ("SELECT doc_id, " +
+       "CAST(CASE doc_id % 10 WHEN 0 THEN 404 WHEN 1 THEN 403 WHEN 2 THEN 429 WHEN 3 THEN 500 WHEN 4 THEN 301 ELSE 200 END AS BIGINT) AS status_code, " +
+       "CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8' WHEN 1 THEN 'application/xhtml+xml' ELSE 'application/pdf' END AS content_type, " +
+       "CASE " +
+       "WHEN doc_id % 10 = 0 THEN 'NOT_FOUND' " +
+       "WHEN doc_id % 10 IN (1, 2) THEN 'BLOCKED' " +
+       "WHEN doc_id % 10 IN (3, 4) THEN 'FETCH_FAILED' " +
+       "WHEN doc_id % 3 = 2 THEN 'PARSE_ERROR' " +
+       "ELSE 'OK' END AS fetch_error " +
+       "FROM documents ORDER BY doc_id"),
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
