@@ -75,9 +75,15 @@ object GraftExtensions {
       "token_count(str) - count of whitespace-separated tokens", ""),
     (children: Seq[Expression]) => TokenCount(children.head))
 
-  /** Register on an existing session (local/test convenience). */
+  /** Register on an existing session (local/test convenience). Also registers
+    * the SQL extraction surface: `extract_page(html, url)` — ONE
+    * struct-returning UDF so SQL users pay one DOM parse per row instead of
+    * per-field UDFs re-parsing per column (SURVEY.md §2.11). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (ident, info, builder) = tokenCountDescriptor
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    spark.udf.register("extract_page",
+      (html: String, url: String) => graft.pipeline.ScrapePipeline.scrapeHtml(
+        if (html == null) "" else html, if (url == null) "" else url))
   }
 }

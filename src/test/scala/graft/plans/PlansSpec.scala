@@ -70,4 +70,21 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("a") == Seq(2f, 3f))
     assert(out("b") == Seq(30f, 40f))
   }
+
+  test("extract_page struct UDF: one DOM parse per row from pure SQL") {
+    val sp = spark
+    import sp.implicits._
+    val html = """<html><head><title>The Title</title>
+      |<meta property="og:title" content="OG Title">
+      |<meta name="description" content="Desc here"></head>
+      |<body><article><p>Some body content for the page that is long enough.</p></article></body></html>""".stripMargin
+    Seq((html, "https://example.com/a?utm_source=x")).toDF("html", "url").createOrReplaceTempView("pages_sql")
+    val row = spark.sql(
+      """SELECT r.title, r.description, r.url, r.word_count
+        |FROM (SELECT extract_page(html, url) AS r FROM pages_sql)""".stripMargin).first()
+    assert(row.getString(0) == "OG Title")          // og:title beats <title>
+    assert(row.getString(1) == "Desc here")
+    assert(row.getString(2) == "https://example.com/a") // tracking param stripped
+    assert(row.getInt(3) > 0)
+  }
 }
