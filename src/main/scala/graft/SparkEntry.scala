@@ -380,6 +380,50 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-cosine near-dup (the 5th dedup family, SURVEY §8):
+    // brute-force pair scan with a DuckDB oracle (correctness baseline at
+    // verification SF). Threshold 0.35 ~= p99.9 of the synthetic corpus's
+    // pair-cosine distribution (max 0.51) so the query surfaces real pairs...
+    "dedup_embed_pages" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .as[(Long, Array[Float], Long, Array[Float])]
+        .map { case (x, vx, y, vy) => (x, y, math.round(VectorOps.cosine(vx, vy) * 100000) / 100000.0) }
+        .toDF("id_a", "id_b", "cos")
+        .filter(col("cos") >= 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ...and the 100 TB scale path: multi-table LSH candidate generation —
+    // pairs only form inside a shared random-hyperplane bucket of one of 8
+    // independent tables (no O(n²) cartesian; recall 1-(1-p^4)^8 per the
+    // hyperplane-agreement probability p), exact cosine verify on candidates
+    // only, dropDuplicates across tables. Rows-only check, like embed_knn_lsh
+    // (bucketing is approximate by design).
+    "dedup_embed_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          (0 until 8).map(t => (id, v, t, VectorOps.cosineLshBucket(v, 4, t)))
+        }
+        .toDF("vec_id", "embedding", "table", "bucket")
+      val a = emb.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+        .dropDuplicates("id_a", "id_b")
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (x, y, vx, vy) => (x, y, math.round(VectorOps.cosine(vx, vy) * 100000) / 100000.0) }
+        .toDF("id_a", "id_b", "cos")
+        .filter(col("cos") >= 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
     "embed_knn_lsh" -> ((s, dir) => {
       import s.implicits._
       // scale path: LSH-bucketed ANN — candidates share a hyperplane bucket,
@@ -510,6 +554,12 @@ object SparkEntry {
        "WHEN doc_id % 3 = 2 THEN 'PARSE_ERROR' " +
        "ELSE 'OK' END AS fetch_error " +
        "FROM documents ORDER BY doc_id"),
+
+    "dedup_embed_pages" ->
+      ("WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos " +
+       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+       "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b"),
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +

@@ -65,8 +65,11 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket for cosine: sign bits of `nBits` fixed
     * pseudo-random hyperplanes (deterministic seeds). The scale path for ANN:
-    * same-bucket candidates only, then exact re-rank within the bucket. */
-  def cosineLshBucket(v: Array[Float], nBits: Int = 12): Int = {
+    * same-bucket candidates only, then exact re-rank within the bucket.
+    * `table` selects an independent hyperplane family — multi-table LSH is
+    * the standard recall lever (candidate iff same bucket in ANY table:
+    * recall 1-(1-p^nBits)^nTables for per-bit agreement p = 1 - θ/π). */
+  def cosineLshBucket(v: Array[Float], nBits: Int = 12, table: Int = 0): Int = {
     var bucket = 0
     var b = 0
     while (b < nBits) {
@@ -74,7 +77,7 @@ object VectorOps {
       var i = 0
       while (i < v.length) {
         // deterministic pseudo-random hyperplane component in [-1,1)
-        val h = TextOps.mix64((b.toLong << 32) ^ i ^ 0x5deece66dL)
+        val h = TextOps.mix64(((table.toLong * 1024 + b).toLong << 32) ^ i ^ 0x5deece66dL)
         s += v(i) * ((h >>> 11).toDouble * 1.1102230246251565e-16 * 2 - 1)
         i += 1
       }
