@@ -47,4 +47,25 @@ object StreamingExtract {
       .groupBy(window(col("warc_ts"), "1 minute"), col("host"))
       .agg(count("*").as("pages"), sum(length(col("html"))).as("bytes"))
   }
+
+  /** Streaming exact dedup: extract → key by normalized-content hash (B6) →
+    * `dropDuplicates` with a watermark so the dedup state store is bounded
+    * (a crawl re-fetching a page weeks later re-emits it; within the
+    * watermark horizon duplicates are suppressed exactly). The training-data
+    * path: continuous crawl in, deduped text out. */
+  def dedupStream(spark: SparkSession, inputDir: String, maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[PageRow]
+      .map { p =>
+        val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
+        (r.url, r.norm_hash, r.text_content, p.warc_ts)
+      }
+      .toDF("url", "norm_hash", "text_content", "warc_ts")
+      .withWatermark("warc_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("norm_hash")
+  }
 }

@@ -67,4 +67,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).sum == 60)
     assert(rows.exists(_.getString(0).startsWith("megahost")))
   }
+
+  test("streaming dedup: duplicate norm_hash suppressed within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    // the synthetic corpus plants exact-duplicate pages (PagesGen), so the
+    // batch distinct count over norm_hash is strictly below the row count
+    PagesGen.generate(spark, 120).repartition(4).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.dedupStream(spark, dir, maxFilesPerTrigger = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedHashes = spark.sql("SELECT norm_hash FROM dedup_out").collect().map(_.getString(0))
+    val batchDistinct = {
+      val sp = spark
+      import sp.implicits._
+      spark.read.parquet(dir).as[graft.pipeline.PageRow]
+        .collect()
+        .map(p => graft.pipeline.ScrapePipeline.scrapeHtml(graft.pipeline.ExtractJob.decodeHtml(p.html), p.url).norm_hash)
+    }
+    assert(batchDistinct.length == 120)
+    assert(batchDistinct.distinct.length < 120, "corpus must contain planted duplicates")
+    // one row per distinct hash, exactly
+    assert(streamedHashes.length == streamedHashes.distinct.length)
+    assert(streamedHashes.sorted.toSeq == batchDistinct.distinct.sorted.toSeq)
+  }
 }
