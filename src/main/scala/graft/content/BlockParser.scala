@@ -39,6 +39,45 @@ object BlockParser {
     Selector("p") -> "paragraph"
   )
 
+  // Fast exact dispatch for the table above. The only non-tag branches are
+  // [role=…] (rules 1-2), class-based promo/legal (3-4) and [data-ad] (3) —
+  // an element carrying none of `class`/`role`/`data-ad` can only match via
+  // its tag, so a Map lookup suffices; otherwise fall through to the full
+  // ordered loop. First-match-wins order is preserved because every pure-tag
+  // rule keyed here carries its table position implicitly (tags are unique
+  // across rules).
+  private val tagToType: Map[String, String] = Map(
+    "nav" -> "nav", "footer" -> "footer",
+    "blockquote" -> "quote", "q" -> "quote",
+    "pre" -> "code", "code" -> "code",
+    "table" -> "table",
+    "ul" -> "list", "ol" -> "list", "dl" -> "list", "li" -> "list", "dt" -> "list", "dd" -> "list",
+    "figure" -> "media", "img" -> "media", "video" -> "media", "audio" -> "media", "picture" -> "media",
+    "figcaption" -> "paragraph",
+    "h1" -> "heading", "h2" -> "heading", "h3" -> "heading",
+    "h4" -> "heading", "h5" -> "heading", "h6" -> "heading",
+    "p" -> "paragraph")
+
+  private def blockTypeOf(el: Element): String = {
+    val a = el.attrs
+    if (!a.contains("class") && !a.contains("role") && !a.contains("data-ad"))
+      tagToType.getOrElse(el.tag, "unknown")
+    else {
+      var idx = 0
+      while (idx < blockTypeSelectors.length) {
+        if (blockTypeSelectors(idx)._1.matches(el)) return blockTypeSelectors(idx)._2
+        idx += 1
+      }
+      "unknown"
+    }
+  }
+
+  // fast path for the default drop set (tags + [hidden] + [aria-hidden="true"])
+  private val defaultDropTags = Set("script", "style", "noscript", "iframe", "svg", "canvas")
+  private def defaultDropMatch(e: Element): Boolean =
+    defaultDropTags.contains(e.tag) || e.attrs.contains("hidden") ||
+      e.attr("aria-hidden").contains("true")
+
   private val containerSelector = Selector("article, main, [role=\"main\"], .content, #content")
   // == Selector("p, h1..h6, ul, ol, li, dt, dd, blockquote, pre, table").firstIn(el).isDefined
   // — plain tag disjunction, so a Set scan over descendants is exact and skips
@@ -63,9 +102,12 @@ object BlockParser {
     // fresh copy — the reference reloads the serialized root (blocks.ts:66)
     val root = doc.deepClone()
 
-    val allDrop = DefaultDropSelectors ++ dropSelectors
-    val dropSel = Selector(allDrop.mkString(", "))
-    root.html.descendants.toVector.foreach { e => if (dropSel.matches(e)) e.remove() }
+    if (dropSelectors.isEmpty)
+      root.html.descendants.toVector.foreach { e => if (defaultDropMatch(e)) e.remove() }
+    else {
+      val dropSel = Selector((DefaultDropSelectors ++ dropSelectors).mkString(", "))
+      root.html.descendants.toVector.foreach { e => if (dropSel.matches(e)) e.remove() }
+    }
 
     val container = containerSelector.firstIn(root.html).getOrElse(root.body)
 
@@ -76,16 +118,10 @@ object BlockParser {
       val el = it.next()
       val tagName = el.tag
 
-      // type via ordered selector table (first match wins)
-      var blockType = "unknown"
+      // type via ordered selector table (first match wins; fast tag dispatch
+      // when no class/role/data-ad attribute can trigger rules 1-4)
+      var blockType = blockTypeOf(el)
       var level: Option[Int] = None
-      var idx = 0
-      var matched = false
-      while (idx < blockTypeSelectors.length && !matched) {
-        val (sel, t) = blockTypeSelectors(idx)
-        if (sel.matches(el)) { blockType = t; matched = true }
-        idx += 1
-      }
       tagName match {
         case headingRe(l) => blockType = "heading"; level = Some(l.toInt)
         case _ =>
