@@ -27,15 +27,21 @@ object SparkEntry {
   }
 
   // ---- shared cached extraction per sfDir (queries share one pass) ----
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Dataset[ScrapedRow]]()
+  // Entries are bound to the SparkSession that created them: a stale entry
+  // from a stopped/replaced session is unpersisted and re-extracted.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Dataset[ScrapedRow])]()
 
-  private def extracted(spark: SparkSession, sfDir: String): Dataset[ScrapedRow] = {
-    cache.computeIfAbsent(sfDir, _ => {
+  private def extracted(spark: SparkSession, sfDir: String): Dataset[ScrapedRow] = synchronized {
+    val hit = cache.get(sfDir)
+    if (hit != null && (hit._1 eq spark)) hit._2
+    else {
+      if (hit != null) scala.util.Try(hit._2.unpersist())
       val n = PagesGen.pagesFor(sfDir)
       val parts = spark.sparkContext.defaultParallelism
-      val ds = ExtractJob.extract(PagesGen.generate(spark, n), parts)
-      ds.persist()
-    })
+      val ds = ExtractJob.extract(PagesGen.generate(spark, n), parts).persist()
+      cache.put(sfDir, (spark, ds))
+      ds
+    }
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -43,8 +49,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ======== extraction family (rows-only; DOM semantics not SQL-expressible) ========
+    // keywords is Array[String] internally; the driver's pandas row check
+    // cannot hash array cells, so driver-facing output stringifies it.
     "extract_meta" -> ((s, dir) => extracted(s, dir).toDF()
-      .select("url", "title", "description", "canonical_url", "language", "keywords", "author", "published_at")
+      .select(col("url"), col("title"), col("description"), col("canonical_url"),
+        col("language"), concat_ws(",", col("keywords")).as("keywords"),
+        col("author"), col("published_at"))
       .orderBy("url")),
 
     "extract_content" -> ((s, dir) => extracted(s, dir).toDF()
@@ -86,24 +96,36 @@ object SparkEntry {
 
     "dedup_minhash_pages" -> ((s, dir) => {
       import s.implicits._
-      // shingle → minhash → LSH band → bucket join → verified near-dup pairs
+      // shingle → minhash → LSH band → bucket join → verified near-dup pairs.
+      // Shuffle hygiene at 100 TB: the band self-join relation carries ONLY
+      // (band_idx, band_key, url) — the 64-slot signatures (512 B each) are
+      // re-attached by url AFTER candidate pairs are deduped, so they never
+      // ride the quadratic part of the shuffle.
       val sigs = extracted(s, dir).map { r =>
         val sh = TextOps.shingles(r.normalized_text)
         (r.url, TextOps.minHash(sh, 64))
       }.toDF("url", "sig")
       val bands = sigs.as[(String, Array[Long])].flatMap { case (url, sig) =>
-        TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, sig, i, b) }
-      }.toDF("url", "sig", "band_idx", "band_key")
-      val pairs = bands.as("a").join(bands.as("b"),
+        TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, i, b) }
+      }.toDF("url", "band_idx", "band_key")
+      // mega-bucket suppression: a band key shared by >64 docs is template
+      // boilerplate — joining it is quadratic noise (same cap as the
+      // jaccard/simhash siblings).
+      val bucketSizes = bands.groupBy("band_idx", "band_key").count()
+      val smallBuckets = bands.join(bucketSizes.filter(col("count") <= 64), Seq("band_idx", "band_key"))
+      val pairs = smallBuckets.as("a").join(smallBuckets.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.url") < col("b.url"))
-        .select(col("a.url").as("url_a"), col("b.url").as("url_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .select(col("a.url").as("url_a"), col("b.url").as("url_b"))
         .dropDuplicates("url_a", "url_b")
-      pairs.as[(String, String, Array[Long], Array[Long])].map { case (a, b, sa, sb) =>
-        (a, b, math.round(TextOps.minHashSimilarity(sa, sb) * 100000) / 100000.0)
-      }.toDF("url_a", "url_b", "est_jaccard")
+      val withSigs = pairs
+        .join(sigs.select(col("url").as("url_a"), col("sig").as("sig_a")), "url_a")
+        .join(sigs.select(col("url").as("url_b"), col("sig").as("sig_b")), "url_b")
+      withSigs.select("url_a", "url_b", "sig_a", "sig_b")
+        .as[(String, String, Array[Long], Array[Long])].map { case (a, b, sa, sb) =>
+          (a, b, math.round(TextOps.minHashSimilarity(sa, sb) * 100000) / 100000.0)
+        }.toDF("url_a", "url_b", "est_jaccard")
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("url_a", "url_b")
     }),
@@ -112,11 +134,14 @@ object SparkEntry {
       import s.implicits._
       // n-gram Jaccard near-dup: LSH candidates → EXACT shingle-set Jaccard
       // verify (the candidate pairs are cheap; exact Jaccard runs only on them)
+      // shingle sets ship as distinct-sorted 64-bit hashes (8 B/shingle vs
+      // ~40-char strings) — exact Jaccard modulo 64-bit collisions; the band
+      // relation itself carries only (url, band_idx, band_key).
       val shingled = extracted(s, dir).map { r =>
         val sh = TextOps.shingles(r.normalized_text, 3)
-        (r.url, sh, TextOps.minHash(sh, 32))
+        (r.url, TextOps.shingleHashes(sh), TextOps.minHash(sh, 32))
       }.toDF("url", "shingles", "sig")
-      val bands = shingled.as[(String, Array[String], Array[Long])].flatMap { case (url, _, sig) =>
+      val bands = shingled.as[(String, Array[Long], Array[Long])].flatMap { case (url, _, sig) =>
         TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, i, b) }
       }.toDF("url", "band_idx", "band_key")
       // mega-bucket suppression: an LSH bucket shared by >64 docs is
@@ -133,9 +158,9 @@ object SparkEntry {
         .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
         .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
       withSets.select("url_a", "url_b", "sh_a", "sh_b")
-        .as[(String, String, Array[String], Array[String])]
+        .as[(String, String, Array[Long], Array[Long])]
         .map { case (a, b, sa, sb) =>
-          (a, b, math.round(TextOps.jaccard(sa, sb) * 100000) / 100000.0)
+          (a, b, math.round(TextOps.jaccardSorted(sa, sb) * 100000) / 100000.0)
         }.toDF("url_a", "url_b", "jaccard")
         .filter(col("jaccard") >= 0.8)
         .orderBy("url_a", "url_b")
@@ -386,7 +411,12 @@ object SparkEntry {
     // pair-cosine distribution (max 0.51) so the query surfaces real pairs...
     "dedup_embed_pages" -> ((s, dir) => {
       import s.implicits._
+      // SF gate: this is the O(n²) brute-force ORACLE for the LSH scale path
+      // (dedup_embed_lsh). Cap to the first 4000 vec_ids (covers every
+      // verification SF: sf0.1 has 2000) so a larger sfDir cannot detonate
+      // the cartesian; the DuckDB oracle applies the identical predicate.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 4000)
         .select("vec_id", "embedding")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
@@ -406,17 +436,25 @@ object SparkEntry {
     // (bucketing is approximate by design).
     "dedup_embed_lsh" -> ((s, dir) => {
       import s.implicits._
+      // bucket relation carries only (table, bucket, vec_id); the 256 B
+      // embedding payloads are re-attached by id AFTER pair dedup, so they
+      // never ride the quadratic part of the self-join shuffle.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .select("vec_id", "embedding")
+      val buckets = emb.as[(Long, Array[Float])]
         .flatMap { case (id, v) =>
-          (0 until 8).map(t => (id, v, t, VectorOps.cosineLshBucket(v, 4, t)))
+          (0 until 8).map(t => (id, t, VectorOps.cosineLshBucket(v, 4, t)))
         }
-        .toDF("vec_id", "embedding", "table", "bucket")
-      val a = emb.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = emb.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+        .toDF("vec_id", "table", "bucket")
+      val a = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      val b = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
+      val pairs = a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
+      pairs
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+        .select("id_a", "id_b", "emb_a", "emb_b")
         .as[(Long, Long, Array[Float], Array[Float])]
         .map { case (x, y, vx, vy) => (x, y, math.round(VectorOps.cosine(vx, vy) * 100000) / 100000.0) }
         .toDF("id_a", "id_b", "cos")
@@ -556,9 +594,10 @@ object SparkEntry {
        "FROM documents ORDER BY doc_id"),
 
     "dedup_embed_pages" ->
-      ("WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      ("WITH capped AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4000), " +
+       "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos " +
-       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+       "FROM capped a JOIN capped b ON a.vec_id < b.vec_id) " +
        "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b"),
 
     "embed_knn" ->

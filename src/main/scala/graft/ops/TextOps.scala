@@ -199,6 +199,37 @@ object TextOps {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Distinct, sorted 64-bit hashes of the shingle set — 8 bytes per shingle
+    * instead of ~40-char strings when shipped through a shuffle. Jaccard over
+    * these equals string-set Jaccard modulo 64-bit collisions (~n²/2⁶⁵). */
+  def shingleHashes(sh: Array[String]): Array[Long] = {
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = fnv64(sh(i)); i += 1 }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Exact Jaccard over two distinct-sorted hash arrays (sort-merge, no sets). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   def minHashSimilarity(a: Array[Long], b: Array[Long]): Double = {
     var same = 0
     var i = 0

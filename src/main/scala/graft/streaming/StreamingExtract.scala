@@ -55,17 +55,25 @@ object StreamingExtract {
     * path: continuous crawl in, deduped text out. */
   def dedupStream(spark: SparkSession, inputDir: String, maxFilesPerTrigger: Int = 4): DataFrame = {
     import spark.implicits._
-    spark.readStream
+    val extractedRows = spark.readStream
       .schema(pageSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
       .as[PageRow]
       .map { p =>
         val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
-        (r.url, r.norm_hash, r.text_content, p.warc_ts)
+        (r.url, r.status, r.norm_hash, r.text_content, p.warc_ts)
       }
-      .toDF("url", "norm_hash", "text_content", "warc_ts")
+      .toDF("url", "status", "norm_hash", "text_content", "warc_ts")
       .withWatermark("warc_ts", "10 minutes")
+    // Only rows that actually produced normalized content share a meaningful
+    // hash; failed / below-min rows all carry norm_hash = "" and must NOT be
+    // collapsed into one survivor — they pass through untouched.
+    val dedupable = extractedRows
+      .filter(col("status") === "ok" && col("norm_hash") =!= "")
       .dropDuplicatesWithinWatermark("norm_hash")
+    val passthrough = extractedRows
+      .filter(!(col("status") === "ok" && col("norm_hash") =!= ""))
+    dedupable.unionByName(passthrough)
   }
 }
