@@ -47,6 +47,22 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Input for the E8 queries: the documents table plus three planted rows
+    * exercising each skip reason of the never-throws contract. */
+  private def embedPipelineDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (9000000L, ""),                 // -> "No input text available"
+      (9000001L, "tiny"),             // -> too short
+      (9000002L, "aaaa b c d e f")    // -> too few words of len > 1
+    ).toDF("doc_id", "text")
+    docs(s, dir).select(col("doc_id").cast("long"), col("text")).unionByName(planted)
+  }
+
+  private def embedPipelineRun(s: SparkSession, dir: String): DataFrame =
+    graft.embed.EmbedPipeline.embedDocuments(
+      s, embedPipelineDocs(s, dir), None, new graft.embed.HashStubProvider(8)).toDF()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ======== extraction family (rows-only; DOM semantics not SQL-expressible) ========
     // keywords is Array[String] internally; the driver's pandas row check
@@ -302,6 +318,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ======== E8: fused embedding pipeline (select → validate → redact →
+    // cache → chunk → embed → aggregate; never throws) with a deterministic
+    // SQL-expressible stub provider → full DuckDB oracle over the stage. ====
+    "embed_pipeline" -> ((s, dir) => embedPipelineRun(s, dir)
+      .select(col("doc_id"), col("status"), col("reason"), col("cache_key"),
+        col("checksum"), col("n_chunks").cast("long").as("n_chunks"),
+        col("tokens").cast("long").as("tokens"), col("pii_redacted"), col("cached"))
+      .orderBy("doc_id")),
+
+    "embed_pipeline_vec" -> ((s, dir) => embedPipelineRun(s, dir)
+      .filter(col("status") === "success")
+      .select(col("doc_id"), posexplode(col("vector")).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double"), 5).as("v"))
+      .orderBy("doc_id", "dim")),
+
+    // warm re-run against the cache table built from the cold pass: every
+    // success row must come back cached=true with identical key/vector meta
+    // (the provider-call-free contract is additionally pinned in EmbedSpec).
+    "embed_pipeline_cachehit" -> ((s, dir) => {
+      val all = embedPipelineDocs(s, dir)
+      val cold = graft.embed.EmbedPipeline.embedDocuments(
+        s, all, None, new graft.embed.HashStubProvider(8))
+      val cacheTable = graft.embed.EmbedPipeline.toCacheRows(cold)
+      graft.embed.EmbedPipeline.embedDocuments(
+          s, all, Some(cacheTable), new graft.embed.HashStubProvider(8))
+        .toDF()
+        .select(col("doc_id"), col("status"), col("cache_key"),
+          col("n_chunks").cast("long").as("n_chunks"),
+          col("tokens").cast("long").as("tokens"), col("cached"))
+        .orderBy("doc_id")
+    }),
+
     // n_words via the native codegen TokenCount expression (graft.plans) —
     // one byte-scan per row, no regex/array alloc; equals the DuckDB
     // regexp_split oracle on whitespace-sane text (verified per-row at sf0.01).
@@ -520,7 +569,56 @@ object SparkEntry {
   private val ssnRe = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
   private val ipRe = """\b(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"""
 
+  // Shared CTE prefix for the E8 embed_pipeline oracles: planted skip rows,
+  // the validation gate (input.ts:169-199 messages), the 5-regex redaction
+  // chain, and the pii flag (counts on the ORIGINAL text, reference quirk).
+  private def embedPipelineCte: String = {
+    val wc = """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 1))"""
+    val red = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '$ccRe', '[REDACTED]', 'g'), '$emailRe', '[REDACTED]', 'g'), '$phoneRe', '[REDACTED]', 'g'), '$ssnRe', '[REDACTED]', 'g'), '$ipRe', '[REDACTED]', 'g')"
+    val piiCount = s"length(regexp_extract_all(text, '$ccRe')) + length(regexp_extract_all(text, '$emailRe')) + length(regexp_extract_all(text, '$phoneRe')) + length(regexp_extract_all(text, '$ssnRe')) + length(regexp_extract_all(text, '$ipRe'))"
+    "WITH all_docs AS (SELECT doc_id, text FROM documents " +
+    "UNION ALL SELECT 9000000, '' UNION ALL SELECT 9000001, 'tiny' UNION ALL SELECT 9000002, 'aaaa b c d e f'), " +
+    "v AS (SELECT doc_id, text, CASE WHEN length(text) = 0 THEN 'No input text available' " +
+    s"WHEN length(text) < 10 THEN 'Input too short (' || length(text) || ' < 10 characters)' " +
+    s"WHEN $wc < 3 THEN 'Input has too few words (' || $wc || ' < 3)' " +
+    "ELSE '' END AS reason FROM all_docs), " +
+    s"r AS (SELECT doc_id, reason, $red AS rtext, ($piiCount) > 0 AS pii FROM v) "
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "embed_pipeline" -> {
+      val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
+        .replace("'", "''")
+      embedPipelineCte +
+      "SELECT doc_id, CASE WHEN reason = '' THEN 'success' ELSE 'skipped' END AS status, reason, " +
+      s"CASE WHEN reason = '' THEN sha256(concat('$fp', chr(0), rtext)) ELSE '' END AS cache_key, " +
+      "CASE WHEN reason = '' THEN substr(sha256(rtext), 1, 16) ELSE '' END AS checksum, " +
+      "CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS n_chunks, " +
+      "CAST(CASE WHEN reason = '' THEN ceil(length(rtext) / 4.0) ELSE 0 END AS BIGINT) AS tokens, " +
+      "CASE WHEN reason = '' THEN pii ELSE false END AS pii_redacted, " +
+      "false AS cached FROM r ORDER BY doc_id"
+    },
+
+    // stub provider in SQL: vector dim d = byte d of sha256(redacted input),
+    // scaled /255 — truncated through REAL to mirror the Float pipeline value
+    "embed_pipeline_vec" ->
+      (embedPipelineCte +
+       "SELECT doc_id, CAST(d AS BIGINT) AS dim, " +
+       "round(CAST(CAST(('0x' || substr(sha256(rtext), 2 * d + 1, 2))::INT / 255.0 AS REAL) AS DOUBLE), 5) AS v " +
+       "FROM r CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) t " +
+       "WHERE reason = '' ORDER BY doc_id, dim"),
+
+    "embed_pipeline_cachehit" -> {
+      val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
+        .replace("'", "''")
+      embedPipelineCte +
+      "SELECT doc_id, CASE WHEN reason = '' THEN 'success' ELSE 'skipped' END AS status, " +
+      s"CASE WHEN reason = '' THEN sha256(concat('$fp', chr(0), rtext)) ELSE '' END AS cache_key, " +
+      "CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS n_chunks, " +
+      "CAST(CASE WHEN reason = '' THEN ceil(length(rtext) / 4.0) ELSE 0 END AS BIGINT) AS tokens, " +
+      "CASE WHEN reason = '' THEN true ELSE false END AS cached FROM r ORDER BY doc_id"
+    },
+
     "pii_redact" ->
       ("SELECT doc_id, " +
        s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '$ccRe', '[REDACTED]', 'g'), '$emailRe', '[REDACTED]', 'g'), '$phoneRe', '[REDACTED]', 'g'), '$ssnRe', '[REDACTED]', 'g'), '$ipRe', '[REDACTED]', 'g') AS redacted_text, " +

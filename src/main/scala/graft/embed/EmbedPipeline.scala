@@ -1,0 +1,201 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+
+/** Provider boundary for the embedding stage. Real deployments plug an HTTP
+  * provider here (per-partition batched calls); the sandbox ships the
+  * deterministic [[HashStubProvider]] so the whole stage is testable offline.
+  * Re-expresses `/root/reference/src/embeddings/providers/base.ts` as a
+  * Serializable trait (one instance per executor via task serialization). */
+trait EmbeddingProvider extends Serializable {
+  def name: String
+  /** Embed a batch of chunk texts. Called per partition with bounded batches. */
+  def embed(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** Deterministic stub provider: dimension d of the vector is byte d of
+  * sha256(text) scaled to [0,1]. Fully SQL-expressible, which gives the fused
+  * E8 stage a DuckDB oracle (`embed_pipeline*` queries). */
+final class HashStubProvider(val dims: Int = 8) extends EmbeddingProvider {
+  def name = "stub"
+  def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+    HashStubProvider.calls.incrementAndGet()
+    val hex = TextOps.sha256Hex(t)
+    Array.tabulate(dims)(d => Integer.parseInt(hex.substring(2 * d, 2 * d + 2), 16) / 255.0f)
+  }
+}
+object HashStubProvider {
+  /** Provider-call counter for the cache-hit contract (single-JVM local mode:
+    * executor threads share this statics instance). */
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+final case class EmbedConfig(
+    inputType: String = "textContent",
+    preferNormalized: Boolean = false,
+    minTextLength: Int = 10,
+    piiRedaction: Boolean = true,
+    chunkSize: Int = Embed.DefaultChunkSize,
+    chunkOverlap: Int = Embed.DefaultOverlap,
+    aggregation: String = "average",
+    providerKey: String = "stub",
+    model: String = "provider-default",
+    /** provider batch size per partition-local embed() call */
+    batchSize: Int = 32)
+
+/** Per-row prepared state after the deterministic front half (select →
+  * validate → redact → key). Top-level so Catalyst's generated projections
+  * can construct it (a private nested class would fail codegen). */
+private[embed] final case class EmbedPrep(
+    doc_id: Long, valid: Boolean, reason: String, inputText: String,
+    cache_key: String, checksum: String, pii_redacted: Boolean)
+
+/** One output row per input document — never-throws contract: failures become
+  * `status = "skipped"` rows with a reason (pipeline.ts:64-66,129-131,269-277). */
+final case class EmbedRow(
+    doc_id: Long,
+    status: String,        // "success" | "skipped"
+    reason: String,        // skip reason, "" on success
+    cache_key: String,
+    checksum: String,
+    n_chunks: Int,
+    tokens: Int,
+    pii_redacted: Boolean,
+    cached: Boolean,
+    vector: Array[Float])
+
+/**
+ * E8 — the fused embedding-pipeline stage, re-expressing
+ * `/root/reference/src/embeddings/pipeline.ts:49-278` stage ordering as one
+ * Spark job: select input → validate → PII-redact → cache left-join (hits
+ * skip the provider entirely) → chunk → provider.embed (batched per
+ * partition) → aggregate → union hits + computed + skipped.
+ *
+ * Scale shape (100 TB): the per-row work (select/validate/redact/chunk) is a
+ * narrow mapPartitions; the only wide op is the cache join, an equi-join on
+ * the content-addressable `cache_key` (hash-partitionable, no skew: keys are
+ * sha256). The cache table is the cluster replacement for the reference's
+ * in-process LRU (SURVEY §2.6 E7): content-identical documents across the
+ * corpus hit one cached vector instead of N provider calls.
+ */
+object EmbedPipeline {
+
+  private def prepare(docId: Long, text: String, cfg: EmbedConfig): EmbedPrep = {
+    // Step 2: select input (pipeline.ts:61) — cleanText'd fallback chain
+    val raw = Embed.selectInput(
+      Embed.InputData(textContent = Option(text)),
+      cfg.inputType, None, cfg.preferNormalized)
+    val validation = Embed.validateInput(raw, cfg.minTextLength)
+    if (!validation.valid)
+      return EmbedPrep(docId, valid = false, validation.reason.getOrElse(""), "", "", "", pii_redacted = false)
+    // Step 3: PII redaction on the validated input (pipeline.ts:71-78)
+    val validated = validation.text.get
+    val (inputText, redacted) =
+      if (cfg.piiRedaction) {
+        val r = Embed.redactPii(validated)
+        (r.text, r.redacted)
+      } else (validated, false)
+    // Step 4: content-addressable cache key over the redacted input
+    // (pipeline.ts:83-93 — content = inputText AFTER redaction)
+    val cc = EmbedCache.CacheConfig(
+      providerKey = cfg.providerKey, model = cfg.model,
+      aggregation = cfg.aggregation, inputType = cfg.inputType,
+      chunkSize = cfg.chunkSize, chunkOverlap = cfg.chunkOverlap)
+    EmbedPrep(docId, valid = true, "", inputText,
+      EmbedCache.cacheKey(cc, inputText), EmbedCache.checksum(inputText), redacted)
+  }
+
+  /** Chunk + embed + aggregate one prepared document (pipeline.ts:122-245).
+    * Total per row: any provider failure → skipped row, never a thrown task. */
+  private def embedOne(p: EmbedPrep, provider: EmbeddingProvider, cfg: EmbedConfig): EmbedRow = {
+    try {
+      val chunks = Embed.chunkText(p.inputText, cfg.chunkSize, cfg.chunkOverlap)
+      if (chunks.isEmpty)
+        return EmbedRow(p.doc_id, "skipped", "No content after chunking",
+          p.cache_key, p.checksum, 0, 0, p.pii_redacted, cached = false, Array.empty)
+      val vectors = chunks.grouped(cfg.batchSize).flatMap(b => provider.embed(b.map(_.text))).toSeq
+      val agg = VectorOps.aggregate(vectors, cfg.aggregation)
+      val tokens = chunks.iterator.map(_.tokens).sum
+      EmbedRow(p.doc_id, "success", "", p.cache_key, p.checksum,
+        chunks.length, tokens, p.pii_redacted, cached = false, agg)
+    } catch {
+      case e: Exception =>
+        EmbedRow(p.doc_id, "skipped", s"${e.getClass.getSimpleName}: ${e.getMessage}",
+          p.cache_key, p.checksum, 0, 0, p.pii_redacted, cached = false, Array.empty)
+    }
+  }
+
+  /** Schema of the persisted cache table: one row per content-addressed key. */
+  def emptyCache(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(String, Array[Float], Int, Int)]
+      .toDF("cache_key", "vector", "n_chunks", "tokens")
+  }
+
+  /** Result rows → cache-table rows (dedup by key: identical content embeds
+    * identically, keep one). */
+  def toCacheRows(results: Dataset[EmbedRow]): DataFrame =
+    results.toDF()
+      .filter(col("status") === "success")
+      .select("cache_key", "vector", "n_chunks", "tokens")
+      .dropDuplicates("cache_key")
+
+  /**
+   * The fused stage. `docs` must have columns (doc_id: Long, text: String);
+   * `cache` is the persisted (cache_key, vector, n_chunks, tokens) table or
+   * None for a cold run.
+   */
+  def embedDocuments(
+      spark: SparkSession,
+      docs: DataFrame,
+      cache: Option[DataFrame],
+      provider: EmbeddingProvider,
+      cfg: EmbedConfig = EmbedConfig()): Dataset[EmbedRow] = {
+    import spark.implicits._
+
+    val prepped = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => prepare(id, text, cfg) })
+
+    val skipped = prepped.filter(!_.valid).map(p =>
+      EmbedRow(p.doc_id, "skipped", p.reason, "", "", 0, 0, pii_redacted = false,
+        cached = false, Array.empty))
+
+    val valid = prepped.filter(_.valid)
+
+    val (hits, misses) = cache match {
+      case Some(c) =>
+        // Step 4b: cache join — hits never reach the provider. Left join on
+        // the sha256 key, split on match (one shuffle, both halves reuse it).
+        // Equi-join on the sha256 key: uniformly distributed, skew-free; AQE
+        // broadcasts the cache side when it is small and shuffle-hash-joins
+        // otherwise — no hint needed at either scale.
+        val joined = valid.toDF().join(
+          c.select(col("cache_key"),
+            col("vector").as("c_vector"), col("n_chunks").as("c_chunks"),
+            col("tokens").as("c_tokens")),
+          Seq("cache_key"), "left")
+        val hitRows = joined.filter(col("c_vector").isNotNull)
+          .select(col("doc_id"), col("cache_key"), col("checksum"),
+            col("pii_redacted"), col("c_vector"), col("c_chunks"), col("c_tokens"))
+          .as[(Long, String, String, Boolean, Array[Float], Int, Int)]
+          .map { case (id, key, sum, pii, vec, nch, tok) =>
+            EmbedRow(id, "success", "", key, sum, nch, tok, pii, cached = true, vec)
+          }
+        val missRows = joined.filter(col("c_vector").isNull)
+          .select(col("doc_id"), col("valid"), col("reason"), col("inputText"),
+            col("cache_key"), col("checksum"), col("pii_redacted"))
+          .as[EmbedPrep]
+        (hitRows, missRows)
+      case None =>
+        (spark.emptyDataset[EmbedRow], valid)
+    }
+
+    // Steps 5-10: chunk → batched provider calls → aggregate, per partition
+    val computed = misses.mapPartitions(_.map(p => embedOne(p, provider, cfg)))
+
+    computed.union(hits).union(skipped)
+  }
+}

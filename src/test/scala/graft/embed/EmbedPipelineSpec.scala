@@ -1,0 +1,134 @@
+package graft.embed
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** E8 — fused embedding pipeline contracts from
+  * `/root/reference/src/embeddings/pipeline.ts:49-278`: stage ordering,
+  * never-throws skip semantics, and the cache-hit path doing ZERO provider
+  * calls on a warm re-run. */
+class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-embed-pipeline-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def inputDocs() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank."),
+      (2L, "Contact me at jane.doe@example.com or call 555-123-4567 for details."),
+      (3L, "The quick brown fox jumps over the lazy dog near the river bank."), // dup of 1
+      (4L, ""),
+      (5L, "tiny"),
+      (6L, "aaaa b c d e f"),
+      (7L, ("sentence one is here. " * 200).trim) // long enough to multi-chunk at size 64
+    ).toDF("doc_id", "text")
+  }
+
+  test("cold run: stage ordering, skip reasons, deterministic stub vectors") {
+    val res = EmbedPipeline.embedDocuments(spark, inputDocs(), None, new HashStubProvider(8),
+        EmbedConfig(chunkSize = 64, chunkOverlap = 8))
+      .collect().map(r => r.doc_id -> r).toMap
+
+    assert(res(4L).status == "skipped" && res(4L).reason == "No input text available")
+    assert(res(5L).status == "skipped" && res(5L).reason == "Input too short (4 < 10 characters)")
+    assert(res(6L).status == "skipped" && res(6L).reason == "Input has too few words (1 < 3)")
+
+    // PII redaction happens BEFORE the cache key / embedding (pipeline.ts:71-93)
+    val redacted = Embed.redactPii(
+      "Contact me at jane.doe@example.com or call 555-123-4567 for details.").text
+    assert(res(2L).pii_redacted)
+    val cfg = EmbedCache.CacheConfig(providerKey = "stub",
+      chunkSize = 64, chunkOverlap = 8)
+    assert(res(2L).cache_key == EmbedCache.cacheKey(cfg, redacted))
+    assert(res(2L).checksum == EmbedCache.checksum(redacted))
+
+    // single-chunk doc: vector = stub(text) exactly
+    val expected = new HashStubProvider(8)
+      .embed(Seq("The quick brown fox jumps over the lazy dog near the river bank.")).head
+    assert(res(1L).vector.sameElements(expected))
+    assert(res(1L).n_chunks == 1)
+
+    // identical content → identical cache key (content-addressable)
+    assert(res(1L).cache_key == res(3L).cache_key)
+    assert(res(1L).vector.sameElements(res(3L).vector))
+
+    // long doc multi-chunks and aggregates (average of per-chunk stub vectors)
+    assert(res(7L).n_chunks > 1)
+    val chunks = Embed.chunkText(res7Text, 64, 8)
+    val vecs = new HashStubProvider(8).embed(chunks.map(_.text))
+    assert(res(7L).vector.sameElements(graft.ops.VectorOps.aggregate(vecs, "average")))
+    assert(res(7L).tokens == chunks.map(_.tokens).sum)
+  }
+
+  private val res7Text = ("sentence one is here. " * 200).trim
+
+  test("warm run against the persisted cache table does zero provider calls") {
+    val docsDf = inputDocs()
+    val cold = EmbedPipeline.embedDocuments(spark, docsDf, None, new HashStubProvider(8))
+    val cacheTable = EmbedPipeline.toCacheRows(cold).cache()
+    assert(cacheTable.count() > 0)
+
+    HashStubProvider.calls.set(0)
+    val warm = EmbedPipeline.embedDocuments(spark, docsDf, Some(cacheTable),
+      new HashStubProvider(8)).collect()
+    assert(HashStubProvider.calls.get() == 0, "cache hits must not reach the provider")
+
+    val byId = warm.map(r => r.doc_id -> r).toMap
+    assert(byId(1L).cached && byId(2L).cached && byId(3L).cached && byId(7L).cached)
+    assert(!byId(4L).cached && byId(4L).status == "skipped")
+    // hit rows carry the cached vector + source metadata
+    val coldById = cold.collect().map(r => r.doc_id -> r).toMap
+    assert(byId(1L).vector.sameElements(coldById(1L).vector))
+    assert(byId(7L).n_chunks == coldById(7L).n_chunks)
+    assert(byId(7L).tokens == coldById(7L).tokens)
+  }
+
+  test("partial cache: only missing keys reach the provider") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank."),
+      (8L, "An entirely new document that is not in the cache table at all.")
+    ).toDF("doc_id", "text")
+    val cache = EmbedPipeline.toCacheRows(
+      EmbedPipeline.embedDocuments(spark, docsDf.filter(col("doc_id") === 1L),
+        None, new HashStubProvider(8))).cache()
+    cache.count()
+
+    HashStubProvider.calls.set(0)
+    val res = EmbedPipeline.embedDocuments(spark, docsDf, Some(cache),
+      new HashStubProvider(8)).collect().map(r => r.doc_id -> r).toMap
+    assert(HashStubProvider.calls.get() == 1, "exactly the one miss embeds")
+    assert(res(1L).cached && !res(8L).cached)
+    assert(res(8L).status == "success")
+  }
+
+  test("never-throws: a provider failure becomes a skipped row, not a task failure") {
+    val bad = new EmbeddingProvider {
+      def name = "boom"
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        throw new IllegalStateException("provider down")
+    }
+    val res = EmbedPipeline.embedDocuments(spark, inputDocs(), None, bad)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(res(1L).status == "skipped")
+    assert(res(1L).reason.contains("provider down"))
+    // deterministic front half survives: key/checksum still present
+    assert(res(1L).cache_key.nonEmpty)
+  }
+}
