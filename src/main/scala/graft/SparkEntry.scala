@@ -432,6 +432,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // L1-L3 LLM enhancement with the deterministic stub provider: summarize +
+    // confidence-gated classify + templated ask() whose custom value pins the
+    // exact assembled prompt bytes via sha256 — all re-encoded independently
+    // in the DuckDB oracle.
+    "llm_enhance" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+        val cat = Array("blog", "news", "docs", "articles", "posts", "wiki").apply((id % 6).toInt)
+        val url = s"https://site-${id % 50}.example/$cat/post-$id"
+        val data = graft.llm.EnhanceInput(url, s"Doc $id", "", text, "")
+        val p = new graft.llm.StubLLMProvider()
+        val e = graft.llm.Enhancer.enhance(data, p, Seq("summarize", "classify"))
+        val a = graft.llm.Enhancer.ask(data, p, "What is {{title}} at {{domain}}?", "q1")
+        (id, e.summary.getOrElse(""), e.contentType.getOrElse(""), a.custom("q1"))
+      }.toDF("doc_id", "summary", "content_type", "custom_q1")
+        .orderBy("doc_id")
+    }),
+
+    // rows-only: the full 4-type enhancement over the extraction corpus
+    // (tags/entities exercised at scale; exact semantics pinned by LlmSpec)
+    "enhance_pages" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).map { r =>
+        val data = graft.llm.EnhanceInput(r.url, r.title, r.description, r.text_content, r.excerpt)
+        val e = graft.llm.Enhancer.enhance(data, new graft.llm.StubLLMProvider(),
+          Seq("summarize", "tags", "entities", "classify"))
+        (r.url, e.summary.getOrElse(""), e.suggestedTags.getOrElse(Nil).mkString(","),
+          e.entities.map(_.people.mkString(",")).getOrElse(""), e.contentType.getOrElse(""))
+      }.toDF("url", "summary", "tags", "people", "content_type").orderBy("url")
+    }),
+
+    // S2 robots gate end-to-end: urls + per-row robots bodies synthesized
+    // deterministically from doc_id; the Scala matcher (sources.Robots,
+    // robots.ts:26-167 precedence incl. Allow-before-Disallow, specific-agent
+    // override, */$ wildcards) is checked against an independent SQL CASE
+    // encoding of the same rules in the DuckDB oracle.
+    "robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val cat = Array("blog", "news", "docs", "articles", "posts", "wiki").apply((id % 6).toInt)
+        val url = s"https://site-${id % 50}.example/$cat/post-$id"
+        val robots = (id % 4) match {
+          case 0 => ""
+          case 1 => "User-agent: *\nDisallow: /docs/\nDisallow: /posts/\nAllow: /posts/post-1"
+          case 2 => "User-agent: ScrapexBot\nDisallow: /news/\n\nUser-agent: *\nDisallow: /"
+          case _ => "User-agent: *\nDisallow: /art*les/\nDisallow: /wiki/post-11$"
+        }
+        (id, url, id % 4, graft.sources.Robots.isAllowed(robots, url))
+      }.toDF("doc_id", "url", "robots_variant", "allowed")
+        .orderBy("doc_id")
+    }),
+
     "embed_knn" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -697,6 +749,35 @@ object SparkEntry {
        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos " +
        "FROM capped a JOIN capped b ON a.vec_id < b.vec_id) " +
        "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b"),
+
+    "llm_enhance" ->
+      ("WITH u AS (SELECT doc_id, text, " +
+       "CASE doc_id % 6 WHEN 0 THEN 'blog' WHEN 1 THEN 'news' WHEN 2 THEN 'docs' WHEN 3 THEN 'articles' WHEN 4 THEN 'posts' ELSE 'wiki' END AS cat, " +
+       "'site-' || (doc_id % 50) || '.example' AS dom FROM documents), " +
+       "b AS (SELECT doc_id, text, cat, dom, " +
+       "'https://' || dom || '/' || cat || '/post-' || doc_id AS url, " +
+       "'Doc ' || doc_id AS title FROM u) " +
+       "SELECT doc_id, " +
+       "CASE WHEN strpos(text, '.') > 0 THEN substr(text, 1, strpos(text, '.')) ELSE text END AS summary, " +
+       "CASE cat WHEN 'docs' THEN 'docs' WHEN 'news' THEN 'article' WHEN 'blog' THEN '' ELSE 'unknown' END AS content_type, " +
+       "'\"stub:' || substr(sha256('What is ' || title || ' at ' || dom || '?' || chr(10) || chr(10) || " +
+       "'Title: ' || title || chr(10) || 'URL: ' || url || chr(10) || chr(10) || 'Content:' || chr(10) || text), 1, 12) || '\"' AS custom_q1 " +
+       "FROM b ORDER BY doc_id"),
+
+    "robots_gate" ->
+      ("WITH u AS (SELECT doc_id, " +
+       "CASE doc_id % 6 WHEN 0 THEN 'blog' WHEN 1 THEN 'news' WHEN 2 THEN 'docs' WHEN 3 THEN 'articles' WHEN 4 THEN 'posts' ELSE 'wiki' END AS cat " +
+       "FROM documents), " +
+       "p AS (SELECT doc_id, '/' || cat || '/post-' || doc_id AS path FROM u) " +
+       "SELECT doc_id, 'https://site-' || (doc_id % 50) || '.example' || path AS url, " +
+       "doc_id % 4 AS robots_variant, " +
+       "CASE doc_id % 4 " +
+       "WHEN 0 THEN true " +
+       "WHEN 1 THEN (starts_with(path, '/posts/post-1') OR NOT (starts_with(path, '/docs/') OR starts_with(path, '/posts/'))) " +
+       "WHEN 2 THEN NOT starts_with(path, '/news/') " +
+       "ELSE NOT (regexp_matches(path, '^/art.*les/.*') OR path = '/wiki/post-11') " +
+       "END AS allowed " +
+       "FROM p ORDER BY doc_id"),
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +

@@ -342,6 +342,33 @@ object JsDate {
 
 /** K11–K13 + S3 — feed utilities re-expressing `/root/reference/src/utils/feed.ts`. */
 object FeedOps {
+
+  /** S4 — `paginateFeed` (`/root/reference/src/utils/feed.ts:171-191`,
+    * RFC 5005): follow Atom `rel="next"` links up to `maxPages` (default 10).
+    * A driver-side loop by design — pagination is inherently sequential.
+    * `fetch` resolves a feed url to its XML body (a pre-crawled url→xml
+    * lookup here; a real fetcher in deployment); `None` ends the walk.
+    * Cycles terminate via the maxPages bound, exactly like the reference. */
+  def paginateFeed(
+      url: String,
+      fetch: String => Option[String],
+      maxPages: Int = 10): Vector[ParsedFeed] = {
+    val out = Vector.newBuilder[ParsedFeed]
+    val parser = new RssParser()
+    var current: Option[String] = Option(url)
+    var pages = 0
+    while (current.isDefined && pages < maxPages) {
+      fetch(current.get) match {
+        case None => current = None
+        case Some(xml) =>
+          val feed = parser.parse(xml, Some(current.get)).data
+          out += feed
+          current = feed.next
+          pages += 1
+      }
+    }
+    out.result()
+  }
   import graft.dom.{HtmlParser, Selector}
   import graft.urlx.UrlOps
 

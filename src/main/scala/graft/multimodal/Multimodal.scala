@@ -30,16 +30,90 @@ final case class MediaFeatures(
  * stages — the Scala equivalent of `mapInPandas` batches is `mapPartitions`
  * over the typed Dataset (one JVM-side batch per partition, setup amortized).
  *
- * STUBS, clearly marked: no image/audio codecs ship in this container
- * (SURVEY.md §7.6 — no javax.imageio use to keep byte-determinism, no ffmpeg)
- * so `decode*`/`resize` produce deterministic fakes derived from the content
- * hash. The Spark-side contract — schema, partitioning, batch shape,
- * unit-norm feature vectors, LSH bucketing — is real and tested; swapping a
- * real codec in changes only the function bodies.
+ * Codec status: PNG/BMP decode + feature-extract + resize are REAL, via the
+ * JDK's `javax.imageio` (deterministic: pure pixel math, no wall clock).
+ * JPEG/audio/video codecs do not ship in this container (SURVEY.md §7.6 — no
+ * ffmpeg), so those paths remain clearly-marked deterministic stubs derived
+ * from the content hash. The Spark-side contract — schema, partitioning,
+ * batch shape, unit-norm feature vectors, LSH bucketing — is identical on
+ * both paths; swapping a real codec in changes only the function bodies.
  */
 object Multimodal {
 
   val FeatureDim = 64
+
+  // ---- REAL codec path (javax.imageio: PNG/BMP ship in every JDK) ----
+
+  /** PNG magic sniff (public spec: 0x89 'P' 'N' 'G' \r \n 0x1a \n). */
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+  /** REAL decode via ImageIO; None when no installed reader handles the
+    * bytes (→ caller falls back to the stub path). */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** REAL feature: `grid`×`grid` block mean-luminance vector, unit-norm —
+    * deterministic pixel math over the decoded bitmap. */
+  def luminanceFeature(img: java.awt.image.BufferedImage, grid: Int = 8): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val cell = math.min(grid - 1, y * grid / h) * grid + math.min(grid - 1, x * grid / w)
+        sums(cell) += lum; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = Array.tabulate(grid * grid)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+    VectorOps.normalize(v)
+  }
+
+  /** REAL resize: nearest-neighbor scale → PNG bytes (ImageIO's PNG writer
+    * emits no timestamps — output is a pure function of the pixels). */
+  def resizeImage(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL PNG for the synthetic corpus (pixels from a splitmix
+    * stream over the seed) — exercises the real decode path end-to-end. */
+  def makePng(seed: Long, w: Int = 24, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var state = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        state = TextOps.mix64(state)
+        img.setRGB(x, y, (state & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** STUB decode: deterministic pseudo-decode from the content hash. A real
     * deployment replaces this body with an actual codec call. */
@@ -104,31 +178,46 @@ object Multimodal {
       val kind = (Math.floorMod(h, 3L)) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val size = 256 + Math.floorMod(h >>> 8, 1792L).toInt
-      val bytes = new Array[Byte](size)
-      var state = h
-      var j = 0
-      while (j < size) { state = TextOps.mix64(state); bytes(j) = (state & 0xff).toByte; j += 1 }
-      val mime = kind match {
-        case "image" => "image/jpeg"; case "audio" => "audio/mpeg"; case _ => "video/mp4"
-      }
+      // image rows carry REAL PNG bytes (decoded by the real ImageIO path);
+      // audio/video stay hash-derived opaque blobs for the stub codecs
+      val (bytes, mime, w0, h0) =
+        if (kind == "image") {
+          val w = 16 + Math.floorMod(h, 17L).toInt
+          val hh = 16 + Math.floorMod(h >>> 8, 17L).toInt
+          (makePng(h, w, hh), "image/png", w, hh)
+        } else {
+          val size = 256 + Math.floorMod(h >>> 8, 1792L).toInt
+          val b = new Array[Byte](size)
+          var state = h
+          var j = 0
+          while (j < size) { state = TextOps.mix64(state); b(j) = (state & 0xff).toByte; j += 1 }
+          (b, if (kind == "audio") "audio/mpeg" else "video/mp4", if (kind == "audio") 0 else 640, if (kind == "audio") 0 else 480)
+        }
       MediaRow(i, kind, mime, bytes,
-        width = if (kind != "audio") 640 else 0,
-        height = if (kind != "audio") 480 else 0,
+        width = w0,
+        height = h0,
         duration_ms = if (kind != "image") 5000 + Math.floorMod(h, 60000L) else 0,
         source_url = s"https://media.example.com/$kind/$i")
     })
   }
 
-  /** The batched per-partition feature stage — real plumbing, stubbed codec. */
+  /** The batched per-partition feature stage — real plumbing; REAL codec for
+    * PNG/BMP images, deterministic stub for formats without a JDK codec. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition batch: codec/session setup would be amortized here
       it.map { m =>
-        val decoded = decodeStub(m.bytes)
-        val feat = featureStub(m.bytes)
-        MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decoded.isDefined)
+        val real = if (m.kind == "image") decodeImage(m.bytes) else None
+        real match {
+          case Some(img) =>
+            val feat = luminanceFeature(img)
+            MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decode_ok = true)
+          case None =>
+            val decoded = decodeStub(m.bytes)
+            val feat = featureStub(m.bytes)
+            MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decoded.isDefined)
+        }
       }
     }
   }

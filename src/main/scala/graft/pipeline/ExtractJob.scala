@@ -68,6 +68,26 @@ object ExtractJob {
       .drop("__salt")
   }
 
+  /** S2 robots gate: join the small `(host, robots_txt)` side table by host
+    * (broadcast — it is bounded by distinct-host count, not corpus size) and
+    * drop rows the matcher forbids BEFORE any DOM work. Hosts missing from
+    * the side table fail open (robots.ts:46-52 error semantics). */
+  def robotsGate(
+      pages: Dataset[PageRow],
+      robots: DataFrame,
+      userAgent: String = "ScrapexBot/1.0"): Dataset[PageRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val allowed = udf((robotsTxt: String, url: String) =>
+      graft.sources.Robots.isAllowed(robotsTxt, url, userAgent))
+    pages.toDF().withColumn("__host", hostCol)
+      .join(broadcast(robots.select(col("host").as("__host"), col("robots_txt"))),
+        Seq("__host"), "left")
+      .filter(col("robots_txt").isNull || allowed(col("robots_txt"), col("url")))
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[PageRow]
+  }
+
   /** Decode `html: binary` → string with a charset sniff (UTF-8 default,
     * meta-charset override) — first transform per SURVEY.md §1.2. */
   def decodeHtml(bytes: Array[Byte]): String = {

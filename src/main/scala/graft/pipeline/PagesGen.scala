@@ -35,6 +35,27 @@ object PagesGen {
     spark.range(n).mapPartitions(_.map(i => makePage(i)))
   }
 
+  /** Deterministic per-host robots.txt for the S2 gate: four variants keyed
+    * by a host hash, exercising fail-open, Allow-before-Disallow precedence,
+    * specific-agent-overrides-`*`, and `*`/`$` wildcards
+    * (`/root/reference/src/fetchers/robots.ts:62-167` semantics). */
+  def robotsFor(host: String): String =
+    Math.floorMod(graft.ops.TextOps.fnv64(host), 4L).toInt match {
+      case 0 => "" // no robots.txt → fail-open allowed
+      case 1 => "User-agent: *\nDisallow: /docs/\nDisallow: /posts/\nAllow: /posts/post-1\n"
+      case 2 => "User-agent: ScrapexBot\nDisallow: /news/\n\nUser-agent: *\nDisallow: /\n"
+      case _ => "User-agent: *\nDisallow: /art*les/\nDisallow: /wiki/post-11$\n"
+    }
+
+  /** The broadcast side table for the robots gate: one row per distinct host.
+    * At 100 TB this is the (host, robots_txt) table the crawler maintains —
+    * tiny relative to the corpus (≤ millions of hosts), hence broadcastable. */
+  def robotsTable(spark: SparkSession, pages: Dataset[PageRow]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    pages.toDF().select(ExtractJob.hostCol.as("host")).distinct()
+      .as[String].map(h => (h, robotsFor(h))).toDF("host", "robots_txt")
+  }
+
   // --- deterministic per-row PRNG (splitmix64) ---
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
