@@ -124,17 +124,10 @@ object SparkEntry {
       val bands = sigs.as[(String, Array[Long])].flatMap { case (url, sig) =>
         TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, i, b) }
       }.toDF("url", "band_idx", "band_key")
-      // mega-bucket suppression: a band key shared by >64 docs is template
-      // boilerplate — joining it is quadratic noise (same cap as the
-      // jaccard/simhash siblings).
-      val bucketSizes = bands.groupBy("band_idx", "band_key").count()
-      val smallBuckets = bands.join(bucketSizes.filter(col("count") <= 64), Seq("band_idx", "band_key"))
-      val pairs = smallBuckets.as("a").join(smallBuckets.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.url") < col("b.url"))
-        .select(col("a.url").as("url_a"), col("b.url").as("url_b"))
-        .dropDuplicates("url_a", "url_b")
+      // shared candidate-pair operator: mega-bucket suppression (>64-doc band
+      // keys are template boilerplate) + payload-free self-join (DedupOps).
+      val pairs = graft.ops.DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url")
+        .withColumnRenamed("id_a", "url_a").withColumnRenamed("id_b", "url_b")
       val withSigs = pairs
         .join(sigs.select(col("url").as("url_a"), col("sig").as("sig_a")), "url_a")
         .join(sigs.select(col("url").as("url_b"), col("sig").as("sig_b")), "url_b")
@@ -160,16 +153,10 @@ object SparkEntry {
       val bands = shingled.as[(String, Array[Long], Array[Long])].flatMap { case (url, _, sig) =>
         TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, i, b) }
       }.toDF("url", "band_idx", "band_key")
-      // mega-bucket suppression: an LSH bucket shared by >64 docs is
-      // non-discriminative boilerplate — skip it (bounded join fan-out at scale)
-      val bucketSizes = bands.groupBy("band_idx", "band_key").count()
-      val smallBuckets = bands.join(bucketSizes.filter(col("count") <= 64), Seq("band_idx", "band_key"))
-      val cands = smallBuckets.as("a").join(smallBuckets.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.url") < col("b.url"))
-        .select(col("a.url").as("url_a"), col("b.url").as("url_b"))
-        .dropDuplicates("url_a", "url_b")
+      // shared candidate-pair operator (mega-bucket suppression ≤64 + id-only
+      // self-join): exact Jaccard then runs only on the surviving candidates
+      val cands = graft.ops.DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url")
+        .withColumnRenamed("id_a", "url_a").withColumnRenamed("id_b", "url_b")
       val withSets = cands
         .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
         .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
@@ -547,11 +534,12 @@ object SparkEntry {
           (0 until 8).map(t => (id, t, VectorOps.cosineLshBucket(v, 4, t)))
         }
         .toDF("vec_id", "table", "bucket")
-      val a = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-      val b = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
-      val pairs = a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates("id_a", "id_b")
+      // no count-based suppression here: hyperplane buckets are coarse BY
+      // DESIGN (2^4 per table at this SF) and grow linearly with corpus size —
+      // occupancy is governed by raising nBits at scale, not by a count cap
+      // (which would suppress every bucket once the corpus outgrows it).
+      val pairs = graft.ops.DedupOps.candidatePairs(
+        buckets, Seq("table", "bucket"), "vec_id", maxBucket = Int.MaxValue)
       pairs
         .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
         .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")

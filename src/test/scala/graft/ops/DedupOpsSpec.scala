@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Mega-bucket suppression + payload-free candidate-pair contract. */
+class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-dedup-ops-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("a planted boilerplate mega-bucket is suppressed; small buckets pair up") {
+    val s = spark
+    import s.implicits._
+    // bucket (0, 999): 100 docs sharing one boilerplate band key (> 64 cap)
+    // bucket (1, 7):   3 docs — a genuine near-dup cluster
+    // bucket (2, 8):   1 doc — no pairs
+    val bands = (
+      (0 until 100).map(i => (s"mega-$i", 0, 999L)) ++
+      Seq(("a", 1, 7L), ("b", 1, 7L), ("c", 1, 7L), ("solo", 2, 8L))
+    ).toDF("url", "band_idx", "band_key")
+
+    val pairs = DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      "mega-bucket must contribute ZERO pairs; the 3-doc cluster all pairs")
+  }
+
+  test("pairs are distinct across buckets and ordered id_a < id_b") {
+    val s = spark
+    import s.implicits._
+    // x,y share TWO buckets → the pair must appear once
+    val bands = Seq(
+      ("x", 0, 1L), ("y", 0, 1L),
+      ("x", 1, 2L), ("y", 1, 2L)
+    ).toDF("url", "band_idx", "band_key")
+    val pairs = DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getString(0) == "x" && pairs.head.getString(1) == "y")
+  }
+
+  test("maxBucket is configurable (Int.MaxValue disables suppression)") {
+    val s = spark
+    import s.implicits._
+    val bands = (0 until 70).map(i => (s"d-$i", 0, 5L)).toDF("url", "band_idx", "band_key")
+    assert(DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url").count() == 0)
+    assert(DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url",
+      maxBucket = Int.MaxValue).count() == 70L * 69 / 2)
+  }
+}
