@@ -32,7 +32,8 @@ final case class Partial(
     wordCount: Option[Int] = None,
     contentType: Option[String] = None,
     links: Option[Seq[ExtractedLink]] = None,
-    error: Option[String] = None
+    error: Option[String] = None,
+    custom: Map[String, String] = Map.empty
 ) {
   /** `b.merge(a)` where `this` is the earlier state and `b` the newer partial. */
   def merge(b: Partial): Partial = Partial(
@@ -54,7 +55,10 @@ final case class Partial(
     wordCount = b.wordCount.orElse(wordCount),
     contentType = b.contentType.orElse(contentType),
     links = b.links.orElse(links),
-    error = b.error.orElse(error)
+    error = b.error.orElse(error),
+    // context.ts:79-83 — custom fields are DEEP-merged (per-key, newer wins),
+    // unlike every other field which is whole-value non-undefined-wins
+    custom = custom ++ b.custom
   )
 }
 

@@ -41,7 +41,11 @@ final case class ScrapedRow(
     norm_hash: String,
     norm_meta: NormMetaRow,
     status: String,          // ok | invalid_url | empty_html
-    error: Option[String])
+    error: Option[String],
+    /** `custom?: Record<string,unknown>` (types.ts:83): values from custom
+      * extractors / ask() as canonical JSON or plain strings, deep-merged
+      * across extractors (context.ts:79-83). */
+    custom: Map[String, String] = Map.empty)
 
 /**
  * D1–D4 — the fused per-row extraction fold, re-expressing
@@ -150,12 +154,13 @@ object ScrapePipeline {
       norm_hash = normHash,
       norm_meta = normMeta,
       status = "ok",
-      error = results.error
+      error = results.error,
+      custom = results.custom
     )
   }
 
   private def errorRow(url: String, status: String, error: Option[String]): ScrapedRow =
     ScrapedRow(url, url, "", "", "", None, None, "", "", "", 0, None, None, None,
       None, None, "unknown", Nil, None, Nil, "", "",
-      NormMetaRow(0, 0, "unknown", false, false, "", 0, 0, false), status, error)
+      NormMetaRow(0, 0, "unknown", false, false, "", 0, 0, false), status, error, Map.empty)
 }

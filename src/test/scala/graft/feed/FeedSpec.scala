@@ -217,4 +217,27 @@ class FeedFixturesSpec extends org.scalatest.funsuite.AnyFunSuite {
     val data = new RssParser().parse(fixture("atom-unsafe-links.xml"), Some("https://example.com/atom")).data
     data.items.foreach(i => assert(i.link == "" || i.link.startsWith("https://")))
   }
+
+  test("malformed items survive with empty fields; guid fallback link (feed-utilities.test.ts:126-137)") {
+    val data = new RssParser().parse(fixture("rss2-malformed.xml"), Some("https://example.com/feed.xml")).data
+    assert(data.title == "Broken Feed")
+    assert(data.items.length == 2)
+    assert(data.items(0).title == "")
+    assert(data.items(0).link == "")
+    assert(data.items(0).publishedAt.isEmpty)
+    assert(data.items(1).link == "https://example.com/guid-only")
+  }
+
+  test("podcast enclosure url extracted (feed-utilities.test.ts:245-252)") {
+    val data = new RssParser().parse(fixture("podcast-itunes.xml"), Some("https://example.com/podcast.xml")).data
+    assert(data.items.head.title == "Episode 1")
+    assert(data.items.head.enclosure.exists(_.url == "https://example.com/ep1.mp3"))
+  }
+
+  test("feedToText over the rss2-dc fixture (feed-utilities.test.ts:183-190)") {
+    val data = new RssParser().parse(fixture("rss2-dc.xml"), Some("https://example.com/feed.xml")).data
+    val text = FeedOps.feedToText(data, maxItems = Some(5))
+    assert(text.contains("Article Title"))
+    assert(text.contains("Article description text"))
+  }
 }

@@ -188,4 +188,29 @@ class ScrapePipelineSpec extends AnyFunSuite {
     assert(row.error.exists(_.contains("exploder: boom")))
     assert(row.title == "T") // remaining extractors still ran
   }
+
+  test("custom extractor writes into custom map (core-scraping.test.ts:235-258 PriceExtractor)") {
+    object PriceExtractor extends graft.extract.Extractor {
+      val name = "price"
+      val priority = 50
+      def extract(ctx: graft.extract.ExtractionContext): graft.extract.Partial =
+        graft.extract.Partial(custom = Map(
+          "price" -> ctx.doc.select(".price").map(_.text()).mkString))
+    }
+    val html = """<html><body><div class="price">$29.99</div></body></html>"""
+    val row = ScrapePipeline.scrapeHtml(html, "https://example.com", extractors = Seq(PriceExtractor))
+    assert(row.custom.get("price").contains("$29.99"))
+  }
+
+  test("custom map deep-merges across extractors, per-key newer wins (context.ts:79-83)") {
+    def ex(n: String, prio: Int, kv: (String, String)*) = new graft.extract.Extractor {
+      val name = n; val priority = prio
+      def extract(ctx: graft.extract.ExtractionContext) = graft.extract.Partial(custom = kv.toMap)
+    }
+    val html = "<html><body><p>x</p></body></html>"
+    val row = ScrapePipeline.scrapeHtml(html, "https://example.com",
+      extractors = Seq(ex("a", 90, "k1" -> "v1", "shared" -> "early"),
+                       ex("b", 10, "k2" -> "v2", "shared" -> "late")))
+    assert(row.custom == Map("k1" -> "v1", "k2" -> "v2", "shared" -> "late"))
+  }
 }
