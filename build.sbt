@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // extraction is allocation-heavy (per-row DOM trees); a small heap makes
   // GC the scaling bottleneck at local[32] — default high on this 128 GiB box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

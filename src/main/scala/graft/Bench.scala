@@ -13,9 +13,14 @@ import graft.pipeline.{ExtractJob, PageRow, PagesGen}
  *
  * Scaling evidence: run this main at `SPARK_GRAFT_CPUS=8` and `32` on the
  * same corpus; efficiency = tput(32) / (4 × tput(8)) — recorded in
- * BASELINE.md. Extraction partitions = 4× cores so per-task skew (doc size
- * variance) can't leave cores idle in the tail — the same ratio that holds
- * on a real multi-executor cluster.
+ * BASELINE.md. The partition count is FIXED across levels (default 128 =
+ * 4 × the largest level) exactly as on a real cluster, where the input
+ * splits are determined by the data and only the executor count varies:
+ * per-task dispatch overhead (task-binary deserialization, task memory
+ * setup — a measured ~40% of bench-scale allocation) must not scale with
+ * the level being measured, or the ratio measures scheduler overhead, not
+ * the extraction pipeline. 128 partitions also keep per-task skew bounded
+ * at every level (≥4 waves at 32 cores).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +28,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // fixed across levels (cluster analogy: shuffle width is a property of
+      // the data/job, not of how many executors happen to run it)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // local-mode shuffle goes through memory, not a network: spill to
+      // tmpfs and skip lz4 (pure overhead here; a real cluster keeps
+      // compression for the wire — this setting is the single-box stand-in)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark_local" else "/tmp"))
+      .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -35,7 +51,7 @@ object Bench {
     // corpus so constant job overheads don't read as lost efficiency)
     val nDocs = sys.env.get("SPARK_GRAFT_DOCS").map(_.toInt)
       .getOrElse(PagesGen.pagesFor(sfDir))
-    val parts = cpus.toInt * 4
+    val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt).getOrElse(128)
 
     // corpus parquet — generated once, shared by every level (identical files)
     val corpusDir = s"target/bench_corpus_$nDocs"

@@ -196,7 +196,19 @@ object Normalizer {
       t
     }
 
-    var normalizedText = textParts.mkString("\n\n")
+    // exact-size join (mkString would double-and-copy through ~2× the bytes)
+    var normalizedText = {
+      var total = 0
+      textParts.foreach(t => total += t.length + 2)
+      val sb = new java.lang.StringBuilder(math.max(0, total - 2))
+      var first = true
+      textParts.foreach { t =>
+        if (!first) sb.append("\n\n")
+        sb.append(t)
+        first = false
+      }
+      sb.toString
+    }
     var truncated = false
     options.maxChars.foreach { mc =>
       if (normalizedText.length > mc) {

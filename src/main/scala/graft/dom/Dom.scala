@@ -22,7 +22,10 @@ sealed trait Node {
   def replaceWith(n: Node): Unit = {
     val p = parent
     if (p != null) {
-      val idx = p.children.indexWhere(_ eq this)
+      val sibs = p.children
+      var idx = -1
+      var i = 0
+      while (idx < 0 && i < sibs.length) { if (sibs(i) eq this) idx = i; i += 1 }
       if (idx >= 0) {
         n.remove()
         p.children(idx) = n
@@ -47,41 +50,38 @@ final class CommentNode(var data: String) extends Node {
   * attributes, so a compact pair array beats a hash table — the per-element
   * LinkedHashMap was a top allocation source in the extraction profile. */
 final class AttrList {
-  private var ks: Array[String] = AttrList.emptyArr
-  private var vs: Array[String] = AttrList.emptyArr
+  // single interleaved [k0, v0, k1, v1, …] array: one object (not two) per
+  // attributed element, sized for the 1-attribute common case
+  private var kv: Array[String] = AttrList.emptyArr
   private var n = 0
   private def indexOf(k: String): Int = {
     var i = 0
-    while (i < n) { if (ks(i) == k) return i; i += 1 }
+    while (i < n) { if (kv(2 * i) == k) return i; i += 1 }
     -1
   }
-  def get(k: String): Option[String] = { val i = indexOf(k); if (i < 0) None else Some(vs(i)) }
+  def get(k: String): Option[String] = { val i = indexOf(k); if (i < 0) None else Some(kv(2 * i + 1)) }
   def contains(k: String): Boolean = indexOf(k) >= 0
   def update(k: String, v: String): Unit = {
     val i = indexOf(k)
-    if (i >= 0) vs(i) = v
+    if (i >= 0) kv(2 * i + 1) = v
     else {
-      if (n == ks.length) {
-        val cap = if (n == 0) 4 else n * 2
-        ks = java.util.Arrays.copyOf(ks, cap)
-        vs = java.util.Arrays.copyOf(vs, cap)
-      }
-      ks(n) = k; vs(n) = v; n += 1
+      if (2 * n == kv.length)
+        kv = java.util.Arrays.copyOf(kv, if (n == 0) 2 else 4 * n)
+      kv(2 * n) = k; kv(2 * n + 1) = v; n += 1
     }
   }
   def remove(k: String): Unit = {
     val i = indexOf(k)
     if (i >= 0) {
-      System.arraycopy(ks, i + 1, ks, i, n - i - 1)
-      System.arraycopy(vs, i + 1, vs, i, n - i - 1)
-      n -= 1; ks(n) = null; vs(n) = null
+      System.arraycopy(kv, 2 * (i + 1), kv, 2 * i, 2 * (n - i - 1))
+      n -= 1; kv(2 * n) = null; kv(2 * n + 1) = null
     }
   }
   def foreach(f: ((String, String)) => Unit): Unit = {
     var i = 0
-    while (i < n) { f((ks(i), vs(i))); i += 1 }
+    while (i < n) { f((kv(2 * i), kv(2 * i + 1))); i += 1 }
   }
-  def values: Iterator[String] = (0 until n).iterator.map(vs)
+  def values: Iterator[String] = (0 until n).iterator.map(i => kv(2 * i + 1))
   def size: Int = n
   def isEmpty: Boolean = n == 0
 }
@@ -102,17 +102,32 @@ final class Element(val tag: String) extends Node {
   def appendChild(n: Node): Unit = { n.remove(); n.parent = this; children += n }
 
   def insertBefore(n: Node, ref: Node): Unit = {
-    val idx = children.indexWhere(_ eq ref)
+    var idx = -1
+    var i = 0
+    while (idx < 0 && i < children.length) { if (children(i) eq ref) idx = i; i += 1 }
     n.remove()
     n.parent = this
     if (idx < 0) children += n else children.insert(idx, n)
+  }
+
+  /** Index of this node in its parent's child list — manual scan (indexWhere
+    * allocates an iterator + closure per call; these run per node in the
+    * Readability sibling walks). */
+  private def siblingIndex: Int = {
+    val sibs = parent.children
+    var i = 0
+    while (i < sibs.length) {
+      if (sibs(i) eq this) return i
+      i += 1
+    }
+    -1
   }
 
   /** Next sibling node (any type), or null. */
   def nextSibling: Node = {
     if (parent == null) return null
     val sibs = parent.children
-    val idx = sibs.indexWhere(_ eq this)
+    val idx = siblingIndex
     if (idx >= 0 && idx + 1 < sibs.length) sibs(idx + 1) else null
   }
 
@@ -120,7 +135,7 @@ final class Element(val tag: String) extends Node {
   def nextElementSibling: Element = {
     if (parent == null) return null
     val sibs = parent.children
-    var idx = sibs.indexWhere(_ eq this) + 1
+    var idx = siblingIndex + 1
     while (idx < sibs.length) {
       sibs(idx) match { case e: Element => return e; case _ => }
       idx += 1
@@ -169,11 +184,31 @@ final class Element(val tag: String) extends Node {
     b.result()
   }
 
-  /** Concatenated descendant text — cheerio `.text()` (no added whitespace). */
+  /** Concatenated descendant text — cheerio `.text()` (no added whitespace).
+    * Two walks: an allocation-free length pass, then one exact-size builder —
+    * cheaper than letting the builder double-and-copy (the copies cost ~2×
+    * the final size in byte[] churn; this was a top allocation site). */
   def text(): String = {
-    val sb = new java.lang.StringBuilder
+    val len = textLength
+    if (len == 0) return ""
+    val sb = new java.lang.StringBuilder(len)
     appendText(sb)
     sb.toString
+  }
+
+  /** Total descendant text length, no allocation. */
+  def textLength: Int = {
+    var total = 0
+    var i = 0
+    while (i < children.length) {
+      children(i) match {
+        case t: TextNode => total += t.data.length
+        case e: Element  => total += e.textLength
+        case _           =>
+      }
+      i += 1
+    }
+    total
   }
 
   private def appendText(sb: java.lang.StringBuilder): Unit = {

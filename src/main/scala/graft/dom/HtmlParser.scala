@@ -51,6 +51,26 @@ object HtmlParser {
   private val headTags: Set[String] =
     Set("base", "basefont", "bgsound", "link", "meta", "title", "noscript", "noframes", "style", "script", "template")
 
+  private val buttonScopeBoundary: Set[String] = Set("table", "td", "th", "button", "caption")
+
+  /** Reusable start-tag parse result — one instance per parse() call, so the
+    * tokenizer allocates nothing per tag (the Tuple4 + Vector[(k,v)] per start
+    * tag was a measured allocation hotspot). */
+  private final class TagScratch {
+    var tag: String = ""
+    var selfClosing = false
+    var next = 0
+    var n = 0
+    private var kv = new Array[String](8)
+    def clear(): Unit = { n = 0; selfClosing = false }
+    def add(k: String, v: String): Unit = {
+      if (2 * n == kv.length) kv = java.util.Arrays.copyOf(kv, kv.length * 2)
+      kv(2 * n) = k; kv(2 * n + 1) = v; n += 1
+    }
+    def key(i: Int): String = kv(2 * i)
+    def value(i: Int): String = kv(2 * i + 1)
+  }
+
   def parse(htmlInput: String): DomDoc = {
     val html = if (htmlInput == null) "" else htmlInput
     val docHtml = new Element("html")
@@ -81,12 +101,38 @@ object HtmlParser {
     }
 
     def closePUpTo(): Unit = {
-      val idx = stack.lastIndexWhere(_.tag == "p")
+      var idx = stack.length - 1
+      while (idx >= 0 && stack(idx).tag != "p") idx -= 1
       if (idx >= 0) {
         // button-scope boundary check: stop if a table/td/th/button sits above the p
-        val boundary = stack.indexWhere(e => Set("table", "td", "th", "button", "caption").contains(e.tag), idx + 1)
+        var boundary = -1
+        var i = idx + 1
+        while (boundary < 0 && i < stack.length) {
+          if (buttonScopeBoundary.contains(stack(i).tag)) boundary = i
+          i += 1
+        }
         if (boundary < 0) stack.dropRightInPlace(stack.length - idx)
       }
+    }
+
+    // allocation-free helpers over the open stack (drop/exists allocate)
+    def lastIndexOfTag(t1: String, t2: String): Int = {
+      var i = stack.length - 1
+      while (i >= 0) {
+        val t = stack(i).tag
+        if (t == t1 || t == t2) return i
+        i -= 1
+      }
+      -1
+    }
+    def containsAbove(idx: Int, t1: String, t2: String): Boolean = {
+      var i = idx + 1
+      while (i < stack.length) {
+        val t = stack(i).tag
+        if (t == t1 || t == t2) return true
+        i += 1
+      }
+      false
     }
 
     def closeImplied(tag: String): Unit = {
@@ -96,40 +142,45 @@ object HtmlParser {
       }
       tag match {
         case "li" =>
-          val idx = stack.lastIndexWhere(_.tag == "li")
-          if (idx >= 0 && !stack.drop(idx + 1).exists(e => e.tag == "ul" || e.tag == "ol"))
+          val idx = lastIndexOfTag("li", "li")
+          if (idx >= 0 && !containsAbove(idx, "ul", "ol"))
             stack.dropRightInPlace(stack.length - idx)
         case "dt" | "dd" =>
-          val idx = stack.lastIndexWhere(e => e.tag == "dt" || e.tag == "dd")
-          if (idx >= 0 && !stack.drop(idx + 1).exists(_.tag == "dl"))
+          val idx = lastIndexOfTag("dt", "dd")
+          if (idx >= 0 && !containsAbove(idx, "dl", "dl"))
             stack.dropRightInPlace(stack.length - idx)
         case "td" | "th" =>
-          val idx = stack.lastIndexWhere(e => e.tag == "td" || e.tag == "th")
-          if (idx >= 0 && !stack.drop(idx + 1).exists(e => e.tag == "tr" || e.tag == "table"))
+          val idx = lastIndexOfTag("td", "th")
+          if (idx >= 0 && !containsAbove(idx, "tr", "table"))
             stack.dropRightInPlace(stack.length - idx)
         case "tr" =>
-          val idx = stack.lastIndexWhere(_.tag == "tr")
-          if (idx >= 0 && !stack.drop(idx + 1).exists(_.tag == "table"))
+          val idx = lastIndexOfTag("tr", "tr")
+          if (idx >= 0 && !containsAbove(idx, "table", "table"))
             stack.dropRightInPlace(stack.length - idx)
         case "option" =>
-          val idx = stack.lastIndexWhere(_.tag == "option")
-          if (idx >= 0 && idx == stack.length - 1)
+          if (stack.nonEmpty && stack.last.tag == "option")
             stack.dropRightInPlace(1)
         case _ =>
       }
     }
 
-    def startTag(tag: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+    def setAttrsFrom(el: Element, t: TagScratch): Unit = {
+      var i = 0
+      while (i < t.n) { el.setAttr(t.key(i), t.value(i)); i += 1 }
+    }
+
+    def startTag(t: TagScratch, selfClosing: Boolean): Unit = {
+      val tag = t.tag
       tag match {
         case "html" =>
-          attrs.foreach { case (k, v) => docHtml.setAttr(k, v) }
+          setAttrsFrom(docHtml, t)
           return
         case "head" =>
           sawExplicitHead = true
-          attrs.foreach { case (k, v) => docHead.setAttr(k, v) }
+          setAttrsFrom(docHead, t)
           return
         case "body" =>
-          attrs.foreach { case (k, v) => docBody.setAttr(k, v) }
+          setAttrsFrom(docBody, t)
           switchToBody()
           return
         case _ =>
@@ -137,7 +188,7 @@ object HtmlParser {
       if (!inBody && stack.isEmpty && !headTags.contains(tag)) switchToBody()
       closeImplied(tag)
       val el = new Element(tag)
-      attrs.foreach { case (k, v) => el.setAttr(k, v) }
+      setAttrsFrom(el, t)
       current.appendChild(el)
       if (!voidElements.contains(tag) && !selfClosing) stack += el
       // foreign content self-closing (<svg/>) respected via selfClosing flag
@@ -156,6 +207,7 @@ object HtmlParser {
     val n = html.length
     var i = 0
     val textBuf = new java.lang.StringBuilder
+    val scratch = new TagScratch
 
     def flushText(): Unit = {
       if (textBuf.length > 0) {
@@ -199,13 +251,14 @@ object HtmlParser {
           } else { textBuf.append(c); i += 1 }
         } else if (Character.isLetter(c1)) {
           flushText()
-          val (tag, attrs, selfClosing, next) = parseStartTag(html, i)
-          i = next
+          parseStartTag(html, i, scratch)
+          val tag = scratch.tag
+          i = scratch.next
           if (rawTextTags.contains(tag) || rcdataTags.contains(tag)) {
             // consume raw content until matching end tag
             val endIdx = findEndTag(html, i, tag)
             val content = html.substring(i, endIdx)
-            startTag(tag, attrs, selfClosing = false)
+            startTag(scratch, selfClosing = false)
             if (content.nonEmpty) {
               val data = if (rcdataTags.contains(tag)) Entities.decode(content) else content
               current.appendChild(new TextNode(data))
@@ -217,7 +270,7 @@ object HtmlParser {
               if (gt < 0) n else gt + 1
             }
           } else {
-            startTag(tag, attrs, selfClosing)
+            startTag(scratch, scratch.selfClosing)
           }
         } else { textBuf.append(c); i += 1 }
       } else {
@@ -230,14 +283,14 @@ object HtmlParser {
     new DomDoc(docHtml, docHead, docBody)
   }
 
-  /** Parse a start tag at s(start)=='<'; returns (tag, attrs, selfClosing, nextIndex). */
-  private def parseStartTag(s: String, start: Int): (String, Vector[(String, String)], Boolean, Int) = {
+  /** Parse a start tag at s(start)=='<' into the reusable scratch. */
+  private def parseStartTag(s: String, start: Int, out: TagScratch): Unit = {
     val n = s.length
     var i = start + 1
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' || s.charAt(i) == ':')) i += 1
-    val tag = s.substring(nameStart, i).toLowerCase
-    val attrs = Vector.newBuilder[(String, String)]
+    out.clear()
+    out.tag = s.substring(nameStart, i).toLowerCase
     var selfClosing = false
     var done = false
     while (!done && i < n) {
@@ -271,10 +324,11 @@ object HtmlParser {
               value = Entities.decode(s.substring(vs, i), inAttribute = true)
             }
           }
-          if (name.nonEmpty) attrs += (name -> value)
+          if (name.nonEmpty) out.add(name, value)
       }
     }
-    (tag, attrs.result(), selfClosing, i)
+    out.selfClosing = selfClosing
+    out.next = i
   }
 
   /** Index of `</tag` (case-insensitive) at or after `from`; input length if absent. */

@@ -255,8 +255,16 @@ object Readability {
       true
     }
 
-    private def allTags(root: Element, tags: Set[String]): Vector[Element] =
-      root.descendants.filter(e => tags.contains(e.tag)).toVector
+    private def allTags(root: Element, tags: Set[String]): scala.collection.IndexedSeq[Element] = {
+      // manual collect — iterator.filter.toVector allocated per call on a hot path
+      val out = new scala.collection.mutable.ArrayBuffer[Element](16)
+      val it = root.descendants
+      while (it.hasNext) {
+        val e = it.next()
+        if (tags.contains(e.tag)) out += e
+      }
+      out
+    }
 
     private def wordCount(s: String): Int = Js.splitWs(s).length
 
@@ -419,12 +427,32 @@ object Readability {
     }
 
     private def textSimilarity(a: String, b: String): Double = {
-      val tokensA = Readability.nonWordRe.split(a.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-      val tokensB = Readability.nonWordRe.split(b.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-      if (tokensA.isEmpty || tokensB.isEmpty) return 0.0
-      val setA = tokensA.toSet
-      val uniq = tokensB.filter(t => !setA.contains(t))
-      val distance = uniq.mkString(" ").length.toDouble / tokensB.mkString(" ").length
+      // length arithmetic instead of building the joined strings:
+      // mkString(" ").length == Σ token lengths + (count - 1)
+      val tokensA = Readability.nonWordRe.split(a.toLowerCase(java.util.Locale.ROOT))
+      val tokensB = Readability.nonWordRe.split(b.toLowerCase(java.util.Locale.ROOT))
+      val setA = new java.util.HashSet[String]()
+      var kA = 0
+      var i = 0
+      while (i < tokensA.length) {
+        if (tokensA(i).nonEmpty) { kA += 1; setA.add(tokensA(i)) }
+        i += 1
+      }
+      var kB = 0; var lenB = 0L
+      var kU = 0; var lenU = 0L
+      i = 0
+      while (i < tokensB.length) {
+        val t = tokensB(i)
+        if (t.nonEmpty) {
+          kB += 1; lenB += t.length
+          if (!setA.contains(t)) { kU += 1; lenU += t.length }
+        }
+        i += 1
+      }
+      if (kA == 0 || kB == 0) return 0.0
+      val uniqLen = if (kU == 0) 0L else lenU + (kU - 1)
+      val totalLen = if (kB == 0) 0L else lenB + (kB - 1)
+      val distance = uniqLen.toDouble / totalLen
       1 - distance
     }
 

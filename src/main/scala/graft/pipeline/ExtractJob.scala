@@ -89,17 +89,42 @@ object ExtractJob {
   }
 
   /** Decode `html: binary` → string with a charset sniff (UTF-8 default,
-    * meta-charset override) — first transform per SURVEY.md §1.2. */
+    * meta-charset override) — first transform per SURVEY.md §1.2. The sniff
+    * scans the raw bytes for `charset=` directly (ASCII-compatible in every
+    * charset the sniff can name) — no head-string or per-call Pattern. */
   def decodeHtml(bytes: Array[Byte]): String = {
     if (bytes == null) return ""
-    val head = new String(bytes, 0, math.min(bytes.length, 2048), java.nio.charset.StandardCharsets.ISO_8859_1)
-    val m = java.util.regex.Pattern.compile("charset=[\"']?([A-Za-z0-9_\\-]+)", java.util.regex.Pattern.CASE_INSENSITIVE).matcher(head)
-    val charset =
-      if (m.find()) {
-        try java.nio.charset.Charset.forName(m.group(1))
-        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
-      } else java.nio.charset.StandardCharsets.UTF_8
+    val charset = sniffCharset(bytes).getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     new String(bytes, charset)
+  }
+
+  private val charsetLit = "charset=".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def sniffCharset(bytes: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val n = math.min(bytes.length, 2048)
+    var i = 0
+    while (i + charsetLit.length <= n) {
+      var j = 0
+      while (j < charsetLit.length &&
+        (bytes(i + j) | 0x20) == charsetLit(j)) j += 1 // ASCII case-fold
+      if (j == charsetLit.length) {
+        var k = i + j
+        if (k < n && (bytes(k) == '"' || bytes(k) == '\'')) k += 1
+        val s = k
+        while (k < n && {
+          val b = bytes(k)
+          (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || b == '_' || b == '-'
+        }) k += 1
+        if (k > s) {
+          val name = new String(bytes, s, k - s, java.nio.charset.StandardCharsets.US_ASCII)
+          return try Some(java.nio.charset.Charset.forName(name))
+          catch { case _: Exception => None }
+        }
+      }
+      i += 1
+    }
+    None
   }
 
   final case class Counters(
@@ -126,8 +151,11 @@ object ExtractJob {
   ): Dataset[ScrapedRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val repartitioned = saltedRepartitionByHost(pages.toDF(), numPartitions)
-      .as[PageRowWithHost]
+    // prune to the two columns extraction reads BEFORE the exchange: the
+    // crawl-provided text/lang/warc_ts columns never ride the shuffle
+    // (at 100 TB that is a double-digit percentage of shuffle bytes)
+    val repartitioned = saltedRepartitionByHost(pages.toDF().select("url", "html"), numPartitions)
+      .select("url", "html").as[(String, Array[Byte])]
 
     repartitioned.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
@@ -137,13 +165,13 @@ object ExtractJob {
       var minUrl: String = null
       var maxUrl: String = null
 
-      val mapped = it.map { p =>
-        val row = ScrapePipeline.scrapeHtml(decodeHtml(p.html), p.url)
+      val mapped = it.map { case (url, html) =>
+        val row = ScrapePipeline.scrapeHtml(decodeHtml(html), url)
         nRows += 1
         if (row.status != "ok" || row.error.isDefined) nFail += 1
         if (row.text_content.isEmpty) nEmpty += 1
-        if (minUrl == null || p.url < minUrl) minUrl = p.url
-        if (maxUrl == null || p.url > maxUrl) maxUrl = p.url
+        if (minUrl == null || url < minUrl) minUrl = url
+        if (maxUrl == null || url > maxUrl) maxUrl = url
         row
       }
 
@@ -197,8 +225,3 @@ object ExtractJob {
 
   final case class ManifestSummary(pagesParsed: Long, parseFailures: Long, emptyContent: Long, nPartitions: Int)
 }
-
-/** PageRow plus the derived host column used by the partitioner. */
-final case class PageRowWithHost(
-    url: String, warc_ts: java.sql.Timestamp, html: Array[Byte], text: String, lang: String,
-    __host: String)

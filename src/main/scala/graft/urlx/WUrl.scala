@@ -112,7 +112,12 @@ object WUrl {
 
   private def parseSpecial(scheme: String, rest0: String): Option[WUrl] = {
     // WHATWG: special schemes tolerate any number of slashes before authority
-    val rest = rest0.replaceFirst("^[/\\\\]*", "")
+    // (manual skip — replaceFirst would compile a Pattern per call)
+    val rest = {
+      var k = 0
+      while (k < rest0.length && (rest0.charAt(k) == '/' || rest0.charAt(k) == '\\')) k += 1
+      if (k == 0) rest0 else rest0.substring(k)
+    }
     val (beforeFrag, frag) = splitFragment(rest)
     val (beforeQuery, query) = splitQuery(beforeFrag)
     val slash = beforeQuery.indexOf('/')
