@@ -43,7 +43,15 @@ final case class EmbedConfig(
     providerKey: String = "stub",
     model: String = "provider-default",
     /** provider batch size per partition-local embed() call */
-    batchSize: Int = 32)
+    batchSize: Int = 32,
+    /** partition-local retry for transient provider failures
+      * (resilience.ts defaults: 3 attempts, 1s backoff ×2) */
+    retry: graft.util.Resilience.RetryConfig = graft.util.Resilience.RetryConfig(),
+    /** circuit breaker: after `breakerThreshold` consecutive provider
+      * failures within a partition, remaining rows skip without calling the
+      * provider (pipeline.ts:163-167 "Circuit breaker is open" skip) */
+    breakerThreshold: Int = 5,
+    breakerResetMs: Long = 30000)
 
 /** Per-row prepared state after the deterministic front half (select →
   * validate → redact → key). Top-level so Catalyst's generated projections
@@ -108,14 +116,21 @@ object EmbedPipeline {
   }
 
   /** Chunk + embed + aggregate one prepared document (pipeline.ts:122-245).
-    * Total per row: any provider failure → skipped row, never a thrown task. */
-  private def embedOne(p: EmbedPrep, provider: EmbeddingProvider, cfg: EmbedConfig): EmbedRow = {
+    * Total per row: any provider failure → skipped row, never a thrown task.
+    * Provider calls run behind partition-local retry + circuit breaker
+    * (pipeline.ts:148-211 resilience wrapping). */
+  private def embedOne(
+      p: EmbedPrep, provider: EmbeddingProvider, cfg: EmbedConfig,
+      breaker: graft.util.CircuitBreaker): EmbedRow = {
     try {
       val chunks = Embed.chunkText(p.inputText, cfg.chunkSize, cfg.chunkOverlap)
       if (chunks.isEmpty)
         return EmbedRow(p.doc_id, "skipped", "No content after chunking",
           p.cache_key, p.checksum, 0, 0, p.pii_redacted, cached = false, Array.empty)
-      val vectors = chunks.grouped(cfg.batchSize).flatMap(b => provider.embed(b.map(_.text))).toSeq
+      val vectors = chunks.grouped(cfg.batchSize).flatMap { b =>
+        graft.util.Resilience.withRetry(cfg.retry)(
+          breaker.execute(provider.embed(b.map(_.text))))._1
+      }.toSeq
       val agg = VectorOps.aggregate(vectors, cfg.aggregation)
       val tokens = chunks.iterator.map(_.tokens).sum
       EmbedRow(p.doc_id, "success", "", p.cache_key, p.checksum,
@@ -193,8 +208,13 @@ object EmbedPipeline {
         (spark.emptyDataset[EmbedRow], valid)
     }
 
-    // Steps 5-10: chunk → batched provider calls → aggregate, per partition
-    val computed = misses.mapPartitions(_.map(p => embedOne(p, provider, cfg)))
+    // Steps 5-10: chunk → batched provider calls → aggregate, per partition.
+    // The breaker is partition-local: once a provider melts down, the rest of
+    // the partition's rows skip fast instead of hammering it.
+    val computed = misses.mapPartitions { it =>
+      val breaker = new graft.util.CircuitBreaker(cfg.breakerThreshold, cfg.breakerResetMs)
+      it.map(p => embedOne(p, provider, cfg, breaker))
+    }
 
     computed.union(hits).union(skipped)
   }

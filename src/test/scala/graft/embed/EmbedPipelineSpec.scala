@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
+/** Shared call counter for provider doubles (single-JVM local mode). */
+object FlakyState {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 /** E8 — fused embedding pipeline contracts from
   * `/root/reference/src/embeddings/pipeline.ts:49-278`: stage ordering,
   * never-throws skip semantics, and the cache-hit path doing ZERO provider
@@ -116,6 +121,46 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HashStubProvider.calls.get() == 1, "exactly the one miss embeds")
     assert(res(1L).cached && !res(8L).cached)
     assert(res(8L).status == "success")
+  }
+
+  test("transient provider failures are retried with backoff (resilience wiring)") {
+    val flaky = new EmbeddingProvider {
+      def name = "flaky"
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        val n = FlakyState.calls.incrementAndGet()
+        if (n % 3 != 0) throw new graft.util.HttpStatusException(503, "unavailable")
+        texts.map(_ => Array(1f))
+      }
+    }
+    FlakyState.calls.set(0)
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq((1L, "a perfectly reasonable document body right here")).toDF("doc_id", "text")
+    val cfg = EmbedConfig(retry = graft.util.Resilience.RetryConfig(backoffMs = 1, jitter = () => 1.0))
+    val res = EmbedPipeline.embedDocuments(spark, docsDf, None, flaky, cfg).collect()
+    assert(res.head.status == "success", res.head.reason)
+    assert(FlakyState.calls.get() == 3, "two 503s then success = 3 calls")
+  }
+
+  test("a melted-down provider trips the partition-local circuit breaker") {
+    val dead = new EmbeddingProvider {
+      def name = "dead"
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        FlakyState.calls.incrementAndGet()
+        throw new RuntimeException("hard failure") // non-retryable
+      }
+    }
+    FlakyState.calls.set(0)
+    val s = spark
+    import s.implicits._
+    val docsDf = (1L to 20L).map(i => (i, s"document number $i with plenty of words in it"))
+      .toDF("doc_id", "text").repartition(1)
+    val cfg = EmbedConfig(breakerThreshold = 3,
+      retry = graft.util.Resilience.RetryConfig(maxAttempts = 1))
+    val res = EmbedPipeline.embedDocuments(spark, docsDf, None, dead, cfg).collect()
+    assert(res.forall(_.status == "skipped"))
+    assert(FlakyState.calls.get() == 3, "breaker must stop provider calls at the threshold")
+    assert(res.count(_.reason.contains("Circuit breaker is open")) == 17)
   }
 
   test("never-throws: a provider failure becomes a skipped row, not a task failure") {
