@@ -62,18 +62,19 @@ object StreamingExtract {
       .as[PageRow]
       .map { p =>
         val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
-        (r.url, r.status, r.norm_hash, r.text_content, p.warc_ts)
+        // a hash is only a dedup key when extraction actually produced
+        // normalized content: failed rows carry "", and empty-content rows
+        // all hash the empty string — deduping either would silently collapse
+        // DISTINCT failed/empty urls into one arbitrary survivor
+        val canDedup = r.status == "ok" && r.normalized_text.nonEmpty
+        (r.url, r.status, r.norm_hash, r.text_content, canDedup, p.warc_ts)
       }
-      .toDF("url", "status", "norm_hash", "text_content", "warc_ts")
+      .toDF("url", "status", "norm_hash", "text_content", "can_dedup", "warc_ts")
       .withWatermark("warc_ts", "10 minutes")
-    // Only rows that actually produced normalized content share a meaningful
-    // hash; failed / below-min rows all carry norm_hash = "" and must NOT be
-    // collapsed into one survivor — they pass through untouched.
     val dedupable = extractedRows
-      .filter(col("status") === "ok" && col("norm_hash") =!= "")
+      .filter(col("can_dedup"))
       .dropDuplicatesWithinWatermark("norm_hash")
-    val passthrough = extractedRows
-      .filter(!(col("status") === "ok" && col("norm_hash") =!= ""))
-    dedupable.unionByName(passthrough)
+    val passthrough = extractedRows.filter(!col("can_dedup"))
+    dedupable.unionByName(passthrough).drop("can_dedup")
   }
 }

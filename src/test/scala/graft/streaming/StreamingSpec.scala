@@ -95,4 +95,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedHashes.length == streamedHashes.distinct.length)
     assert(streamedHashes.sorted.toSeq == batchDistinct.distinct.sorted.toSeq)
   }
+
+  test("streaming dedup: failed / empty-hash rows pass through, never collapse") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    // 3 distinct BROKEN pages (empty html → status != ok, norm_hash = "")
+    // plus 2 good distinct pages; every broken row must survive dedup
+    val base = 1700000000000L
+    val rows = Seq(
+      graft.pipeline.PageRow("https://bad.example.com/a", new java.sql.Timestamp(base), Array.empty[Byte], "", "en"),
+      graft.pipeline.PageRow("https://bad.example.com/b", new java.sql.Timestamp(base + 1000), Array.empty[Byte], "", "en"),
+      graft.pipeline.PageRow("https://bad.example.com/c", new java.sql.Timestamp(base + 2000), Array.empty[Byte], "", "en"),
+      PagesGen.makePage(1L),
+      PagesGen.makePage(2L))
+    rows.toDS().repartition(2).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.dedupStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_pass")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT url, text_content FROM dedup_pass").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val badUrls = out.collect { case (u, t) if t.isEmpty => u }.toSet
+    assert(badUrls == Set("https://bad.example.com/a", "https://bad.example.com/b", "https://bad.example.com/c"),
+      s"all distinct empty-content rows must pass through dedup untouched; got $badUrls")
+    assert(out.length == 5)
+  }
 }
