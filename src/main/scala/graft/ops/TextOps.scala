@@ -27,9 +27,56 @@ object TextOps {
     "pt" -> Set("o", "a", "os", "as", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "não", "por")
   )
 
-  /** Returns (lang, confidence). "und" when nothing matches. */
+  /** Returns (lang, confidence). "und" when nothing matches.
+    * Two tiers: a Unicode-script scan first (CJK with kana/hangul
+    * discrimination, Cyrillic, Arabic, Devanagari, Greek, Hebrew, Thai — the
+    * scripts stopword profiles cannot see), then the Latin stopword-profile
+    * vote. Script detection samples the first 2000 chars. */
   def detectLanguage(text: String): (String, Double) = {
     if (text == null || text.isEmpty) return ("und", 0.0)
+
+    // tier 1: script scan
+    val n = math.min(text.length, 2000)
+    var letters = 0
+    var han = 0; var kana = 0; var hangul = 0
+    var cyr = 0; var arab = 0; var deva = 0; var greek = 0; var hebrew = 0; var thai = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val cp: Int = c
+        if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) han += 1
+        else if (cp >= 0x3040 && cp <= 0x30ff) kana += 1
+        else if ((cp >= 0xac00 && cp <= 0xd7af) || (cp >= 0x1100 && cp <= 0x11ff)) hangul += 1
+        else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+        else if (cp >= 0x0600 && cp <= 0x06ff) arab += 1
+        else if (cp >= 0x0900 && cp <= 0x097f) deva += 1
+        else if (cp >= 0x0370 && cp <= 0x03ff) greek += 1
+        else if (cp >= 0x0590 && cp <= 0x05ff) hebrew += 1
+        else if (cp >= 0x0e00 && cp <= 0x0e7f) thai += 1
+      }
+      i += 1
+    }
+    if (letters > 0) {
+      val cjk = han + kana + hangul
+      def conf(k: Int) = k.toDouble / letters
+      if (conf(cjk) > 0.3) {
+        // kana ⇒ Japanese (Japanese text always mixes kana in); hangul ⇒
+        // Korean; Han alone ⇒ Chinese
+        if (kana.toDouble / math.max(1, cjk) > 0.05) return ("ja", conf(cjk))
+        if (hangul.toDouble / math.max(1, cjk) > 0.5) return ("ko", conf(cjk))
+        return ("zh", conf(cjk))
+      }
+      if (conf(cyr) > 0.5) return ("ru", conf(cyr))
+      if (conf(arab) > 0.5) return ("ar", conf(arab))
+      if (conf(deva) > 0.5) return ("hi", conf(deva))
+      if (conf(greek) > 0.5) return ("el", conf(greek))
+      if (conf(hebrew) > 0.5) return ("he", conf(hebrew))
+      if (conf(thai) > 0.5) return ("th", conf(thai))
+    }
+
+    // tier 2: Latin stopword profiles
     val words = text.toLowerCase(java.util.Locale.ROOT)
       .split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(500).toArray
     if (words.isEmpty) return ("und", 0.0)
