@@ -158,8 +158,34 @@ object Markdown {
   private def siblingAfter(n: Node): Node = {
     val p = n.parent
     if (p == null) return null
-    val idx = p.children.indexWhere(_ eq n)
-    if (idx >= 0 && idx + 1 < p.children.length) p.children(idx + 1) else null
+    val sibs = p.children
+    var idx = -1
+    var i = 0
+    while (idx < 0 && i < sibs.length) { if (sibs(i) eq n) idx = i; i += 1 }
+    if (idx >= 0 && idx + 1 < sibs.length) sibs(idx + 1) else null
+  }
+
+  /** Whitespace-only descendant text (Java `\s`), without building the
+    * text string — isBlankNode runs for every element emitted. */
+  private def textIsJavaWsOnly(e: Element): Boolean = {
+    val ch = e.children
+    var i = 0
+    while (i < ch.length) {
+      ch(i) match {
+        case t: TextNode =>
+          val d = t.data
+          var j = 0
+          while (j < d.length) {
+            val c = d.charAt(j)
+            if (c != ' ' && c != '\t' && c != '\n' && c != '\u000b' && c != '\f' && c != '\r') return false
+            j += 1
+          }
+        case el: Element => if (!textIsJavaWsOnly(el)) return false
+        case _ =>
+      }
+      i += 1
+    }
+    true
   }
 
   // ---- emit ----
@@ -235,7 +261,7 @@ object Markdown {
 
   private def isBlankNode(e: Element): Boolean =
     !isVoid(e) && !meaningfulWhenBlank.contains(e.tag) &&
-      isJavaWsOnly(e.text()) &&
+      textIsJavaWsOnly(e) &&
       !e.descendants.exists(d => isVoid(d) || meaningfulWhenBlank.contains(d.tag))
 
   private def replacementFor(e: Element): String = {
