@@ -574,6 +574,67 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // multi-probe LSH ANN (Lv et al.): queries probe their own bucket plus
+    // the 3 least-confident flipped-bit buckets — the recall of extra tables
+    // without re-indexing the corpus. Rows-only (approximate by design);
+    // recall ordering vs single-probe is pinned in AnnSpec.
+    "embed_knn_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val indexed = emb.map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, 8)) }
+        .toDF("vec_id", "embedding", "bucket")
+      val probes = indexed.filter(col("vec_id") < 5)
+        .as[(Long, Array[Float], Int)]
+        .flatMap { case (id, v, _) =>
+          graft.ops.Ann.multiProbeBuckets(v, 8, 0, 3).map(b => (id, v, b))
+        }.toDF("query_id", "q_emb", "bucket")
+      val scored = probes.join(indexed, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .dropDuplicates("query_id", "vec_id")
+        .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (qid, id, qv, v) => (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0) }
+        .toDF("query_id", "vec_id", "cos")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN: deterministic k-means coarse quantizer (trained on a bounded
+    // vec_id<256 sample, centroids broadcast), corpus assigned to cells once,
+    // queries scan only their 4 nearest cells. The scale path when buckets
+    // must adapt to the data distribution (LSH hyperplanes are data-blind).
+    "embed_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val sample = emb.filter(_._1 < 256).collect().sortBy(_._1).map(_._2)
+      val centroids = graft.ops.Ann.trainCentroids(sample, k = 16)
+      val cB = s.sparkContext.broadcast(centroids)
+      val indexed = emb.map { case (id, v) => (id, v, graft.ops.Ann.nearestCentroid(v, cB.value)) }
+        .toDF("vec_id", "embedding", "cell")
+      val probes = indexed.filter(col("vec_id") < 5)
+        .as[(Long, Array[Float], Int)]
+        .flatMap { case (id, v, _) =>
+          graft.ops.Ann.probeCells(v, cB.value, 4).map(c => (id, v, c))
+        }.toDF("query_id", "q_emb", "cell")
+      val scored = probes.join(indexed, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .dropDuplicates("query_id", "vec_id")
+        .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (qid, id, qv, v) => (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0) }
+        .toDF("query_id", "vec_id", "cos")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
     "embed_agg_label" -> ((s, dir) => s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("dim", col("dim").cast("long"))

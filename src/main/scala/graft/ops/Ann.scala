@@ -1,0 +1,109 @@
+package graft.ops
+
+/**
+ * Approximate-nearest-neighbor scale paths beyond the single-bucket LSH in
+ * [[VectorOps.cosineLshBucket]]:
+ *
+ *  - **Multi-probe LSH**: probe the query's own bucket plus the buckets
+ *    reached by flipping the least-confident hyperplane bits (smallest
+ *    |projection|), the standard recall lever that avoids adding tables
+ *    (Lv et al., VLDB'07 — public method). Candidates multiply by
+ *    (1 + probes) instead of by table count.
+ *  - **IVF (inverted-file) coarse quantizer**: deterministic k-means over a
+ *    bounded sample → every vector is assigned to its nearest centroid cell;
+ *    queries scan only the `nProbe` nearest cells. Centroids are tiny
+ *    (k × dim floats) and broadcast; assignment is a narrow map; the
+ *    candidate join is an equi-join on cell id.
+ *
+ * Everything is deterministic: fixed seeds, fixed iteration counts, ties by
+ * lowest index — byte-stable across runs and parallelism levels.
+ */
+object Ann {
+
+  // ---- multi-probe LSH ----
+
+  /** Buckets to probe for query `v`: its own bucket first, then the buckets
+    * at Hamming distance 1 obtained by flipping the `probes` least-confident
+    * bits (ascending |projection| onto each hyperplane). */
+  def multiProbeBuckets(v: Array[Float], nBits: Int, table: Int, probes: Int): Array[Int] = {
+    val base = VectorOps.cosineLshBucket(v, nBits, table)
+    if (probes <= 0) return Array(base)
+    // recompute per-bit projections exactly as cosineLshBucket derives them
+    val margins = new Array[(Double, Int)](nBits)
+    var bit = 0
+    while (bit < nBits) {
+      margins(bit) = (math.abs(VectorOps.hyperplaneProjection(v, bit, table)), bit)
+      bit += 1
+    }
+    val flipOrder = margins.sortBy { case (m, i) => (m, i) }
+    val out = new Array[Int](1 + math.min(probes, nBits))
+    out(0) = base
+    var p = 0
+    while (p < out.length - 1) {
+      out(p + 1) = base ^ (1 << flipOrder(p)._2)
+      p += 1
+    }
+    out
+  }
+
+  // ---- IVF ----
+
+  /** Deterministic k-means (Lloyd) over a bounded sample: seeds are the `k`
+    * sample vectors with the lowest mixed-hash of their index (seeded,
+    * order-independent), `iters` fixed iterations, empty cells keep their
+    * previous centroid. Returns `k` centroids. */
+  def trainCentroids(
+      sample: Array[Array[Float]],
+      k: Int,
+      iters: Int = 10,
+      seed: Long = 42L): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val kk = math.min(k, sample.length)
+    val dim = sample.head.length
+    // deterministic seed pick: order sample indices by mix64(seed ^ idx)
+    val seedIdx = sample.indices.sortBy(i => TextOps.mix64(seed ^ i.toLong)).take(kk)
+    var centroids = seedIdx.map(i => sample(i).clone()).toArray
+
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < sample.length) {
+        val c = nearestCentroid(sample(i), centroids)
+        val s = sums(c)
+        val v = sample(i)
+        var d = 0
+        while (d < dim) { s(d) += v(d); d += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by cosine (ties → lowest index). */
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val sim = VectorOps.cosine(v, centroids(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest cells for a query, most-similar first. */
+  def probeCells(v: Array[Float], centroids: Array[Array[Float]], nProbe: Int): Array[Int] =
+    centroids.indices
+      .sortBy(c => (-VectorOps.cosine(v, centroids(c)), c))
+      .take(math.min(nProbe, centroids.length))
+      .toArray
+}

@@ -69,19 +69,25 @@ object VectorOps {
     * `table` selects an independent hyperplane family — multi-table LSH is
     * the standard recall lever (candidate iff same bucket in ANY table:
     * recall 1-(1-p^nBits)^nTables for per-bit agreement p = 1 - θ/π). */
+  /** Signed projection of `v` onto hyperplane `bit` of `table` — exposed so
+    * multi-probe LSH (Ann) can rank bits by flip confidence. */
+  def hyperplaneProjection(v: Array[Float], bit: Int, table: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) {
+      // deterministic pseudo-random hyperplane component in [-1,1)
+      val h = TextOps.mix64(((table.toLong * 1024 + bit).toLong << 32) ^ i ^ 0x5deece66dL)
+      s += v(i) * ((h >>> 11).toDouble * 1.1102230246251565e-16 * 2 - 1)
+      i += 1
+    }
+    s
+  }
+
   def cosineLshBucket(v: Array[Float], nBits: Int = 12, table: Int = 0): Int = {
     var bucket = 0
     var b = 0
     while (b < nBits) {
-      var s = 0.0
-      var i = 0
-      while (i < v.length) {
-        // deterministic pseudo-random hyperplane component in [-1,1)
-        val h = TextOps.mix64(((table.toLong * 1024 + b).toLong << 32) ^ i ^ 0x5deece66dL)
-        s += v(i) * ((h >>> 11).toDouble * 1.1102230246251565e-16 * 2 - 1)
-        i += 1
-      }
-      if (s >= 0) bucket |= (1 << b)
+      if (hyperplaneProjection(v, b, table) >= 0) bucket |= (1 << b)
       b += 1
     }
     bucket

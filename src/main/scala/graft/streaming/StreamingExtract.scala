@@ -16,6 +16,10 @@ import graft.pipeline.{ExtractJob, PageRow, ScrapePipeline, ScrapedRow}
  * extract stage itself; the host-rate monitor shows the stateful side
  * (windowed counts with a watermark bounding state size at scale).
  */
+/** Output of [[StreamingExtract.hostBudgetStream]]: `seq` is the host's
+  * cumulative page number at this row, `within_budget` its budget verdict. */
+final case class HostBudgetRow(url: String, host: String, seq: Long, within_budget: Boolean)
+
 object StreamingExtract {
 
   val pageSchema: StructType = StructType(Seq(
@@ -46,6 +50,38 @@ object StreamingExtract {
       .withWatermark("warc_ts", "5 minutes")
       .groupBy(window(col("warc_ts"), "1 minute"), col("host"))
       .agg(count("*").as("pages"), sum(length(col("html"))).as("bytes"))
+  }
+
+  /** Per-host crawl-budget tracker — the custom-state surface
+    * (`flatMapGroupsWithState`): state is the cumulative page count per host
+    * across micro-batches; rows beyond `budgetPerHost` are flagged (not
+    * dropped — downstream decides). At scale the state store holds one Long
+    * per distinct host, KV-store-backed and checkpointed by Spark. */
+  def hostBudgetStream(
+      spark: SparkSession,
+      inputDir: String,
+      budgetPerHost: Long = 25,
+      maxFilesPerTrigger: Int = 4): Dataset[HostBudgetRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .select(col("url"),
+        regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "").as("host"))
+      .as[(String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[(String, String)], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = rows.map { case (url, _) =>
+            seen += 1
+            HostBudgetRow(url, host, seen, seen <= budgetPerHost)
+          }.toVector // materialize before the state update
+          state.update(seen)
+          out.iterator
+      }
   }
 
   /** Streaming exact dedup: extract → key by normalized-content hash (B6) →

@@ -96,6 +96,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedHashes.sorted.toSeq == batchDistinct.distinct.sorted.toSeq)
   }
 
+  test("host-budget stream: custom state counts per host across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    PagesGen.generate(spark, 200).repartition(8).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.hostBudgetStream(spark, dir, budgetPerHost = 10, maxFilesPerTrigger = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT url, host, seq, within_budget FROM budget_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 200, "every page gets a verdict")
+
+    val sp = spark
+    import sp.implicits._
+    val batchHostCounts = spark.read.parquet(dir).select("url").as[String].collect()
+      .groupBy(u => graft.urlx.UrlOps.extractDomain(u)).view.mapValues(_.length.toLong).toMap
+
+    out.groupBy(_._2).foreach { case (host, rows) =>
+      val n = batchHostCounts(host)
+      // state accumulated across micro-batches: seq reaches the host total
+      assert(rows.map(_._3).max == n, s"host $host seq max")
+      assert(rows.map(_._3).toSet == (1L to n).toSet, s"host $host seq contiguity")
+      assert(rows.count(_._4) == math.min(10L, n), s"host $host budget verdicts")
+    }
+    // the mega-host (~20% of 200 pages) must blow the budget
+    val mega = out.filter(_._2.startsWith("megahost"))
+    assert(mega.length > 10 && mega.exists(!_._4))
+  }
+
   test("streaming dedup: failed / empty-hash rows pass through, never collapse") {
     val sp = spark
     import sp.implicits._
