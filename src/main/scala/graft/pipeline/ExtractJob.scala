@@ -88,6 +88,24 @@ object ExtractJob {
       .as[PageRow]
   }
 
+  /** Persist a dataset bucketed by a key so downstream equi-joins and
+    * aggregations on that key are exchange-free (Spark reads co-bucketed
+    * tables without shuffling either side). The 100 TB pattern for the
+    * extracted corpus: bucket by `domain` once at write time, then every
+    * per-host join (robots audits, host-level quality rollups, crawl-politeness
+    * stats) and host groupBy skips its shuffle forever after. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      numBuckets: Int = 64): Unit = {
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+  }
+
   /** Decode `html: binary` → string with a charset sniff (UTF-8 default,
     * meta-charset override) — first transform per SURVEY.md §1.2. The sniff
     * scans the raw bytes for `charset=` directly (ASCII-compatible in every

@@ -76,6 +76,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cache join degraded:\n$p")
   }
 
+  test("co-bucketed tables join without a shuffle exchange (bucketBy co-location)") {
+    val s = spark
+    import s.implicits._
+    val extracted = ExtractJob.extract(PagesGen.generate(spark, 120), 4).toDF()
+      .select("url", "domain", "norm_hash", "word_count")
+    ExtractJob.writeBucketed(extracted, "graft_pages_bucketed", "domain", numBuckets = 8)
+    ExtractJob.writeBucketed(
+      extracted.groupBy("domain").agg(count("*").as("n_pages")),
+      "graft_host_stats_bucketed", "domain", numBuckets = 8)
+
+    // force the sort-merge path (a broadcast would mask whether bucketing
+    // removed the shuffle — at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_pages_bucketed")
+        .join(spark.table("graft_host_stats_bucketed"), "domain")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans must use the bucket layout:\n$p")
+      assert(joined.count() == 120)
+
+      // and a groupBy on the bucket key needs no exchange either
+      val agg = spark.table("graft_pages_bucketed").groupBy("domain").agg(sum("word_count"))
+      val pa = agg.queryExecution.executedPlan.toString
+      assert(!pa.contains("Exchange hashpartitioning"),
+        s"bucket-key aggregation must be shuffle-free:\n$pa")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dedup group-bys partial-aggregate before the shuffle (map-side combine)") {
     val s = spark
     import s.implicits._
