@@ -123,7 +123,8 @@ object BlockParser {
       var blockType = blockTypeOf(el)
       var level: Option[Int] = None
       tagName match {
-        case headingRe(l) => blockType = "heading"; level = Some(l.toInt)
+        case t if t.length == 2 && t.charAt(0) == 'h' && t.charAt(1) >= '1' && t.charAt(1) <= '6' =>
+          blockType = "heading"; level = Some(t.charAt(1) - '0')
         case _ =>
       }
 

@@ -145,13 +145,8 @@ object Normalizer {
 
   // --- B6 generateHash (normalizer.ts:115-117) ---
 
-  def generateHash(text: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    val bytes = md.digest(text.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(64)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.substring(0, 32)
-  }
+  def generateHash(text: String): String =
+    graft.ops.TextOps.sha256Hex(text).substring(0, 32)
 
   // --- B7 normalizeText (normalizer.ts:140-255) ---
 

@@ -143,7 +143,19 @@ final class Element(val tag: String) extends Node {
     null
   }
 
-  def childElements: Iterator[Element] = children.iterator.collect { case e: Element => e }
+  def childElements: Iterator[Element] = new Iterator[Element] {
+    private var i = 0
+    private def advance(): Unit =
+      while (i < children.length && !children(i).isInstanceOf[Element]) i += 1
+    advance()
+    def hasNext: Boolean = i < children.length
+    def next(): Element = {
+      val e = children(i).asInstanceOf[Element]
+      i += 1
+      advance()
+      e
+    }
+  }
 
   /** All descendant elements in document order (self excluded) — cheerio
     * `find('*')`. Element-only manual array stack: this iterator runs for
@@ -223,9 +235,35 @@ final class Element(val tag: String) extends Node {
     }
   }
 
-  /** Space-separated class tokens. */
-  def classList: Array[String] =
-    attrs.get("class").map(c => Element.javaWsRunRe.split(c).filter(_.nonEmpty)).getOrElse(Array.empty)
+  /** Space-separated class tokens — maximal runs of non-whitespace, exactly
+    * `split("\\s+").filter(_.nonEmpty)` with Java `\s` = [ \t\n\x0B\f\r]
+    * (a regex Matcher per element was a measured allocation site). */
+  def classList: Array[String] = attrs.get("class") match {
+    case None => Element.emptyClassList
+    case Some(c) =>
+      def isWs(ch: Char) = ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000b' || ch == '\f' || ch == '\r'
+      var count = 0
+      var i = 0
+      val n = c.length
+      while (i < n) {
+        if (!isWs(c.charAt(i)) && (i == 0 || isWs(c.charAt(i - 1)))) count += 1
+        i += 1
+      }
+      if (count == 0) return Element.emptyClassList
+      val out = new Array[String](count)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (isWs(c.charAt(i))) i += 1
+        else {
+          val s = i
+          while (i < n && !isWs(c.charAt(i))) i += 1
+          out(k) = c.substring(s, i)
+          k += 1
+        }
+      }
+      out
+  }
 
   def deepClone(): Node = {
     val e = new Element(tag)
@@ -328,5 +366,5 @@ final class DomDoc(val html: Element, val head: Element, val body: Element) {
 }
 
 object Element {
-  private[dom] val javaWsRunRe = java.util.regex.Pattern.compile("\\s+")
+  private[dom] val emptyClassList = new Array[String](0)
 }

@@ -150,12 +150,19 @@ object TextOps {
 
   // ---- hashing / fingerprints ----
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(text: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
     val bytes = md.digest(text.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(64)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = hexChars((bytes(i) & 0xf0) >> 4)
+      out(2 * i + 1) = hexChars(bytes(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Karp–Rabin rolling-hash document fingerprint: min-sampled k of the

@@ -99,6 +99,14 @@ object ExtractJob {
       tableName: String,
       bucketCol: String,
       numBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // a previous session's orphaned location blocks a managed-table create
+    // (the in-memory catalog forgets the table but the files remain)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
