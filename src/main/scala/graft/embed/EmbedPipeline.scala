@@ -90,11 +90,11 @@ final case class EmbedRow(
  */
 object EmbedPipeline {
 
-  private def prepare(docId: Long, text: String, cfg: EmbedConfig): EmbedPrep = {
+  private def prepare(
+      docId: Long, data: Embed.InputData, cfg: EmbedConfig,
+      customText: Option[String] = None): EmbedPrep = {
     // Step 2: select input (pipeline.ts:61) — cleanText'd fallback chain
-    val raw = Embed.selectInput(
-      Embed.InputData(textContent = Option(text)),
-      cfg.inputType, None, cfg.preferNormalized)
+    val raw = Embed.selectInput(data, cfg.inputType, customText, cfg.preferNormalized)
     val validation = Embed.validateInput(raw, cfg.minTextLength)
     if (!validation.valid)
       return EmbedPrep(docId, valid = false, validation.reason.getOrElse(""), "", "", "", pii_redacted = false)
@@ -142,6 +142,26 @@ object EmbedPipeline {
     }
   }
 
+  /** Scalar single-record entry — the reference's `generateEmbeddings(data,
+    * options)` shape (pipeline.ts:49-278) for one document, sharing the exact
+    * per-row code the Spark stage runs. Used to replay the reference test
+    * suite without a cluster; `aggregation = "all"` is deliberately absent:
+    * at table scale "keep every chunk vector" is the exploded chunk-level
+    * layout, not a ragged column. */
+  def embedRecord(
+      data: Embed.InputData,
+      provider: EmbeddingProvider,
+      cfg: EmbedConfig = EmbedConfig(),
+      docId: Long = 0L,
+      customText: Option[String] = None): EmbedRow = {
+    val prep = prepare(docId, data, cfg, customText)
+    if (!prep.valid)
+      return EmbedRow(docId, "skipped", prep.reason, "", "", 0, 0,
+        pii_redacted = false, cached = false, Array.empty)
+    embedOne(prep, provider, cfg,
+      new graft.util.CircuitBreaker(cfg.breakerThreshold, cfg.breakerResetMs))
+  }
+
   /** Schema of the persisted cache table: one row per content-addressed key. */
   def emptyCache(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -172,7 +192,9 @@ object EmbedPipeline {
 
     val prepped = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => prepare(id, text, cfg) })
+      .mapPartitions(_.map { case (id, text) =>
+        prepare(id, Embed.InputData(textContent = Option(text)), cfg)
+      })
 
     val skipped = prepped.filter(!_.valid).map(p =>
       EmbedRow(p.doc_id, "skipped", p.reason, "", "", 0, 0, pii_redacted = false,
