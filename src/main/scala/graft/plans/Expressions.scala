@@ -78,12 +78,26 @@ object GraftExtensions {
   /** Register on an existing session (local/test convenience). Also registers
     * the SQL extraction surface: `extract_page(html, url)` — ONE
     * struct-returning UDF so SQL users pay one DOM parse per row instead of
-    * per-field UDFs re-parsing per column (SURVEY.md §2.11). */
+    * per-field UDFs re-parsing per column (SURVEY.md §2.11) — plus the
+    * text-analysis scalars, so the whole training-data toolkit is reachable
+    * from plain `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (ident, info, builder) = tokenCountDescriptor
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     spark.udf.register("extract_page",
       (html: String, url: String) => graft.pipeline.ScrapePipeline.scrapeHtml(
         if (html == null) "" else html, if (url == null) "" else url))
+    spark.udf.register("detect_lang",
+      (text: String) => graft.ops.TextOps.detectLanguage(text)._1)
+    spark.udf.register("quality_score",
+      (text: String) => graft.ops.TextOps.quality(text).score)
+    spark.udf.register("simhash64",
+      (text: String) => graft.ops.TextOps.simHash(text))
+    spark.udf.register("content_hash32",
+      (text: String) => graft.content.Normalizer.generateHash(if (text == null) "" else text))
+    spark.udf.register("pii_redact",
+      (text: String) => graft.embed.Embed.redactPii(if (text == null) "" else text).text)
+    spark.udf.register("normalize_url",
+      (url: String) => graft.urlx.UrlOps.normalizeUrl(if (url == null) "" else url))
   }
 }

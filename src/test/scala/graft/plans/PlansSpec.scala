@@ -87,4 +87,21 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(2) == "https://example.com/a") // tracking param stripped
     assert(row.getInt(3) > 0)
   }
+
+  test("text-analysis scalars are reachable from plain SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT detect_lang('the quick brown fox is on the hill and it was fine'),
+        |       quality_score('A reasonable sentence with the usual words in it.'),
+        |       simhash64('alpha beta gamma'),
+        |       content_hash32('hello'),
+        |       pii_redact('mail me at a@b.com now'),
+        |       normalize_url('HTTPS://Example.COM/x?utm_source=a&k=1')""".stripMargin).first()
+    assert(row.getString(0) == "en")
+    assert(row.getDouble(1) > 0)
+    assert(row.getLong(2) == graft.ops.TextOps.simHash("alpha beta gamma"))
+    assert(row.getString(3) == graft.content.Normalizer.generateHash("hello"))
+    assert(row.getString(4) == "mail me at [REDACTED] now")
+    assert(row.getString(5) == "https://example.com/x?k=1")
+  }
 }
