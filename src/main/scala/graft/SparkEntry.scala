@@ -94,6 +94,14 @@ object SparkEntry {
         col("norm_meta.blocks_accepted").as("blocks_accepted"))
       .orderBy("url")),
 
+    // ======== fixture-anchored extraction oracles (reference-asserted) ========
+    // Expected values transcribed from the reference's OWN test assertions
+    // (core-scraping.test.ts / normalizer.test.ts) into VALUES oracles —
+    // independent ground truth for M1/C1/B7 in the driver's hard gate.
+    "extract_fixture_meta" -> ((s, dir) => FixtureQueries.fixtureMeta(s)),
+    "extract_fixture_checks" -> ((s, dir) => FixtureQueries.fixtureChecks(s)),
+    "normalize_values" -> ((s, dir) => FixtureQueries.normalizeValues(s)),
+
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 2000)
@@ -687,6 +695,12 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // fixture-anchored VALUES oracles — expected cells from the reference's
+    // own test assertions (see FixtureQueries scaladoc for file:line)
+    "extract_fixture_meta" -> FixtureQueries.metaOracle,
+    "extract_fixture_checks" -> FixtureQueries.checksOracle,
+    "normalize_values" -> FixtureQueries.normalizeOracle,
+
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
         .replace("'", "''")

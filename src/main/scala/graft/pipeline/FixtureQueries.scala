@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.content.{ContentBlock, NormalizeOptions, Normalizer}
+import graft.extract.{ExtractionContext, Extractor, Partial}
+
+/**
+ * Fixture-anchored driver queries: the extraction core (M1 metadata, C1
+ * content, B7 normalization) run over the vendored scrapex fixture pages,
+ * compared by the driver against `SELECT * FROM (VALUES ...)` oracles whose
+ * expected values are transcribed from the REFERENCE'S OWN test assertions —
+ * independent ground truth, not frozen Spark output:
+ *
+ *  - `/root/reference/test/e2e/core-scraping.test.ts:132-133` (messy title/
+ *    description), `:139-148` (content contains/excludes), `:158-162`
+ *    (normalizedText), `:168-172` (resolved wiki/article link), `:179-180`
+ *    (quick-start), `:189-203` (deep-dive meta/keywords/links), `:226-231`
+ *    (inline article), `:258` (custom PriceExtractor).
+ *  - `/root/reference/test/content/normalizer.test.ts:15,28-29,36-37`
+ *    (normalizeText exact outputs).
+ *
+ * The fixture corpus is tiny by construction (the point is the driver's
+ * hard correctness gate, not scale); each query still runs as a distributed
+ * Dataset transform so the driver exercises the same plan machinery.
+ */
+object FixtureQueries {
+
+  /** `PriceExtractor` from core-scraping.test.ts:234-258: a custom extractor
+    * (priority 50) reading `$('.price').text()` into `custom.price`. */
+  private object PriceExtractor extends Extractor {
+    val name = "price"
+    val priority = 50
+    def extract(ctx: ExtractionContext): Partial =
+      Partial(custom = Map("price" -> ctx.doc.select(".price").map(_.text()).mkString))
+  }
+
+  private def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/scrapex-fixtures/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The inline HTML snippets asserted directly in the reference e2e suite
+    * (not fixture files): core-scraping.test.ts:207-222 and :245-251. */
+  private val inlineArticleHtml =
+    """<!DOCTYPE html>
+      |<html>
+      |<head>
+      |  <title>My Article</title>
+      |  <meta name="description" content="Article description">
+      |</head>
+      |<body>
+      |  <article>
+      |    <h1>Article Title</h1>
+      |    <p>Article content goes here...</p>
+      |    <a href="/other-page">Related Article</a>
+      |  </article>
+      |</body>
+      |</html>""".stripMargin
+
+  private val priceHtml =
+    """<html>
+      |  <body>
+      |    <div class="price">$29.99</div>
+      |  </body>
+      |</html>""".stripMargin
+
+  /** (fixture html, scrape url, custom extractors) per reference test case. */
+  private def pageSpecs: Seq[(String, String, Boolean)] = Seq(
+    // (html, url, withPriceExtractor)
+    (fixture("messy-blog-post.html"), "https://example.com/blog/messy", false),
+    (fixture("article-real-world.html").replace("{{BASE_URL}}", "https://example.com"),
+      "https://example.com/blog/deep-dive", false),
+    (fixture("quick-start.html"), "https://example.com/page", false),
+    (inlineArticleHtml, "https://example.com/article", false),
+    (priceHtml, "https://example.com", true)
+  )
+
+  private def scrapeAll(s: SparkSession): org.apache.spark.sql.Dataset[ScrapedRow] = {
+    import s.implicits._
+    s.createDataset(pageSpecs).repartition(2).mapPartitions(_.map { case (html, url, withPrice) =>
+      ScrapePipeline.scrapeHtml(html, url,
+        extractors = if (withPrice) Seq(PriceExtractor) else Nil)
+    })
+  }
+
+  /** Exact-value metadata rows (M1/M2 driver gate): one row per (url, field)
+    * the reference pins with `toBe('...')`. */
+  def fixtureMeta(s: SparkSession): DataFrame = {
+    import s.implicits._
+    scrapeAll(s).flatMap { r =>
+      val base = r.url match {
+        case "https://example.com/blog/messy" => Seq(
+          "title" -> r.title, "description" -> r.description)
+        case "https://example.com/blog/deep-dive" => Seq(
+          "title" -> r.title, "description" -> r.description,
+          "canonical_url" -> r.canonical_url,
+          "author" -> r.author.getOrElse(""),
+          "image" -> r.image.getOrElse(""))
+        case "https://example.com/page" => Seq(
+          "title" -> r.title, "description" -> r.description)
+        case "https://example.com/article" => Seq(
+          "title" -> r.title, "description" -> r.description)
+        case "https://example.com/" => Seq(
+          "custom_price" -> r.custom.getOrElse("price", ""))
+        case _ => Nil
+      }
+      base.map { case (f, v) => (r.url, f, v) }
+    }.toDF("url", "field", "value").orderBy("url", "field")
+  }
+
+  /** Containment / structural assertions (C1/M4 driver gate): booleans the
+    * reference asserts with contains/not.contains/find — all must be true. */
+  def fixtureChecks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    scrapeAll(s).flatMap { r =>
+      val checks: Seq[(String, Boolean)] = r.url match {
+        case "https://example.com/blog/messy" => Seq(
+          "author_contains_jane_doe" -> r.author.exists(_.contains("Jane Doe")),
+          "published_contains_2023_10_27" -> r.published_at.exists(_.contains("2023-10-27")),
+          "text_has_primary_content" -> r.text_content.contains("This is the primary content of the article"),
+          "text_has_point_1" -> r.text_content.contains("Point 1"),
+          "text_excludes_related_posts" -> !r.text_content.contains("Related Posts"),
+          "text_excludes_example_corp" -> !r.text_content.contains("Example Corp"),
+          "text_excludes_document_write" -> !r.text_content.contains("document.write"),
+          "normalized_has_primary_content" -> r.normalized_text.contains("This is the primary content of the article"),
+          "normalized_excludes_related_posts" -> !r.normalized_text.contains("Related Posts"),
+          "normalized_blocks_accepted_positive" -> (r.norm_meta.blocks_accepted > 0),
+          "link_wiki_article_resolved" -> r.links.exists(_.url == "https://example.com/wiki/article"))
+        case "https://example.com/blog/deep-dive" => Seq(
+          "keywords_contain_scraping_web_data" ->
+            Seq("scraping", "web", "data").forall(r.keywords.contains),
+          "jsonld_is_array" -> r.json_ld.isDefined,
+          "link_blog_tools_internal" ->
+            r.links.exists(l => l.url == "https://example.com/blog/tools" && !l.is_external),
+          "link_external_guide_external" ->
+            r.links.exists(l => l.url == "https://external.example.org/guide" && l.is_external),
+          "link_home_absent" -> !r.links.exists(_.url == "https://example.com/home"))
+        case "https://example.com/article" => Seq(
+          "link_other_page_resolved" -> r.links.exists(_.url == "https://example.com/other-page"))
+        case _ => Nil
+      }
+      checks.map { case (c, p) => (r.url, c, p) }
+    }.toDF("url", "check_name", "pass").orderBy("url", "check_name")
+  }
+
+  /** B7 normalizeText exact outputs (normalizer.test.ts:15,28-29,36-37):
+    * the three reference cases run as a Dataset transform; `truncated` /
+    * `blocks_accepted` cells follow from the asserted text (a produced
+    * non-empty output means the single input block was accepted). */
+  def normalizeValues(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val cases = Seq(
+      ("decode_entities_strip_links",
+        "Hello&nbsp;world &amp; [Link](https://example.com)", None, None),
+      ("truncate_sentence_boundary",
+        "This is the first sentence. Second sentence is much longer than the first. Third sentence here.",
+        Some(50), None),
+      ("below_min_chars_empty", "Short", None, Some(10))
+    )
+    s.createDataset(cases).repartition(2).mapPartitions(_.map { case (name, text, maxChars, minChars) =>
+      val blocks = Seq(ContentBlock("paragraph", text, None, None, Map.empty, Nil, 0))
+      val r = Normalizer.normalizeText(blocks,
+        NormalizeOptions(maxChars = maxChars, minChars = minChars, truncate = "sentence"))
+      (name, r.text, r.meta.truncated, r.meta.blocksAccepted.toLong)
+    }).toDF("test_case", "text", "truncated", "blocks_accepted").orderBy("test_case")
+  }
+
+  /** VALUES oracles — expected cells transcribed from the reference tests. */
+  val metaOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('https://example.com/', 'custom_price', '$29.99'),
+      |  ('https://example.com/article', 'description', 'Article description'),
+      |  ('https://example.com/article', 'title', 'My Article'),
+      |  ('https://example.com/blog/deep-dive', 'author', 'Alex Doe'),
+      |  ('https://example.com/blog/deep-dive', 'canonical_url', 'https://example.com/blog/deep-dive'),
+      |  ('https://example.com/blog/deep-dive', 'description', 'A practical guide to scraping modern websites.'),
+      |  ('https://example.com/blog/deep-dive', 'image', 'https://example.com/assets/cover.png'),
+      |  ('https://example.com/blog/deep-dive', 'title', 'Deep Dive: Web Scraping'),
+      |  ('https://example.com/blog/messy', 'description', 'The actual summary of the article.'),
+      |  ('https://example.com/blog/messy', 'title', 'The Real Title'),
+      |  ('https://example.com/page', 'description', 'Page description'),
+      |  ('https://example.com/page', 'title', 'My Page')
+      |) AS t(url, field, value) ORDER BY url, field""".stripMargin
+
+  val checksOracle: String = {
+    val rows = Seq(
+      "https://example.com/article" -> Seq("link_other_page_resolved"),
+      "https://example.com/blog/deep-dive" -> Seq(
+        "jsonld_is_array", "keywords_contain_scraping_web_data",
+        "link_blog_tools_internal", "link_external_guide_external", "link_home_absent"),
+      "https://example.com/blog/messy" -> Seq(
+        "author_contains_jane_doe", "link_wiki_article_resolved",
+        "normalized_blocks_accepted_positive", "normalized_excludes_related_posts",
+        "normalized_has_primary_content", "published_contains_2023_10_27",
+        "text_excludes_document_write", "text_excludes_example_corp",
+        "text_excludes_related_posts", "text_has_point_1", "text_has_primary_content")
+    )
+    val values = rows.flatMap { case (url, cs) => cs.map(c => s"  ('$url', '$c', true)") }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(url, check_name, pass) ORDER BY url, check_name"
+  }
+
+  val normalizeOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('below_min_chars_empty', '', false, CAST(0 AS BIGINT)),
+      |  ('decode_entities_strip_links', 'Hello world & Link', false, CAST(1 AS BIGINT)),
+      |  ('truncate_sentence_boundary', 'This is the first sentence.', true, CAST(1 AS BIGINT))
+      |) AS t(test_case, text, truncated, blocks_accepted) ORDER BY test_case""".stripMargin
+}
