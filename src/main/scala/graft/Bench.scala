@@ -62,27 +62,74 @@ object Bench {
     }
     val pages = spark.read.parquet(corpusDir).as[PageRow]
 
+    // Plan variants (BASELINE.md plan-order note):
+    //   shuffle_first — salted host exchange on raw (url, html), then extract
+    //     (the r1/r2 headline plan; fewest shuffled bytes on THIS corpus).
+    //   extract_first — extract on raw scan splits, salted host exchange on
+    //     the extracted rows (fewest shuffled bytes on real 10:1 web markup).
+    //   bucketed_scan — input table bucketed by salted host key at ingest;
+    //     extraction runs on the already-host-clustered scan splits with ZERO
+    //     exchange anywhere in the job (the 100 TB plan when ingest
+    //     cooperates; host co-location for the sink comes from the layout).
+    val variant = sys.env.getOrElse("SPARK_GRAFT_VARIANT", "shuffle_first")
+
+    lazy val bucketedPages: org.apache.spark.sql.Dataset[PageRow] = {
+      val tbl = s"bench_corpus_bucketed_$nDocs"
+      if (!spark.catalog.tableExists(tbl)) {
+        val mega = ExtractJob.megaHostMap(pages.toDF(), parts)
+        val saltFor = org.apache.spark.sql.functions.udf { (host: String, url: String) =>
+          val buckets = mega.value.getOrElse(host, 1)
+          if (buckets <= 1) 0 else Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), buckets)
+        }
+        import org.apache.spark.sql.functions._
+        val keyed = pages.toDF()
+          .withColumn("bucket_key",
+            xxhash64(ExtractJob.hostCol, saltFor(ExtractJob.hostCol, col("url"))))
+        ExtractJob.writeBucketed(keyed, tbl, "bucket_key", parts)
+      }
+      spark.table(tbl).select("url", "warc_ts", "html", "text", "lang").as[PageRow]
+    }
+
+    def runVariant(v: String): Long = v match {
+      case "extract_first" => ExtractJob.extractFirst(pages, parts).toDF().count()
+      case "bucketed_scan" => ExtractJob.extractOnSplits(bucketedPages).toDF().count()
+      case _               => ExtractJob.extract(pages, parts).toDF().count()
+    }
+
     // warm-up (JIT) — two discarded full passes; the DOM/Readability stack
     // needs deep warming before timings stabilize
-    ExtractJob.extract(pages, parts).toDF().count()
-    ExtractJob.extract(pages, parts).toDF().count()
+    runVariant(variant)
+    runVariant(variant)
 
-    // headline: extraction throughput over the salted-host layout — median of 3
-    // extract-only (scaling protocol) runs 5 reps — the shared-host CPU noise
-    // at 32 threads is large (observed 10s vs 29s for identical work within
-    // one JVM); median of 5 rejects the outliers
+    // headline: extraction throughput — median of 3; extract-only (scaling
+    // protocol) runs 5 reps — the shared-host CPU noise at 32 threads is
+    // large (observed 10s vs 29s for identical work within one JVM)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
       .getOrElse(if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) 5 else 3)
     var extractedCount = 0L
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
-      extractedCount = ExtractJob.extract(pages, parts).toDF().count()
+      extractedCount = runVariant(variant)
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] timed run $i: $dt%.2f s")
+      System.err.println(f"[bench] timed run $i ($variant): $dt%.2f s")
       dt
     }.sorted
     val extractSec = times(times.length / 2)
     val docsPerSec = extractedCount / extractSec
+
+    // one timed pass per non-headline variant (full mode only): the
+    // plan-order comparison lands in the JSON for round-over-round tracking
+    val variantTimes: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) Seq(variant -> extractSec)
+      else Seq("shuffle_first", "extract_first", "bucketed_scan").map { v =>
+        if (v == variant) v -> extractSec
+        else {
+          runVariant(v) // warm this plan's code path once
+          val t0 = System.nanoTime()
+          runVariant(v)
+          v -> (System.nanoTime() - t0) / 1e9
+        }
+      }
 
     // SPARK_GRAFT_EXTRACT_ONLY=1 → skip the query suite (scaling-protocol runs
     // time only the extraction job)
@@ -94,9 +141,10 @@ object Bench {
         name -> (System.nanoTime() - q0) / 1e9
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val vs = variantTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = extractSec + results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_docs_per_sec":$docsPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"extract_variant":"$variant%s","variant_sec":$vs%s}""")
     spark.stop()
   }
 }

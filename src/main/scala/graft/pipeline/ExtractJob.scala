@@ -44,11 +44,18 @@ object ExtractJob {
    * one row per distinct big host.
    */
   def saltedRepartitionByHost(pages: DataFrame, numPartitions: Int): DataFrame = {
-    val withHost = pages.withColumn("__host", hostCol)
-    val total = pages.sparkSession.sparkContext.broadcast {
-      // hosts too big for one bucket: > totalRows / numPartitions.
-      // One column-pruned pass: count per host, total derived from the same agg.
-      val counts = withHost.groupBy("__host").count().persist()
+    val mega = megaHostMap(pages, numPartitions)
+    applySaltedRepartition(pages, mega, numPartitions)
+  }
+
+  /** The mega-host pre-pass alone: hosts whose row count exceeds
+    * `totalRows / numPartitions` → their salt-bucket count. Runs as one
+    * column-pruned scan over `url` ONLY — callers hand it the cheap input
+    * relation even when the relation being repartitioned is the (expensive
+    * to recompute) extracted side. */
+  def megaHostMap(pages: DataFrame, numPartitions: Int): org.apache.spark.broadcast.Broadcast[Map[String, Int]] =
+    pages.sparkSession.sparkContext.broadcast {
+      val counts = pages.select(hostCol.as("__host")).groupBy("__host").count().persist()
       try {
         val totalRows = math.max(1L, Option(counts.agg(sum("count")).first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
         val rowsPerBucket = math.max(1L, totalRows / numPartitions)
@@ -58,11 +65,19 @@ object ExtractJob {
           .toMap
       } finally counts.unpersist()
     }
+
+  /** Exchange on `xxhash64(host, salt)` using a precomputed mega-host map.
+    * Payload-agnostic: works identically on raw pages and on extracted rows
+    * (any relation with a `url` column). */
+  def applySaltedRepartition(
+      df: DataFrame,
+      mega: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
+      numPartitions: Int): DataFrame = {
     val saltFor = udf { (host: String, url: String) =>
-      val buckets = total.value.getOrElse(host, 1)
+      val buckets = mega.value.getOrElse(host, 1)
       if (buckets <= 1) 0 else Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), buckets)
     }
-    withHost
+    df.withColumn("__host", hostCol)
       .withColumn("__salt", saltFor(col("__host"), col("url")))
       .repartition(numPartitions, xxhash64(col("__host"), col("__salt")))
       .drop("__salt")
@@ -182,8 +197,67 @@ object ExtractJob {
     // (at 100 TB that is a double-digit percentage of shuffle bytes)
     val repartitioned = saltedRepartitionByHost(pages.toDF().select("url", "html"), numPartitions)
       .select("url", "html").as[(String, Array[Byte])]
+    fusedExtract(repartitioned, counters, manifest, runId)
+  }
 
-    repartitioned.mapPartitions { it =>
+  /**
+   * Exchange-free extraction: the fused per-partition extraction runs
+   * directly on the input scan splits — no repartition anywhere in the job.
+   * This is the right plan whenever (a) the input table is already
+   * host-bucketed at ingest (`writeBucketed` by salted host key: the scan
+   * splits ARE host-clustered, so the sink and downstream host-joins keep
+   * their co-location for free), or (b) downstream doesn't need host
+   * clustering. Skew note: scan splits are size-bounded by
+   * `maxPartitionBytes`, so no straggler can form regardless of host skew.
+   */
+  def extractOnSplits(
+      pages: Dataset[PageRow],
+      counters: Option[Counters] = None,
+      manifest: Option[org.apache.spark.util.CollectionAccumulator[ManifestRow]] = None,
+      runId: String = "run"
+  ): Dataset[ScrapedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    fusedExtract(pages.toDF().select("url", "html").as[(String, Array[Byte])],
+      counters, manifest, runId)
+  }
+
+  /**
+   * Extract-first plan (BASELINE.md plan-order note): extraction runs on the
+   * raw scan splits (narrow — the heavy DOM work sees no exchange at all),
+   * and the salted host exchange runs AFTER, on the extracted rows, feeding
+   * the host-clustered sink. On real web corpora (markup:text ≈ 10:1) the
+   * extracted side is the much smaller one, so this shuffles ~10× fewer
+   * bytes than shuffle-first; on the synthetic bench corpus the inequality
+   * is reversed (extracted ≈ 2× html) — `Bench` measures both.
+   *
+   * The mega-host salt map is computed from the cheap url-only input scan,
+   * NOT from the extracted relation (which would re-run extraction).
+   */
+  def extractFirst(
+      pages: Dataset[PageRow],
+      numPartitions: Int,
+      counters: Option[Counters] = None,
+      manifest: Option[org.apache.spark.util.CollectionAccumulator[ManifestRow]] = None,
+      runId: String = "run"
+  ): Dataset[ScrapedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val mega = megaHostMap(pages.toDF(), numPartitions)
+    val extracted = extractOnSplits(pages, counters, manifest, runId)
+    applySaltedRepartition(extracted.toDF(), mega, numPartitions)
+      .drop("__host").as[ScrapedRow]
+  }
+
+  private def fusedExtract(
+      input: Dataset[(String, Array[Byte])],
+      counters: Option[Counters],
+      manifest: Option[org.apache.spark.util.CollectionAccumulator[ManifestRow]],
+      runId: String
+  ): Dataset[ScrapedRow] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var nRows = 0L
       var nFail = 0L

@@ -88,6 +88,41 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counters.emptyContent.value == 0L)
   }
 
+  test("extract-first and on-splits variants are row-identical to shuffle-first") {
+    val pages = PagesGen.generate(spark, N)
+    def key(r: ScrapedRow) = (r.url, r.text_content, r.normalized_text, r.norm_hash, r.title)
+    val base = ExtractJob.extract(pages, 4).collect().map(key).toSet
+    val first = ExtractJob.extractFirst(pages, 4).collect().map(key).toSet
+    val splits = ExtractJob.extractOnSplits(pages).collect().map(key).toSet
+    assert(first == base, "extractFirst diverged from extract")
+    assert(splits == base, "extractOnSplits diverged from extract")
+  }
+
+  test("extract-first still host-clusters the extracted rows (mega-host salted)") {
+    import org.apache.spark.sql.functions._
+    val ds = ExtractJob.extractFirst(PagesGen.generate(spark, 600), 8)
+    val perPartition = ds.toDF()
+      .select(col("domain"), spark_partition_id().as("pid"))
+      .filter(col("domain").startsWith("megahost"))
+      .groupBy("pid").count().collect()
+    assert(perPartition.length > 1, "mega-host not salt-split after extract-first exchange")
+    val rest = ds.toDF()
+      .filter(!col("domain").startsWith("megahost"))
+      .select(col("domain"), spark_partition_id().as("pid"))
+      .groupBy("domain").agg(countDistinct("pid").as("n")).collect()
+    assert(rest.forall(_.getLong(1) == 1L), "non-mega hosts must stay co-located")
+  }
+
+  test("exchange-free variant: extractOnSplits plan has no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nosplit").toString
+    PagesGen.generate(spark, 50).write.mode("overwrite").parquet(dir)
+    val sp = spark
+    import sp.implicits._
+    val pages = spark.read.parquet(dir).as[PageRow]
+    val plan = ExtractJob.extractOnSplits(pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extractOnSplits must not shuffle:\n$plan")
+  }
+
   test("plan hygiene: pages scan prunes columns for a projection query") {
     // writing then reading back parquet: a url-only projection must not read html
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
