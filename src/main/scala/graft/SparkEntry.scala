@@ -537,15 +537,20 @@ object SparkEntry {
       // never ride the quadratic part of the self-join shuffle.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
+      // corpus-adaptive width: expected occupancy pinned at ~64 vectors per
+      // bucket at ANY corpus size (nBits = ceil(log2(n/64))) — the count is
+      // one column-pruned metadata-cheap job, the candidate self-join stays
+      // O(n·64) instead of O(n²/2^const)
+      val nBits = graft.ops.Ann.adaptiveNBits(emb.count(), targetBucket = 64)
       val buckets = emb.as[(Long, Array[Float])]
         .flatMap { case (id, v) =>
-          (0 until 8).map(t => (id, t, VectorOps.cosineLshBucket(v, 4, t)))
+          (0 until 8).map(t => (id, t, VectorOps.cosineLshBucket(v, nBits, t)))
         }
         .toDF("vec_id", "table", "bucket")
       // no count-based suppression here: hyperplane buckets are coarse BY
-      // DESIGN (2^4 per table at this SF) and grow linearly with corpus size —
-      // occupancy is governed by raising nBits at scale, not by a count cap
-      // (which would suppress every bucket once the corpus outgrows it).
+      // DESIGN and occupancy is already pinned by the adaptive nBits; a
+      // count cap would suppress every bucket in a degenerate all-dup corpus
+      // (exactly the rows a dedup query must surface).
       val pairs = graft.ops.DedupOps.candidatePairs(
         buckets, Seq("table", "bucket"), "vec_id", maxBucket = Int.MaxValue)
       pairs
@@ -562,10 +567,13 @@ object SparkEntry {
     "embed_knn_lsh" -> ((s, dir) => {
       import s.implicits._
       // scale path: LSH-bucketed ANN — candidates share a hyperplane bucket,
-      // exact cosine re-rank inside the bucket only.
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding").as[(Long, Array[Float])]
-        .map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, 8)) }
+      // exact cosine re-rank inside the bucket only. Adaptive width keeps
+      // ~128 candidates per query at any corpus size (n/2^nBits ≈ 128).
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val nBits = graft.ops.Ann.adaptiveNBits(raw.count(), targetBucket = 128)
+      val emb = raw.as[(Long, Array[Float])]
+        .map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, nBits)) }
         .toDF("vec_id", "embedding", "bucket")
       val q = emb.filter(col("vec_id") < 5)
         .withColumnRenamed("vec_id", "query_id")
@@ -588,14 +596,18 @@ object SparkEntry {
     // recall ordering vs single-probe is pinned in AnnSpec.
     "embed_knn_multiprobe" -> ((s, dir) => {
       import s.implicits._
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding").as[(Long, Array[Float])]
-      val indexed = emb.map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, 8)) }
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      // same adaptive width as embed_knn_lsh; multi-probe adds the recall of
+      // extra tables without re-indexing, at any corpus size
+      val nBits = graft.ops.Ann.adaptiveNBits(raw.count(), targetBucket = 128)
+      val emb = raw.as[(Long, Array[Float])]
+      val indexed = emb.map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, nBits)) }
         .toDF("vec_id", "embedding", "bucket")
       val probes = indexed.filter(col("vec_id") < 5)
         .as[(Long, Array[Float], Int)]
         .flatMap { case (id, v, _) =>
-          graft.ops.Ann.multiProbeBuckets(v, 8, 0, 3).map(b => (id, v, b))
+          graft.ops.Ann.multiProbeBuckets(v, nBits, 0, 3).map(b => (id, v, b))
         }.toDF("query_id", "q_emb", "bucket")
       val scored = probes.join(indexed, Seq("bucket"))
         .filter(col("query_id") =!= col("vec_id"))
@@ -611,16 +623,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN: deterministic k-means coarse quantizer (trained on a bounded
-    // vec_id<256 sample, centroids broadcast), corpus assigned to cells once,
-    // queries scan only their 4 nearest cells. The scale path when buckets
-    // must adapt to the data distribution (LSH hyperplanes are data-blind).
+    // IVF ANN: deterministic k-means coarse quantizer (k ≈ √n cells trained
+    // on a ~64-per-cell bounded sample, centroids broadcast), corpus assigned
+    // to cells once, queries scan only their 4 nearest cells. The scale path
+    // when buckets must adapt to the data distribution (LSH hyperplanes are
+    // data-blind).
     "embed_knn_ivf" -> ((s, dir) => {
       import s.implicits._
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding").as[(Long, Array[Float])]
-      val sample = emb.filter(_._1 < 256).collect().sortBy(_._1).map(_._2)
-      val centroids = graft.ops.Ann.trainCentroids(sample, k = 16)
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val k = graft.ops.Ann.adaptiveIvfK(raw.count())
+      val sampleN = graft.ops.Ann.ivfSampleSize(k)
+      val emb = raw.as[(Long, Array[Float])]
+      val sample = emb.filter(_._1 < sampleN).collect().sortBy(_._1).map(_._2)
+      val centroids = graft.ops.Ann.trainCentroids(sample, k)
       val cB = s.sparkContext.broadcast(centroids)
       val indexed = emb.map { case (id, v) => (id, v, graft.ops.Ann.nearestCentroid(v, cB.value)) }
         .toDF("vec_id", "embedding", "cell")

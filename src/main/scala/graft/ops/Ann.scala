@@ -20,6 +20,35 @@ package graft.ops
  */
 object Ann {
 
+  // ---- corpus-adaptive index sizing ----
+  // Static widths die at scale: a 4-bit hyperplane bucket holds n/16 vectors,
+  // so at 1B vectors every bucket self-join is quadratic again. Derive the
+  // index width from the corpus count so expected occupancy stays ~constant
+  // as the corpus grows.
+
+  /** Hyperplane bits so the EXPECTED bucket occupancy ≈ `targetBucket`:
+    * `ceil(log2(n / targetBucket))`, clamped to [minBits, maxBits].
+    * Occupancy stays in [targetBucket/2, targetBucket] as n grows (the ceil
+    * rounds bucket count up), so candidate self-joins stay O(n·target) and
+    * per-query candidate lists stay O(target) at any corpus size. */
+  def adaptiveNBits(n: Long, targetBucket: Long = 128L, minBits: Int = 4, maxBits: Int = 24): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucket))
+    math.min(maxBits, math.max(minBits, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** IVF cell count k ≈ √n (the standard balance point: query cost
+    * ~ k + nProbe·n/k is minimized at k = √(nProbe·n)), clamped. The maxK
+    * clamp bounds the broadcast centroid table (maxK × dim floats) and the
+    * driver-side Lloyd training cost; past it, training itself should move
+    * to a distributed k-means — out of scope for this engine's query surface. */
+  def adaptiveIvfK(n: Long, minK: Int = 4, maxK: Int = 4096): Int =
+    math.min(maxK, math.max(minK, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Training sample size for `k` cells: ~`perCell` vectors per centroid,
+    * capped so the driver-side collect stays bounded at any corpus size. */
+  def ivfSampleSize(k: Int, perCell: Int = 64, max: Int = 65536): Int =
+    math.min(max, math.max(k, k * perCell))
+
   // ---- multi-probe LSH ----
 
   /** Buckets to probe for query `v`: its own bucket first, then the buckets

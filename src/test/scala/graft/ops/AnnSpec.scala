@@ -90,6 +90,40 @@ class AnnSpec extends AnyFunSuite {
     assert(r4 >= 0.8, s"IVF nProbe=4 recall too low on clustered data: $r4")
   }
 
+  test("adaptive nBits keeps bucket occupancy bounded as the corpus grows 16x") {
+    // uniform-ish normalized vectors at n and 16n: with the static r2 width
+    // the mean occupancy grows 16x; with adaptiveNBits it stays ~targetBucket
+    val target = 64L
+    val occupancies = Seq(1000, 16000).map { n =>
+      val nBits = Ann.adaptiveNBits(n, target)
+      val vecs = Array.tabulate(n)(i =>
+        VectorOps.normalize(Array.tabulate(Dim)(d => rnd(3000L + i, d))))
+      val occ = vecs.groupBy(v => VectorOps.cosineLshBucket(v, nBits)).values.map(_.length)
+      val mean = n.toDouble / (1 << nBits)
+      assert(mean <= 2 * target, s"n=$n nBits=$nBits expected occupancy $mean > 2x target")
+      assert(occ.max <= 8 * target, s"n=$n max bucket ${occ.max} blew past 8x target")
+      mean
+    }
+    // occupancy must NOT scale with n (the r2 bug): 16x corpus, ~same mean
+    assert(occupancies(1) <= 2 * occupancies(0) + target,
+      s"occupancy grew with the corpus: $occupancies")
+    assert(Ann.adaptiveNBits(16000, target) == Ann.adaptiveNBits(1000, target) + 4)
+  }
+
+  test("adaptive sizing formulas: clamps, monotonicity, ivf k ~ sqrt(n)") {
+    assert(Ann.adaptiveNBits(0, 64) == 4)                    // minBits floor
+    assert(Ann.adaptiveNBits(Long.MaxValue, 1) == 24)        // maxBits ceiling
+    assert(Ann.adaptiveNBits(1L << 40, 128) == 24)           // 1T vectors clamped
+    val ns = Seq(1000L, 16000L, 256000L, 4096000L)
+    val bits = ns.map(Ann.adaptiveNBits(_, 64))
+    assert(bits == bits.sorted, "nBits must be monotone in n")
+    assert(Ann.adaptiveIvfK(2000) == 45)
+    assert(Ann.adaptiveIvfK(1L << 40) == 4096)               // clamped
+    assert(Ann.adaptiveIvfK(1) == 4)                         // floor
+    assert(Ann.ivfSampleSize(45) == 2880)
+    assert(Ann.ivfSampleSize(4096) == 65536)                 // collect bound
+  }
+
   test("probeCells returns the nearest cells most-similar first") {
     val centroids = Ann.trainCentroids(corpus.take(100), k = 8)
     val q = corpus(3)
