@@ -155,12 +155,13 @@ object Enhancer {
         schema.toSeq.sortBy(_._1).map { case (k, t) => s"- $k ($t)" }.mkString("\n")
     }
     val node = mapper.readTree(provider.completeJson(prompt))
-    validate(node, schema)
+    validateSchema(node, schema)
     mapper.writeValueAsString(node)
   }
 
-  /** zod-shape check for the mini-schema (enhancer.ts:139-169). */
-  private def validate(node: JsonNode, schema: Map[String, String]): Unit = {
+  /** zod-shape check for the mini-schema (enhancer.ts:139-169). Public so
+    * the L4 HTTP providers' completeJSON path reuses the same validation. */
+  def validateSchema(node: JsonNode, schema: Map[String, String]): Unit = {
     schema.foreach { case (key, tpe) =>
       val optional = tpe.endsWith("?")
       val base = if (optional) tpe.dropRight(1) else tpe

@@ -1,0 +1,242 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.HttpLlm._
+import graft.util.HttpBase.{CannedTransport, HttpConfig}
+import graft.sources.ScrapeError
+
+/** L4 HTTP provider + preset mappings — ported from
+  * `/root/reference/test/llm/http.test.ts` with fetch replaced by an
+  * injected [[CannedTransport]]. */
+class HttpLlmSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def canned(json: String) = new CannedTransport((_, _) => json)
+  private val openaiOk = """{"choices":[{"message":{"content":"hi there"}}]}"""
+
+  // --- HttpLLMProvider basics (http.test.ts:16-47) ---
+
+  test("creates a provider with required config; name is http-llm") {
+    val p = new HttpLLMProvider(
+      HttpConfig("https://api.example.com/v1/chat/completions", "test-model",
+        Map("Authorization" -> "Bearer test-key")), canned(openaiOk))
+    assert(p.name == "http-llm")
+  }
+
+  test("rejects HTTP URLs by default") {
+    val e = intercept[ScrapeError] {
+      new HttpLLMProvider(HttpConfig("http://api.example.com/v1/chat", "test-model"), canned("{}"))
+    }
+    assert(e.getMessage.contains("HTTPS required"))
+  }
+
+  test("allows HTTP for local providers") {
+    val p = new HttpLLMProvider(
+      HttpConfig("http://localhost:11434/v1/chat/completions", "llama3.2",
+        requireHttps = false, allowPrivate = true), canned(openaiOk))
+    assert(p.name == "http-llm")
+  }
+
+  // --- request building (http.ts:61-128) ---
+
+  test("default request: messages, system prompt first, temperature, max_tokens") {
+    val t = canned(openaiOk)
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m1"), t)
+    p.complete("Ping", CompletionOptions(
+      systemPrompt = Some("Be brief"), temperature = Some(0.2), maxTokens = Some(99)))
+    assert(t.lastBody ==
+      """{"model":"m1","messages":[{"role":"system","content":"Be brief"},{"role":"user","content":"Ping"}],"temperature":0.2,"max_tokens":99}""")
+  }
+
+  test("jsonMode appends response_format json_object") {
+    val t = canned(openaiOk)
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m1"), t, jsonMode = true)
+    p.complete("Q")
+    assert(t.lastBody.endsWith(""""response_format":{"type":"json_object"}}"""))
+  }
+
+  // --- response mapping (http.ts:88-113) ---
+
+  test("default response mapper: OpenAI choices, Anthropic content blocks, else error") {
+    def map(j: String) = defaultResponseMapper(mapper.readTree(j))
+    assert(map(openaiOk) == "hi there")
+    assert(map("""{"content":[{"type":"thinking"},{"type":"text","text":"claude says"}]}""") == "claude says")
+    val e = intercept[ScrapeError](map("""{"nothing":true}"""))
+    assert(e.getMessage.contains("Unable to parse LLM response"))
+  }
+
+  test("empty completion content raises Empty response from LLM") {
+    val p = new HttpLLMProvider(
+      HttpConfig("https://api.example.com/v1", "m"),
+      canned("""{"content":[{"type":"text","text":"x"}]}"""),
+      responseMapper = _ => "")
+    val e = intercept[ScrapeError](p.complete("q"))
+    assert(e.getMessage == "Empty response from LLM")
+  }
+
+  // --- mini-schema → JSON Schema (http.test.ts:49-120 equivalents) ---
+
+  test("miniSchemaToJsonSchema: object with properties and required") {
+    val js = miniSchemaToJsonSchema(Map("name" -> "string", "age" -> "number"))
+    assert(js.get("type").asText() == "object")
+    assert(js.get("properties").get("name").get("type").asText() == "string")
+    assert(js.get("properties").get("age").get("type").asText() == "number")
+    val req = (0 until js.get("required").size()).map(js.get("required").get(_).asText())
+    assert(req == Seq("age", "name")) // sorted-key determinism
+  }
+
+  test("miniSchemaToJsonSchema: arrays are typed; optionals leave required") {
+    val js = miniSchemaToJsonSchema(Map(
+      "tags" -> "string[]", "scores" -> "number[]", "note" -> "string?", "flag" -> "boolean"))
+    assert(js.get("properties").get("tags").get("type").asText() == "array")
+    assert(js.get("properties").get("tags").get("items").get("type").asText() == "string")
+    assert(js.get("properties").get("scores").get("items").get("type").asText() == "number")
+    assert(js.get("properties").get("flag").get("type").asText() == "boolean")
+    val req = (0 until js.get("required").size()).map(js.get("required").get(_).asText())
+    assert(req.contains("tags") && req.contains("flag") && !req.contains("note"))
+  }
+
+  test("stringify2 matches JSON.stringify(x, null, 2)") {
+    val node = miniSchemaToJsonSchema(Map("name" -> "string"))
+    assert(stringify2(node) ==
+      """{
+        |  "type": "object",
+        |  "properties": {
+        |    "name": {
+        |      "type": "string"
+        |    }
+        |  },
+        |  "required": [
+        |    "name"
+        |  ]
+        |}""".stripMargin)
+  }
+
+  // --- completeJSON path (http.ts:136-196) ---
+
+  test("completeJsonSchema: schema prompt assembled; clean JSON parsed and validated") {
+    val t = canned("""{"choices":[{"message":{"content":"{\"name\":\"Ada\",\"age\":36}"}}]}""")
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m"), t, jsonMode = true)
+    val node = p.completeJsonSchema("Extract the person", Map("name" -> "string", "age" -> "number"))
+    assert(node.get("name").asText() == "Ada")
+    // the assembled prompt carries the schema and the JSON-only instruction
+    assert(t.lastBody.contains("Respond ONLY with valid JSON matching this schema"))
+    assert(t.lastBody.contains("You are a helpful assistant that responds only with valid JSON."))
+    assert(t.lastBody.endsWith(""""response_format":{"type":"json_object"}}"""))
+  }
+
+  test("completeJsonSchema: extracts JSON from markdown fences / prose") {
+    val content = "Here you go:\n```json\n{\"name\": \"Bob\"}\n```\nthanks"
+    val t = canned(mapper.writeValueAsString {
+      val o = mapper.createObjectNode()
+      o.putArray("choices").addObject().putObject("message").put("content", content)
+      o
+    })
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m"), t)
+    val node = p.completeJsonSchema("Q", Map("name" -> "string"))
+    assert(node.get("name").asText() == "Bob")
+  }
+
+  test("completeJsonSchema: schema violation throws (zod-equivalent)") {
+    val t = canned("""{"choices":[{"message":{"content":"{\"name\":123}"}}]}""")
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m"), t)
+    intercept[IllegalArgumentException](p.completeJsonSchema("Q", Map("name" -> "string")))
+  }
+
+  test("completeJsonSchema: no JSON in response throws VALIDATION_ERROR") {
+    val t = canned("""{"choices":[{"message":{"content":"sorry, no can do"}}]}""")
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m"), t)
+    val e = intercept[ScrapeError](p.completeJsonSchema("Q", Map("name" -> "string")))
+    assert(e.getMessage.contains("No JSON found in response"))
+  }
+
+  // --- presets (http.test.ts:122-266) ---
+
+  test("createOpenAI: key required; defaults; custom model/baseUrl accepted") {
+    assume(sys.env.get("OPENAI_API_KEY").forall(_.isEmpty))
+    val e = intercept[IllegalArgumentException](createOpenAI(canned("{}")))
+    assert(e.getMessage.contains("OpenAI API key required"))
+    val t = canned(openaiOk)
+    val p = createOpenAI(t, apiKey = Some("sk-test-key"))
+    assert(p.name == "http-llm")
+    p.complete("q")
+    assert(t.lastUrl == "https://api.openai.com/v1/chat/completions")
+    assert(t.lastBody.contains(""""model":"gpt-4o-mini""""))
+    assert(t.lastBody.contains("response_format")) // jsonMode on
+    createOpenAI(canned(openaiOk), apiKey = Some("sk"), model = Some("gpt-4-turbo"),
+      baseUrl = Some("https://custom.openai.com/v1/chat/completions"))
+  }
+
+  test("createAnthropic: versioned headers and exact request shape") {
+    if (sys.env.get("ANTHROPIC_API_KEY").forall(_.isEmpty)) {
+      val e = intercept[IllegalArgumentException](createAnthropic(canned("{}")))
+      assert(e.getMessage.contains("Anthropic API key required"))
+    } else {
+      // env key present in this sandbox → the env-fallback path constructs
+      assert(createAnthropic(canned("{}")).name == "http-llm")
+    }
+    val t = canned("""{"content":[{"type":"text","text":"ok"}]}""")
+    val p = createAnthropic(t, apiKey = Some("sk-ant-test"))
+    assert(p.complete("Hi") == "ok")
+    assert(t.lastUrl == "https://api.anthropic.com/v1/messages")
+    assert(t.lastHeaders("x-api-key") == "sk-ant-test")
+    assert(t.lastHeaders("anthropic-version") == "2023-06-01")
+    assert(t.lastBody ==
+      """{"model":"claude-3-5-haiku-20241022","max_tokens":1024,"messages":[{"role":"user","content":"Hi"}]}""")
+    // system + temperature land as top-level fields
+    p.complete("Hi", CompletionOptions(systemPrompt = Some("sys"), temperature = Some(0.5)))
+    assert(t.lastBody.contains(""""system":"sys""""))
+    assert(t.lastBody.contains(""""temperature":0.5"""))
+  }
+
+  test("createGroq/createTogether/createOpenRouter: key gates and endpoints") {
+    assume(Seq("GROQ_API_KEY", "TOGETHER_API_KEY", "OPENROUTER_API_KEY")
+      .forall(k => sys.env.get(k).forall(_.isEmpty)))
+    assert(intercept[IllegalArgumentException](createGroq(canned("{}")))
+      .getMessage.contains("Groq API key required"))
+    assert(intercept[IllegalArgumentException](createTogether(canned("{}")))
+      .getMessage.contains("Together API key required"))
+    assert(intercept[IllegalArgumentException](
+      createOpenRouter(canned("{}"), model = "anthropic/claude-3.5-sonnet"))
+      .getMessage.contains("OpenRouter API key required"))
+
+    val t = canned(openaiOk)
+    createGroq(t, apiKey = Some("gsk-test")).complete("q")
+    assert(t.lastUrl == "https://api.groq.com/openai/v1/chat/completions")
+
+    val t2 = canned(openaiOk)
+    val or = createOpenRouter(t2, model = "anthropic/claude-3.5-sonnet",
+      apiKey = Some("or-test"), siteUrl = Some("https://me.dev"), siteName = Some("Me"))
+    or.complete("q")
+    assert(t2.lastUrl == "https://openrouter.ai/api/v1/chat/completions")
+    assert(t2.lastHeaders("HTTP-Referer") == "https://me.dev")
+    assert(t2.lastHeaders("X-Title") == "Me")
+    assert(!t2.lastBody.contains("response_format")) // OpenRouter: no json mode
+  }
+
+  test("createOllama/createLMStudio: local HTTP endpoints allowed") {
+    val t = canned(openaiOk)
+    createOllama(t, model = "llama3.2").complete("q")
+    assert(t.lastUrl == "http://localhost:11434/v1/chat/completions")
+    createOllama(canned(openaiOk), model = "mistral",
+      baseUrl = Some("http://192.168.1.100:11434/v1/chat/completions")).complete("q")
+    val t3 = canned(openaiOk)
+    createLMStudio(t3, model = "local-model").complete("q")
+    assert(t3.lastUrl == "http://localhost:1234/v1/chat/completions")
+  }
+
+  test("HttpLLMProvider plugs into the Enhancer as an LLMProvider") {
+    // the L1 summarize path driven through an OpenAI-shaped canned wire
+    val t = new graft.util.HttpBase.CannedTransport((_, body) => {
+      // the enhancer's summarize prompt must ride the wire; answer in the
+      // JSON shape the enhancer parses ({"summary": ...})
+      val prompt = mapper.readTree(body).get("messages").get(0).get("content").asText()
+      assert(prompt.toLowerCase.contains("summar"))
+      """{"choices":[{"message":{"content":"{\"summary\":\"hi there\"}"}}]}"""
+    })
+    val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m"), t)
+    val e = Enhancer.enhance(
+      EnhanceInput("https://x.dev/a", "T", "", "Some body text.", ""), p, Seq("summarize"))
+    assert(e.summary.contains("hi there"))
+  }
+}
