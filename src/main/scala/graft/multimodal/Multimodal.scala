@@ -30,13 +30,16 @@ final case class MediaFeatures(
  * stages — the Scala equivalent of `mapInPandas` batches is `mapPartitions`
  * over the typed Dataset (one JVM-side batch per partition, setup amortized).
  *
- * Codec status: PNG/BMP decode + feature-extract + resize are REAL, via the
- * JDK's `javax.imageio` (deterministic: pure pixel math, no wall clock).
- * JPEG/audio/video codecs do not ship in this container (SURVEY.md §7.6 — no
- * ffmpeg), so those paths remain clearly-marked deterministic stubs derived
- * from the content hash. The Spark-side contract — schema, partitioning,
- * batch shape, unit-norm feature vectors, LSH bucketing — is identical on
- * both paths; swapping a real codec in changes only the function bodies.
+ * Codec status: IMAGE decode + feature-extract + resize are REAL via the
+ * JDK's `javax.imageio`, whose readers here cover JPEG, TIFF, BMP, GIF,
+ * WBMP and PNG (`ImageIO.getReaderFormatNames()` on this JDK) — the
+ * synthetic corpus plants genuine PNG, JPEG and GIF bytes so the real path
+ * is exercised across formats. Audio/video codecs do not ship in this
+ * container (no ffmpeg), so those paths remain clearly-marked deterministic
+ * stubs derived from the content hash. The Spark-side contract — schema,
+ * partitioning, batch shape, unit-norm feature vectors, LSH bucketing — is
+ * identical on both paths; swapping a real codec in changes only the
+ * function bodies.
  */
 object Multimodal {
 
@@ -95,9 +98,11 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic REAL PNG for the synthetic corpus (pixels from a splitmix
-    * stream over the seed) — exercises the real decode path end-to-end. */
-  def makePng(seed: Long, w: Int = 24, h: Int = 24): Array[Byte] = {
+  /** Deterministic REAL image bytes for the synthetic corpus (pixels from a
+    * splitmix stream over the seed, encoded by the JDK's own writers — no
+    * timestamps, output a pure function of the pixels) — exercises the real
+    * decode path end-to-end per format. */
+  def makeImage(seed: Long, w: Int = 24, h: Int = 24, format: String = "png"): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var state = seed
     var y = 0
@@ -111,9 +116,11 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
+
+  def makePng(seed: Long, w: Int = 24, h: Int = 24): Array[Byte] = makeImage(seed, w, h, "png")
 
   /** STUB decode: deterministic pseudo-decode from the content hash. A real
     * deployment replaces this body with an actual codec call. */
@@ -178,13 +185,19 @@ object Multimodal {
       val kind = (Math.floorMod(h, 3L)) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      // image rows carry REAL PNG bytes (decoded by the real ImageIO path);
-      // audio/video stay hash-derived opaque blobs for the stub codecs
+      // image rows carry REAL encoded bytes across three formats (decoded by
+      // the real ImageIO path); audio/video stay hash-derived opaque blobs
+      // for the stub codecs (no ffmpeg in this container)
       val (bytes, mime, w0, h0) =
         if (kind == "image") {
           val w = 16 + Math.floorMod(h, 17L).toInt
           val hh = 16 + Math.floorMod(h >>> 8, 17L).toInt
-          (makePng(h, w, hh), "image/png", w, hh)
+          val (fmt, mm) = Math.floorMod(h >>> 24, 3L).toInt match {
+            case 0 => ("png", "image/png")
+            case 1 => ("jpg", "image/jpeg")
+            case _ => ("gif", "image/gif")
+          }
+          (makeImage(h, w, hh, fmt), mm, w, hh)
         } else {
           val size = 256 + Math.floorMod(h >>> 8, 1792L).toInt
           val b = new Array[Byte](size)

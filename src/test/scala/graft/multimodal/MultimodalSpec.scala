@@ -55,19 +55,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Multimodal.isPng(Array[Byte](1, 2, 3, 4)))
   }
 
-  test("extractFeatures: every planted PNG decodes via the REAL codec path") {
-    val media = Multimodal.mediaGen(spark, 60)
+  test("makeImage emits real JPEG and GIF bytes that ImageIO decodes") {
+    // this JDK's ImageIO readers: JPEG, TIFF, BMP, GIF, WBMP, PNG
+    val formats = javax.imageio.ImageIO.getReaderFormatNames.map(_.toLowerCase).toSet
+    assert(formats.contains("jpeg") && formats.contains("gif"))
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val bytes = Multimodal.makeImage(9L, 20, 12, fmt)
+      val img = Multimodal.decodeImage(bytes)
+      assert(img.isDefined, s"$fmt must decode")
+      assert(img.get.getWidth == 20 && img.get.getHeight == 12)
+      // determinism: identical bytes for identical pixels
+      assert(bytes.sameElements(Multimodal.makeImage(9L, 20, 12, fmt)))
+    }
+  }
+
+  test("extractFeatures: every planted image (png/jpeg/gif) decodes via the REAL codec path") {
+    val media = Multimodal.mediaGen(spark, 120)
     val features = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
     val rows = media.collect()
     val images = rows.filter(_.kind == "image")
     assert(images.nonEmpty)
+    // the corpus must exercise all three real formats
+    val mimes = images.map(_.mime).toSet
+    assert(mimes == Set("image/png", "image/jpeg", "image/gif"), s"formats planted: $mimes")
     images.foreach { m =>
-      assert(Multimodal.isPng(m.bytes), s"image ${m.media_id} must carry real PNG bytes")
-      assert(features(m.media_id).decode_ok, s"image ${m.media_id} must really decode")
+      assert(features(m.media_id).decode_ok, s"image ${m.media_id} (${m.mime}) must really decode")
       // the feature must equal the real pixel feature, not the stub
       val expected = Multimodal.luminanceFeature(Multimodal.decodeImage(m.bytes).get)
       assert(features(m.media_id).feature.sameElements(expected))
     }
+    images.filter(_.mime == "image/png").foreach(m => assert(Multimodal.isPng(m.bytes)))
     // non-image rows still flow through the stub path deterministically
     rows.filter(_.kind != "image").foreach { m =>
       assert(features(m.media_id).feature.sameElements(Multimodal.featureStub(m.bytes)))
