@@ -464,6 +464,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // L2 extract-with-mini-schema: extractSchema's canonical-JSON output
+    // bytes pinned via the stub provider (response = "stub:" + sha256-12 of
+    // the EXACT assembled prompt) — the DuckDB oracle re-encodes the prompt
+    // assembly (enhancer.ts:171-188 default template, sorted schema fields,
+    // 4000-char content cap) and the canonical JSON byte layout.
+    "llm_extract" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+        val cat = Array("blog", "news", "docs", "articles", "posts", "wiki").apply((id % 6).toInt)
+        val url = s"https://site-${id % 50}.example/$cat/post-$id"
+        val data = graft.llm.EnhanceInput(url, s"Doc $id", "", text, "")
+        val json = graft.llm.Enhancer.extractSchema(data, new graft.llm.StubLLMProvider(),
+          Map("response" -> "string", "notes" -> "string?"))
+        (id, json)
+      }.toDF("doc_id", "extract_json").orderBy("doc_id")
+    }),
+
+    // §2.10 checkpoint/lineage contract as a driver row: a fresh resumable
+    // run over a FIXED 600-page corpus, resumed once — counters, manifest
+    // sums, and output rows checked against a VALUES oracle (the north
+    // rule's "resumable from checkpoint with per-partition lineage+metrics").
+    "manifest_counters" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_manifest_q").toString
+      val pages = PagesGen.generate(s, 600)
+      val r1 = ExtractJob.runResumable(s, pages, out, 8, "run1")
+      val r2 = ExtractJob.runResumable(s, pages, out, 8, "run2")
+      val data = s.read.parquet(out + "/data")
+      val manifest = s.read.parquet(out + "/manifest")
+      val manifestPages = manifest.agg(sum("n_rows")).first().getLong(0)
+      val manifestParts = manifest.filter(col("run_id") === "run1").count()
+      Seq(
+        ("data_distinct_urls", data.select("url").distinct().count()),
+        ("data_rows", data.count()),
+        ("manifest_pages_sum", manifestPages),
+        ("manifest_run1_partitions_min", math.min(manifestParts, 1L)),
+        ("run1_empty_content", r1.emptyContent),
+        ("run1_pages_parsed", r1.pagesParsed),
+        ("run1_parse_failures", r1.parseFailures),
+        ("run2_pages_parsed", r2.pagesParsed)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
+
     // rows-only: the full 4-type enhancement over the extraction corpus
     // (tags/entities exercised at scale; exact semantics pinned by LlmSpec)
     "enhance_pages" -> ((s, dir) => {
@@ -861,6 +904,30 @@ object SparkEntry {
        "'\"stub:' || substr(sha256('What is ' || title || ' at ' || dom || '?' || chr(10) || chr(10) || " +
        "'Title: ' || title || chr(10) || 'URL: ' || url || chr(10) || chr(10) || 'Content:' || chr(10) || text), 1, 12) || '\"' AS custom_q1 " +
        "FROM b ORDER BY doc_id"),
+
+    "llm_extract" ->
+      ("WITH u AS (SELECT doc_id, text, " +
+       "CASE doc_id % 6 WHEN 0 THEN 'blog' WHEN 1 THEN 'news' WHEN 2 THEN 'docs' WHEN 3 THEN 'articles' WHEN 4 THEN 'posts' ELSE 'wiki' END AS cat FROM documents), " +
+       "b AS (SELECT doc_id, 'https://site-' || (doc_id % 50) || '.example/' || cat || '/post-' || doc_id AS url, " +
+       "'Doc ' || doc_id AS title, substr(text, 1, 4000) AS content FROM u) " +
+       "SELECT doc_id, '{\"response\":\"stub:' || substr(sha256(" +
+       "'Extract the following information from this content:' || chr(10) || chr(10) || " +
+       "'Title: ' || title || chr(10) || 'URL: ' || url || chr(10) || chr(10) || " +
+       "'Content:' || chr(10) || content || chr(10) || chr(10) || " +
+       "'Extract these fields:' || chr(10) || '- notes (string?)' || chr(10) || '- response (string)'" +
+       "), 1, 12) || '\"}' AS extract_json FROM b ORDER BY doc_id"),
+
+    "manifest_counters" ->
+      ("SELECT * FROM (VALUES " +
+       "('data_distinct_urls', CAST(600 AS BIGINT)), " +
+       "('data_rows', CAST(600 AS BIGINT)), " +
+       "('manifest_pages_sum', CAST(600 AS BIGINT)), " +
+       "('manifest_run1_partitions_min', CAST(1 AS BIGINT)), " +
+       "('run1_empty_content', CAST(0 AS BIGINT)), " +
+       "('run1_pages_parsed', CAST(600 AS BIGINT)), " +
+       "('run1_parse_failures', CAST(0 AS BIGINT)), " +
+       "('run2_pages_parsed', CAST(0 AS BIGINT))" +
+       ") AS t(metric, value) ORDER BY metric"),
 
     "robots_gate" ->
       ("WITH u AS (SELECT doc_id, " +
