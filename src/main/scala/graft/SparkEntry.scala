@@ -70,13 +70,15 @@ object SparkEntry {
   }
 
   /** Input for the E8 queries: the documents table plus three planted rows
-    * exercising each skip reason of the never-throws contract. */
+    * exercising each skip reason of the never-throws contract. Planted ids
+    * are NEGATIVE — the documents table ids are non-negative at every SF, so
+    * no corpus growth can ever collide with them (ADVICE r2). */
   private def embedPipelineDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
-      (9000000L, ""),                 // -> "No input text available"
-      (9000001L, "tiny"),             // -> too short
-      (9000002L, "aaaa b c d e f")    // -> too few words of len > 1
+      (-3L, ""),                 // -> "No input text available"
+      (-2L, "tiny"),             // -> too short
+      (-1L, "aaaa b c d e f")    // -> too few words of len > 1
     ).toDF("doc_id", "text")
     docs(s, dir).select(col("doc_id").cast("long"), col("text")).unionByName(planted)
   }
@@ -759,12 +761,20 @@ object SparkEntry {
   // Shared CTE prefix for the E8 embed_pipeline oracles: planted skip rows,
   // the validation gate (input.ts:169-199 messages), the 5-regex redaction
   // chain, and the pii flag (counts on the ORIGINAL text, reference quirk).
+  //
+  // SF-validity bound (ADVICE r2): the downstream oracles encode n_chunks=1
+  // and tokens=ceil(len/4) on the RAW redacted text, which matches chunkText
+  // only while every document stays under one chunk (~2000 chars) and is
+  // whitespace-collapsed-equal to its raw form. The driver's documents table
+  // satisfies both at every verification SF (max text length ~400, single
+  // spaces); a future corpus with longer/whitespace-irregular docs must
+  // extend the SQL to the multi-chunk formula rather than silently diverge.
   private def embedPipelineCte: String = {
     val wc = """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 1))"""
     val red = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '$ccRe', '[REDACTED]', 'g'), '$emailRe', '[REDACTED]', 'g'), '$phoneRe', '[REDACTED]', 'g'), '$ssnRe', '[REDACTED]', 'g'), '$ipRe', '[REDACTED]', 'g')"
     val piiCount = s"length(regexp_extract_all(text, '$ccRe')) + length(regexp_extract_all(text, '$emailRe')) + length(regexp_extract_all(text, '$phoneRe')) + length(regexp_extract_all(text, '$ssnRe')) + length(regexp_extract_all(text, '$ipRe'))"
     "WITH all_docs AS (SELECT doc_id, text FROM documents " +
-    "UNION ALL SELECT 9000000, '' UNION ALL SELECT 9000001, 'tiny' UNION ALL SELECT 9000002, 'aaaa b c d e f'), " +
+    "UNION ALL SELECT -3, '' UNION ALL SELECT -2, 'tiny' UNION ALL SELECT -1, 'aaaa b c d e f'), " +
     "v AS (SELECT doc_id, text, CASE WHEN length(text) = 0 THEN 'No input text available' " +
     s"WHEN length(text) < 10 THEN 'Input too short (' || length(text) || ' < 10 characters)' " +
     s"WHEN $wc < 3 THEN 'Input has too few words (' || $wc || ' < 3)' " +

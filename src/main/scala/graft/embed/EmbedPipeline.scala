@@ -18,19 +18,14 @@ trait EmbeddingProvider extends Serializable {
 /** Deterministic stub provider: dimension d of the vector is byte d of
   * sha256(text) scaled to [0,1]. Fully SQL-expressible, which gives the fused
   * E8 stage a DuckDB oracle (`embed_pipeline*` queries). */
-final class HashStubProvider(val dims: Int = 8) extends EmbeddingProvider {
+class HashStubProvider(val dims: Int = 8) extends EmbeddingProvider {
   def name = "stub"
   def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-    HashStubProvider.calls.incrementAndGet()
     val hex = TextOps.sha256Hex(t)
     Array.tabulate(dims)(d => Integer.parseInt(hex.substring(2 * d, 2 * d + 2), 16) / 255.0f)
   }
 }
-object HashStubProvider {
-  /** Provider-call counter for the cache-hit contract (single-JVM local mode:
-    * executor threads share this statics instance). */
-  val calls = new java.util.concurrent.atomic.AtomicLong(0)
-}
+
 
 final case class EmbedConfig(
     inputType: String = "textContent",

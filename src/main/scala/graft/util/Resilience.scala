@@ -117,7 +117,14 @@ final class CircuitBreaker(
   }
 
   def execute[T](fn: => T): T = {
-    if (isOpen) throw new CircuitOpenError(s"Circuit breaker is open. Next attempt at $nextAttemptTime")
+    // read state + nextAttemptTime under ONE lock (ADVICE r2: the previous
+    // unsynchronized reads were racy when an instance is shared across
+    // executor threads, which the scaladoc explicitly invites)
+    val openUntil = synchronized {
+      updateState()
+      if (state == "open") Some(nextAttemptTime) else None
+    }
+    openUntil.foreach(t => throw new CircuitOpenError(s"Circuit breaker is open. Next attempt at $t"))
     try {
       val r = fn
       recordSuccess()
@@ -160,14 +167,20 @@ final class RateLimiter(requestsPerMinute: Double = 60, clock: Clock = SystemClo
     }
   }
 
-  /** Block (via clock.sleep) until `n` tokens are available, then take them. */
+  /** Block (via clock.sleep) until `n` tokens are available, then take them.
+    * Refill, the token check, and the wait-time computation happen under ONE
+    * lock per round (ADVICE r2: split sections let concurrent callers compute
+    * stale waits and thrash in the retry loop); only the sleep itself runs
+    * unlocked. */
   def acquire(n: Double = 1): Unit = {
-    if (tryAcquire(n)) return
-    refill()
-    val needed = synchronized(n - tokens)
-    val waitMs = math.ceil(needed / refillRate * 1000).toLong
-    if (waitMs > 0) clock.sleep(waitMs)
-    while (!tryAcquire(n)) clock.sleep(math.ceil(1000 / refillRate).toLong)
+    while (true) {
+      val waitMs = synchronized {
+        refill() // reentrant
+        if (tokens >= n) { tokens -= n; return }
+        math.ceil((n - tokens) / refillRate * 1000).toLong
+      }
+      clock.sleep(math.max(1L, waitMs))
+    }
   }
 
   def getWaitTimeMs: Long = {

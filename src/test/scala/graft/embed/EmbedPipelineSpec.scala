@@ -88,10 +88,11 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cacheTable = EmbedPipeline.toCacheRows(cold).cache()
     assert(cacheTable.count() > 0)
 
-    HashStubProvider.calls.set(0)
+    val calls = EmbedPipelineSpec.counter
+    calls.set(0)
     val warm = EmbedPipeline.embedDocuments(spark, docsDf, Some(cacheTable),
-      new HashStubProvider(8)).collect()
-    assert(HashStubProvider.calls.get() == 0, "cache hits must not reach the provider")
+      new CountingStubProvider(8)).collect()
+    assert(calls.get() == 0, "cache hits must not reach the provider")
 
     val byId = warm.map(r => r.doc_id -> r).toMap
     assert(byId(1L).cached && byId(2L).cached && byId(3L).cached && byId(7L).cached)
@@ -115,10 +116,11 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         None, new HashStubProvider(8))).cache()
     cache.count()
 
-    HashStubProvider.calls.set(0)
+    val calls = EmbedPipelineSpec.counter
+    calls.set(0)
     val res = EmbedPipeline.embedDocuments(spark, docsDf, Some(cache),
-      new HashStubProvider(8)).collect().map(r => r.doc_id -> r).toMap
-    assert(HashStubProvider.calls.get() == 1, "exactly the one miss embeds")
+      new CountingStubProvider(8)).collect().map(r => r.doc_id -> r).toMap
+    assert(calls.get() == 1, "exactly the one miss embeds")
     assert(res(1L).cached && !res(8L).cached)
     assert(res(8L).status == "success")
   }
@@ -175,5 +177,19 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res(1L).reason.contains("provider down"))
     // deterministic front half survives: key/checksum still present
     assert(res(1L).cache_key.nonEmpty)
+  }
+}
+
+/** Test-only instrumented stub (ADVICE r2: the shipped HashStubProvider is
+  * stateless; the provider-call counter lives here, in test scope, shared via
+  * a single-JVM static — valid only in local mode, which is where it runs). */
+object EmbedPipelineSpec {
+  val counter = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+class CountingStubProvider(dims: Int = 8) extends HashStubProvider(dims) {
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    texts.foreach(_ => EmbedPipelineSpec.counter.incrementAndGet())
+    super.embed(texts)
   }
 }
