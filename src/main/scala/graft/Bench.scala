@@ -120,17 +120,21 @@ object Bench {
     val extractSec = times(times.length / 2)
     val docsPerSec = extractedCount / extractSec
 
-    // one timed pass per non-headline variant (full mode only): the
-    // plan-order comparison lands in the JSON for round-over-round tracking
+    // per-variant plan-cost comparison (full mode only): one warm pass, then
+    // MIN of two timed passes — a plan comparison wants the noise floor, and
+    // this shared host spikes individual runs 3-10x under external load
     val variantTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) Seq(variant -> extractSec)
       else Seq("shuffle_first", "extract_first", "bucketed_scan").map { v =>
         if (v == variant) v -> extractSec
         else {
           runVariant(v) // warm this plan's code path once
-          val t0 = System.nanoTime()
-          runVariant(v)
-          v -> (System.nanoTime() - t0) / 1e9
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            runVariant(v)
+            (System.nanoTime() - t0) / 1e9
+          }
+          v -> ts.min
         }
       }
 
