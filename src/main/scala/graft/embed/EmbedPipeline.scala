@@ -172,17 +172,49 @@ object EmbedPipeline {
       .select("cache_key", "vector", "n_chunks", "tokens")
       .dropDuplicates("cache_key")
 
+  /** Run metrics — the persisted-table analogue of the reference cache's
+    * hit/miss counters (`cache.ts` stats surface): Spark accumulators, one
+    * increment per row as it flows through the stage (read after an action). */
+  final case class EmbedCounters(
+      cacheHits: org.apache.spark.util.LongAccumulator,
+      cacheMisses: org.apache.spark.util.LongAccumulator,
+      skipped: org.apache.spark.util.LongAccumulator) {
+    def hitRate: Double = {
+      val total = cacheHits.value + cacheMisses.value
+      if (total == 0) 0.0 else cacheHits.value.toDouble / total
+    }
+  }
+
+  def newCounters(spark: SparkSession): EmbedCounters = EmbedCounters(
+    spark.sparkContext.longAccumulator("embed_cache_hits"),
+    spark.sparkContext.longAccumulator("embed_cache_misses"),
+    spark.sparkContext.longAccumulator("embed_skipped"))
+
+  /** Table-level stats of a persisted cache relation — the `getStats()`
+    * analogue (`cache.ts:262-281`): size + utilization against a logical
+    * capacity. TTL/expiry is deliberately absent: at cluster scale, eviction
+    * is the TABLE's retention policy (partition drop / snapshot expiry),
+    * not per-entry bookkeeping (documented in EmbedCacheSpec). */
+  final case class CacheTableStats(size: Long, maxEntries: Long, utilization: Double)
+
+  def cacheStats(cache: DataFrame, maxEntries: Long = 10000): CacheTableStats = {
+    val size = cache.count()
+    CacheTableStats(size, maxEntries, size.toDouble / math.max(1L, maxEntries))
+  }
+
   /**
    * The fused stage. `docs` must have columns (doc_id: Long, text: String);
    * `cache` is the persisted (cache_key, vector, n_chunks, tokens) table or
-   * None for a cold run.
+   * None for a cold run. `counters`, when supplied, record per-row
+   * hit/miss/skip totals as the action runs.
    */
   def embedDocuments(
       spark: SparkSession,
       docs: DataFrame,
       cache: Option[DataFrame],
       provider: EmbeddingProvider,
-      cfg: EmbedConfig = EmbedConfig()): Dataset[EmbedRow] = {
+      cfg: EmbedConfig = EmbedConfig(),
+      counters: Option[EmbedCounters] = None): Dataset[EmbedRow] = {
     import spark.implicits._
 
     val prepped = docs.select(col("doc_id").cast("long"), col("text"))
@@ -191,9 +223,11 @@ object EmbedPipeline {
         prepare(id, Embed.InputData(textContent = Option(text)), cfg)
       })
 
-    val skipped = prepped.filter(!_.valid).map(p =>
+    val skipped = prepped.filter(!_.valid).map { p =>
+      counters.foreach(_.skipped.add(1))
       EmbedRow(p.doc_id, "skipped", p.reason, "", "", 0, 0, pii_redacted = false,
-        cached = false, Array.empty))
+        cached = false, Array.empty)
+    }
 
     val valid = prepped.filter(_.valid)
 
@@ -214,6 +248,7 @@ object EmbedPipeline {
             col("pii_redacted"), col("c_vector"), col("c_chunks"), col("c_tokens"))
           .as[(Long, String, String, Boolean, Array[Float], Int, Int)]
           .map { case (id, key, sum, pii, vec, nch, tok) =>
+            counters.foreach(_.cacheHits.add(1))
             EmbedRow(id, "success", "", key, sum, nch, tok, pii, cached = true, vec)
           }
         val missRows = joined.filter(col("c_vector").isNull)
@@ -230,7 +265,10 @@ object EmbedPipeline {
     // the partition's rows skip fast instead of hammering it.
     val computed = misses.mapPartitions { it =>
       val breaker = new graft.util.CircuitBreaker(cfg.breakerThreshold, cfg.breakerResetMs)
-      it.map(p => embedOne(p, provider, cfg, breaker))
+      it.map { p =>
+        counters.foreach(_.cacheMisses.add(1))
+        embedOne(p, provider, cfg, breaker)
+      }
     }
 
     computed.union(hits).union(skipped)

@@ -178,6 +178,32 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // deterministic front half survives: key/checksum still present
     assert(res(1L).cache_key.nonEmpty)
   }
+  test("embed counters: cold run all misses, warm run all hits; cacheStats") {
+    val docsDf = inputDocs()
+    val cold = EmbedPipeline.newCounters(spark)
+    val coldRes = EmbedPipeline.embedDocuments(spark, docsDf, None,
+      new HashStubProvider(8), counters = Some(cold))
+    val coldRows = coldRes.collect()
+    val nSuccess = coldRows.count(_.status == "success")
+    val nSkipped = coldRows.count(_.status == "skipped")
+    assert(cold.cacheHits.value == 0)
+    assert(cold.cacheMisses.value == nSuccess)
+    assert(cold.skipped.value == nSkipped)
+    assert(cold.hitRate == 0.0)
+
+    val cacheTable = EmbedPipeline.toCacheRows(coldRes).cache()
+    val stats = EmbedPipeline.cacheStats(cacheTable, maxEntries = 100)
+    assert(stats.size == cacheTable.count())
+    assert(stats.utilization == stats.size.toDouble / 100)
+
+    val warm = EmbedPipeline.newCounters(spark)
+    EmbedPipeline.embedDocuments(spark, docsDf, Some(cacheTable),
+      new HashStubProvider(8), counters = Some(warm)).collect()
+    assert(warm.cacheHits.value == nSuccess)
+    assert(warm.cacheMisses.value == 0)
+    assert(warm.skipped.value == nSkipped)
+    assert(warm.hitRate == 1.0)
+  }
 }
 
 /** Test-only instrumented stub (ADVICE r2: the shipped HashStubProvider is
