@@ -54,11 +54,16 @@ object Bench {
     val nDocs = sys.env.get("SPARK_GRAFT_DOCS").map(_.toInt).getOrElse(80000)
     val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt).getOrElse(128)
 
-    // corpus parquet — generated once, shared by every level (identical files)
-    val corpusDir = s"target/bench_corpus_$nDocs"
+    // corpus parquet — generated once, shared by every level (identical
+    // files). SPARK_GRAFT_CORPUS=heavy selects the markup-inflated variant
+    // (real-web markup:text ratio) for the plan-order experiment.
+    val corpusKind = sys.env.getOrElse("SPARK_GRAFT_CORPUS", "default")
+    val corpusDir =
+      if (corpusKind == "heavy") s"target/bench_corpus_heavy_$nDocs" else s"target/bench_corpus_$nDocs"
     if (!new java.io.File(corpusDir + "/_SUCCESS").exists()) {
-      PagesGen.generate(spark, nDocs).repartition(64)
-        .write.mode("overwrite").parquet(corpusDir)
+      val gen = if (corpusKind == "heavy") PagesGen.generateHeavy(spark, nDocs)
+                else PagesGen.generate(spark, nDocs)
+      gen.repartition(64).write.mode("overwrite").parquet(corpusDir)
     }
     val pages = spark.read.parquet(corpusDir).as[PageRow]
 
@@ -77,7 +82,9 @@ object Bench {
     val variant = sys.env.getOrElse("SPARK_GRAFT_VARIANT", "bucketed_scan")
 
     lazy val bucketedPages: org.apache.spark.sql.Dataset[PageRow] = {
-      val tbl = s"bench_corpus_bucketed_$nDocs"
+      val tbl =
+        if (corpusKind == "heavy") s"bench_corpus_bucketed_heavy_$nDocs"
+        else s"bench_corpus_bucketed_$nDocs"
       if (!spark.catalog.tableExists(tbl)) {
         val mega = ExtractJob.megaHostMap(pages.toDF(), parts)
         val saltFor = org.apache.spark.sql.functions.udf { (host: String, url: String) =>

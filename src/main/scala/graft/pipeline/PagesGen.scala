@@ -35,6 +35,16 @@ object PagesGen {
     spark.range(n).mapPartitions(_.map(i => makePage(i)))
   }
 
+  /** Markup-heavy variant: same article text, ~10× the boilerplate markup
+    * (real-web ratio; the default corpus is text-dense). Used by the
+    * plan-order experiment in BASELINE.md — extraction strips the
+    * boilerplate, so extracted rows stay small while `html` inflates, which
+    * is exactly the regime where extract-first shuffles fewer bytes. */
+  def generateHeavy(spark: SparkSession, n: Int): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => makePage(i, heavy = true)))
+  }
+
   /** Deterministic per-host robots.txt for the S2 gate: four variants keyed
     * by a host hash, exercising fail-open, Allow-before-Disallow precedence,
     * specific-agent-overrides-`*`, and `*`/`$` wildcards
@@ -112,7 +122,9 @@ object PagesGen {
     (0 until n).map(_ => sentence(r, 8 + r.nextInt(12))).mkString(" ")
   }
 
-  def makePage(i: Long): PageRow = {
+  def makePage(i: Long): PageRow = makePage(i, heavy = false)
+
+  def makePage(i: Long, heavy: Boolean): PageRow = {
     // dedup-realism: every 100th row is an EXACT content dup of its
     // predecessor (same body, different url/host), every other 50th row a
     // NEAR dup (one extra trailing sentence) — ~2% + ~2% of the corpus,
@@ -162,6 +174,31 @@ object PagesGen {
     sb.append("<header id=\"masthead\"><nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About</a></li><li><a href=\"/contact\">Contact</a></li></ul></nav></header>\n")
     sb.append("<div class=\"sidebar\"><div class=\"widget\"><h3>Related Posts</h3><ul><li><a href=\"/p/1\">Older post</a></li></ul></div>")
     sb.append("<div class=\"ad-unit\"><script>document.write('Ad content ").append(r.nextInt(100)).append("');</script></div></div>\n")
+    if (heavy) {
+      // real-web markup inflation: dozens of nav/widget/tracking blocks the
+      // extractor strips — a SEPARATE rnd stream so the article content
+      // stays identical to the light variant of the same row
+      val rb = new Rnd(mix(Seed ^ 0x626f696cL ^ (i * 0x9e3779b97f4a7c15L)))
+      sb.append("<div class=\"mega-nav\" role=\"navigation\">\n")
+      (0 until 24).foreach { k =>
+        sb.append("<div class=\"widget w").append(k).append("\" data-track=\"")
+          .append(java.lang.Long.toHexString(rb.nextLong())).append("\"><h4>")
+          .append(sentence(rb, 3)).append("</h4><ul>")
+        (0 until 8).foreach { j =>
+          sb.append("<li><a class=\"navlink\" data-cat=\"").append(lexicon(rb.nextInt(lexicon.length)))
+            .append("\" href=\"/").append(lexicon(rb.nextInt(lexicon.length))).append('/')
+            .append(rb.nextInt(10000)).append("\">").append(sentence(rb, 4)).append("</a></li>")
+        }
+        sb.append("</ul></div>\n")
+      }
+      sb.append("</div>\n<script type=\"application/json\" class=\"tracker-state\">{")
+      (0 until 40).foreach { k =>
+        if (k > 0) sb.append(',')
+        sb.append('"').append(lexicon(rb.nextInt(lexicon.length))).append(k).append("\":\"")
+          .append(java.lang.Long.toHexString(rb.nextLong())).append('"')
+      }
+      sb.append("}</script>\n")
+    }
     sb.append("<main role=\"main\"><article class=\"post\">\n")
     sb.append("<h1 class=\"entry-title\">").append(title).append("</h1>\n")
     sb.append("<div class=\"entry-meta\"><span class=\"author\">By ").append(author)
@@ -182,7 +219,24 @@ object PagesGen {
     if (hasCode) sb.append("<pre><code class=\"language-scala\">val x = ").append(r.nextInt(100)).append("\nprintln(x)</code></pre>\n")
     sb.append("</div>\n<footer class=\"entry-footer\"><div class=\"tags\">Tags: <a href=\"/tag/t1\">T1</a></div></footer>\n")
     sb.append("</article>\n<div id=\"comments\"><h3>").append(r.nextInt(9)).append(" Comments</h3><div class=\"comment\">Great post!</div></div>\n</main>\n")
-    sb.append("<footer id=\"colophon\"><p>&copy; 2023 ").append(host).append(". All rights reserved. <a href=\"/privacy\">Privacy</a></p></footer>\n")
+    sb.append("<footer id=\"colophon\"><p>&copy; 2023 ").append(host).append(". All rights reserved. <a href=\"/privacy\">Privacy</a></p>")
+    if (heavy) {
+      // footer link farm + comment threads (also stripped by extraction)
+      val rf = new Rnd(mix(Seed ^ 0x666f6f74L ^ (i * 0x9e3779b97f4a7c15L)))
+      sb.append("<div class=\"footer-links\">")
+      (0 until 120).foreach { k =>
+        sb.append("<a rel=\"nofollow\" href=\"/t/").append(rf.nextInt(100000)).append("\">")
+          .append(lexicon(rf.nextInt(lexicon.length))).append(' ').append(k).append("</a> ")
+      }
+      sb.append("</div><div class=\"comment-farm\">")
+      (0 until 16).foreach { k =>
+        sb.append("<div class=\"comment\" id=\"c").append(k).append("\"><span class=\"meta\">user")
+          .append(rf.nextInt(5000)).append("</span><p>").append(sentence(rf, 10 + rf.nextInt(10)))
+          .append("</p></div>")
+      }
+      sb.append("</div>")
+    }
+    sb.append("</footer>\n")
     sb.append("</body>\n</html>\n")
 
     val html = sb.toString

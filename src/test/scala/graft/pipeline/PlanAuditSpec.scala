@@ -48,6 +48,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in LSH path:\n$p")
   }
 
+  test("shared dedup relations: both near-dup queries read the persisted candidates") {
+    // dedup_minhash and dedup_jaccard must scan the SAME in-memory candidate
+    // relation (InMemoryTableScan), not recompute the banded self-join
+    val q = graft.SparkEntry.queries
+    val sfDir = "/root/testdata/sf0.001"
+    val pm = plan(q("dedup_minhash_pages")(spark, sfDir))
+    val pj = plan(q("dedup_jaccard_pages")(spark, sfDir))
+    for ((name, p) <- Seq("minhash" -> pm, "jaccard" -> pj)) {
+      assert(p.contains("InMemoryTableScan"), s"$name must reuse the persisted relation:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plan degraded:\n${p.take(2000)}")
+    }
+  }
+
+  test("adaptive ANN/near-dup queries keep equi-join plans (no cartesian at any width)") {
+    val q = graft.SparkEntry.queries
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("dedup_embed_lsh", "embed_knn_lsh", "embed_knn_multiprobe", "embed_knn_ivf")) {
+      val p = plan(q(name)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: nested loop:\n${p.take(2000)}")
+    }
+  }
+
   test("extraction shuffles only (url, html): pruned columns never ride the exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
     PagesGen.generate(spark, 50).write.mode("overwrite").parquet(dir)
