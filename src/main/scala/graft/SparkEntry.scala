@@ -148,6 +148,12 @@ object SparkEntry {
     "extract_fixture_meta" -> ((s, dir) => FixtureQueries.fixtureMeta(s)),
     "extract_fixture_checks" -> ((s, dir) => FixtureQueries.fixtureChecks(s)),
     "normalize_values" -> ((s, dir) => FixtureQueries.normalizeValues(s)),
+    // same pattern for the feed (K4–K10) and markdown (K1–K3) parser
+    // families: reference-asserted VALUES oracles (rss.test.ts /
+    // markdown.test.ts) over the vendored fixtures + inline snippets
+    "feed_fixture_items" -> ((s, dir) => FeedFixtureQueries.feedFixtureItems(s)),
+    "markdown_fixture" -> ((s, dir) => FeedFixtureQueries.markdownFixture(s)),
+    "github_fixture" -> ((s, dir) => FeedFixtureQueries.githubFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -795,6 +801,9 @@ object SparkEntry {
     "extract_fixture_meta" -> FixtureQueries.metaOracle,
     "extract_fixture_checks" -> FixtureQueries.checksOracle,
     "normalize_values" -> FixtureQueries.normalizeOracle,
+    "feed_fixture_items" -> FeedFixtureQueries.feedOracle,
+    "markdown_fixture" -> FeedFixtureQueries.markdownOracle,
+    "github_fixture" -> FeedFixtureQueries.githubOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
