@@ -154,6 +154,9 @@ object SparkEntry {
     "feed_fixture_items" -> ((s, dir) => FeedFixtureQueries.feedFixtureItems(s)),
     "markdown_fixture" -> ((s, dir) => FeedFixtureQueries.markdownFixture(s)),
     "github_fixture" -> ((s, dir) => FeedFixtureQueries.githubFixture(s)),
+    // multimodal: planted-parameter ground truth through the REAL ImageIO
+    // decode path (dims/format are generator inputs, not frozen outputs)
+    "media_fixture" -> ((s, dir) => graft.multimodal.MediaFixtureQueries.mediaFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -804,6 +807,7 @@ object SparkEntry {
     "feed_fixture_items" -> FeedFixtureQueries.feedOracle,
     "markdown_fixture" -> FeedFixtureQueries.markdownOracle,
     "github_fixture" -> FeedFixtureQueries.githubOracle,
+    "media_fixture" -> graft.multimodal.MediaFixtureQueries.mediaOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Fixture-anchored driver query for the multimodal image path: plant images
+ * whose width/height/format are GENERATOR PARAMETERS, push them through the
+ * REAL `javax.imageio` decode / feature / resize stages, and emit
+ * `(test_case, field, value)` rows the driver compares against a VALUES
+ * oracle. The ground truth here is independent of the code under test — a
+ * correct decoder must recover exactly the planted dimensions, a resize to
+ * (w, h) must decode back to (w, h), a luminance feature over a g×g grid
+ * must have g² cells and unit norm, and non-image bytes must refuse to
+ * decode. Frame sampling is pinned to its documented contract
+ * (`min(32, duration/step)` frames at `k·step` timestamps).
+ *
+ * Mirrors the reference's media contract (`/root/reference/src/` treats
+ * media as opaque bytes + typed metadata); the exercised codecs are the
+ * JDK's own PNG/JPEG/GIF/BMP readers.
+ */
+object MediaFixtureQueries {
+
+  /** (case, seed, w, h, format) — formats all real on this JDK. */
+  private val imageSpecs: Seq[(String, Long, Int, Int, String)] = Seq(
+    ("png_24x24", 1L, 24, 24, "png"),
+    ("jpeg_32x16", 2L, 32, 16, "jpg"),
+    ("gif_8x8", 3L, 8, 8, "gif"),
+    ("bmp_16x24", 4L, 16, 24, "bmp")
+  )
+
+  def mediaFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val cases = imageSpecs.map(_._1) ++
+      Seq("resize_png_to_12x12", "feature_grid", "feature_unitnorm",
+        "not_an_image", "frames_3500ms_1000ms", "frames_zero_duration")
+    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+      val rows: Seq[(String, String)] = imageSpecs.find(_._1 == name) match {
+        case Some((_, seed, w, h, fmt)) =>
+          val decoded = Multimodal.decodeImage(Multimodal.makeImage(seed, w, h, fmt))
+          Seq(
+            "decode_ok" -> decoded.isDefined.toString,
+            "width" -> decoded.map(_.getWidth).getOrElse(-1).toString,
+            "height" -> decoded.map(_.getHeight).getOrElse(-1).toString)
+        case None => name match {
+          case "resize_png_to_12x12" =>
+            val img = Multimodal.decodeImage(Multimodal.makePng(7L, 24, 24)).get
+            val back = Multimodal.decodeImage(Multimodal.resizeImage(img, 12, 12))
+            Seq(
+              "decode_ok" -> back.isDefined.toString,
+              "width" -> back.map(_.getWidth).getOrElse(-1).toString,
+              "height" -> back.map(_.getHeight).getOrElse(-1).toString)
+          case "feature_grid" =>
+            val img = Multimodal.decodeImage(Multimodal.makePng(8L, 24, 24)).get
+            Seq("feature_len" -> Multimodal.luminanceFeature(img, grid = 8).length.toString)
+          case "feature_unitnorm" =>
+            val img = Multimodal.decodeImage(Multimodal.makePng(9L, 24, 24)).get
+            val f = Multimodal.luminanceFeature(img)
+            val norm = math.sqrt(f.map(v => v.toDouble * v).sum)
+            Seq("unit_norm" -> (math.abs(norm - 1.0) < 1e-3).toString)
+          case "not_an_image" =>
+            val decoded = Multimodal.decodeImage("not an image at all".getBytes("UTF-8"))
+            Seq("decode_ok" -> decoded.isDefined.toString)
+          case "frames_3500ms_1000ms" =>
+            val row = MediaRow(1L, "video", "video/mp4", Array[Byte](1, 2, 3),
+              0, 0, 3500L, "https://example.com/v.mp4")
+            val frames = Multimodal.frameSampleStub(row, everyMs = 1000L)
+            Seq(
+              "n_frames" -> frames.length.toString,
+              "timestamps" -> frames.map(_._1).mkString("|"))
+          case "frames_zero_duration" =>
+            val row = MediaRow(2L, "audio", "audio/mpeg", Array[Byte](1),
+              0, 0, 0L, "https://example.com/a.mp3")
+            Seq("n_frames" -> Multimodal.frameSampleStub(row).length.toString)
+          case _ => Nil
+        }
+      }
+      rows.map { case (f, v) => (name, f, v) }
+    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+  }
+
+  val mediaOracle: String = {
+    val rows = Seq(
+      ("bmp_16x24", "decode_ok", "true"),
+      ("bmp_16x24", "height", "24"),
+      ("bmp_16x24", "width", "16"),
+      ("feature_grid", "feature_len", "64"),
+      ("feature_unitnorm", "unit_norm", "true"),
+      ("frames_3500ms_1000ms", "n_frames", "3"),
+      ("frames_3500ms_1000ms", "timestamps", "0|1000|2000"),
+      ("frames_zero_duration", "n_frames", "0"),
+      ("gif_8x8", "decode_ok", "true"),
+      ("gif_8x8", "height", "8"),
+      ("gif_8x8", "width", "8"),
+      ("jpeg_32x16", "decode_ok", "true"),
+      ("jpeg_32x16", "height", "16"),
+      ("jpeg_32x16", "width", "32"),
+      ("not_an_image", "decode_ok", "false"),
+      ("png_24x24", "decode_ok", "true"),
+      ("png_24x24", "height", "24"),
+      ("png_24x24", "width", "24"),
+      ("resize_png_to_12x12", "decode_ok", "true"),
+      ("resize_png_to_12x12", "height", "12"),
+      ("resize_png_to_12x12", "width", "12")
+    )
+    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+  }
+}
