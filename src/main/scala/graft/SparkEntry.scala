@@ -157,6 +157,7 @@ object SparkEntry {
     // multimodal: planted-parameter ground truth through the REAL ImageIO
     // decode path (dims/format are generator inputs, not frozen outputs)
     "media_fixture" -> ((s, dir) => graft.multimodal.MediaFixtureQueries.mediaFixture(s)),
+    "chunk_fixture" -> ((s, dir) => FixtureQueries.chunkFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -808,6 +809,7 @@ object SparkEntry {
     "markdown_fixture" -> FeedFixtureQueries.markdownOracle,
     "github_fixture" -> FeedFixtureQueries.githubOracle,
     "media_fixture" -> graft.multimodal.MediaFixtureQueries.mediaOracle,
+    "chunk_fixture" -> FixtureQueries.chunkOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

@@ -33,6 +33,39 @@ object Embed {
 
   def heuristicTokenCount(text: String): Int = math.ceil(text.length / 4.0).toInt
 
+  /** chunking.ts:181-184. */
+  def estimateTokens(text: String): Int = heuristicTokenCount(text)
+
+  /** chunking.ts:189-196. */
+  def needsChunking(text: String, maxTokens: Int = DefaultChunkSize): Boolean =
+    heuristicTokenCount(text) > maxTokens
+
+  final case class ChunkingStats(
+      inputLength: Int, estimatedTokens: Int, estimatedChunks: Int, willTruncate: Boolean)
+
+  /** chunking.ts:201-238 — chunk-count estimate without materializing chunks
+    * (the planner-side helper: size an embedding job before running it). */
+  def getChunkingStats(
+      text: String,
+      size: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap,
+      maxInputLength: Int = DefaultMaxInputLength): ChunkingStats = {
+    val inputLength = text.length
+    val willTruncate = inputLength > maxInputLength
+    val processedLength = if (willTruncate) maxInputLength else inputLength
+    val normalized =
+      Js.trim(text.substring(0, processedLength).replaceAll("[" + Js.wsClass + "]+", " "))
+    val estimatedTokens = heuristicTokenCount(normalized)
+    val estimatedChunks =
+      if (estimatedTokens <= size) 1
+      else {
+        val clampedOverlap = math.min(overlap, math.max(0, size - 1))
+        val effective = math.max(1, size - clampedOverlap)
+        math.ceil((estimatedTokens - clampedOverlap).toDouble / effective).toInt
+      }
+    ChunkingStats(inputLength, estimatedTokens, estimatedChunks, willTruncate)
+  }
+
   private def tokensToChars(tokens: Int): Int = tokens * 4
 
   private val sentenceBoundary = Pattern.compile("[.!?。！？][" + Js.wsClass + "]*")

@@ -206,4 +206,86 @@ object FixtureQueries {
       |  ('decode_entities_strip_links', 'Hello world & Link', false, CAST(1 AS BIGINT)),
       |  ('truncate_sentence_boundary', 'This is the first sentence.', true, CAST(1 AS BIGINT))
       |) AS t(test_case, text, truncated, blocks_accepted) ORDER BY test_case""".stripMargin
+
+  // ---- E4 chunking fixture (chunking.test.ts) ----
+
+  /** E4 driver gate: the reference's own chunking assertions
+    * (`/root/reference/test/embeddings/chunking.test.ts:13-110`) as
+    * `(test_case, field, value)` rows vs a VALUES oracle. */
+  def chunkFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.embed.Embed
+    val cases = Seq(
+      "tokens_hello", "tokens_hello_world", "tokens_empty",
+      "chunk_empty", "chunk_blank", "chunk_short", "chunk_long",
+      "chunk_maxlen", "chunk_ws", "chunk_positions",
+      "needs_short", "needs_long", "stats", "stats_long")
+    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+      val rows: Seq[(String, String)] = name match {
+        case "tokens_hello"       => Seq("tokens" -> Embed.heuristicTokenCount("hello").toString)
+        case "tokens_hello_world" => Seq("tokens" -> Embed.heuristicTokenCount("hello world").toString)
+        case "tokens_empty"       => Seq("tokens" -> Embed.heuristicTokenCount("").toString)
+        case "chunk_empty"        => Seq("n_chunks" -> Embed.chunkText("").length.toString)
+        case "chunk_blank"        => Seq("n_chunks" -> Embed.chunkText("   ").length.toString)
+        case "chunk_short" =>
+          val cs = Embed.chunkText("This is a short text.")
+          Seq("n_chunks" -> cs.length.toString, "text" -> cs.head.text)
+        case "chunk_long" =>
+          val cs = Embed.chunkText("This is a sentence. " * 200, size = 100, overlapIn = 20)
+          Seq(
+            "n_gt_1" -> (cs.length > 1).toString,
+            "all_nonempty" -> cs.forall(_.text.nonEmpty).toString,
+            "all_tokens_pos" -> cs.forall(_.tokens > 0).toString)
+        case "chunk_maxlen" =>
+          val cs = Embed.chunkText("a" * 10000, maxInputLength = 1000)
+          Seq("total_le_1000" -> (cs.map(_.text.length).sum <= 1000).toString)
+        case "chunk_ws" =>
+          Seq("text" -> Embed.chunkText("Hello   world.\n\n\n\nTest.").head.text)
+        case "chunk_positions" =>
+          val cs = Embed.chunkText("First sentence. Second sentence. Third sentence.",
+            size = 10, overlapIn = 2)
+          Seq("positions_valid" -> cs.forall(c => c.startIndex >= 0 && c.endIndex > c.startIndex).toString)
+        case "needs_short" => Seq("needs" -> Embed.needsChunking("Hello world", 100).toString)
+        case "needs_long"  => Seq("needs" -> Embed.needsChunking("word " * 1000, 100).toString)
+        case "stats" =>
+          val st = Embed.getChunkingStats("Hello world, this is a test message.")
+          Seq(
+            "input_length" -> st.inputLength.toString,
+            "tokens_pos" -> (st.estimatedTokens > 0).toString,
+            "chunks_ge_1" -> (st.estimatedChunks >= 1).toString,
+            "will_truncate" -> st.willTruncate.toString)
+        case "stats_long" =>
+          Seq("will_truncate" -> Embed.getChunkingStats("a" * 200000).willTruncate.toString)
+        case _ => Nil
+      }
+      rows.map { case (f, v) => (name, f, v) }
+    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+  }
+
+  val chunkOracle: String = {
+    val rows = Seq(
+      ("chunk_blank", "n_chunks", "0"),
+      ("chunk_empty", "n_chunks", "0"),
+      ("chunk_long", "all_nonempty", "true"),
+      ("chunk_long", "all_tokens_pos", "true"),
+      ("chunk_long", "n_gt_1", "true"),
+      ("chunk_maxlen", "total_le_1000", "true"),
+      ("chunk_positions", "positions_valid", "true"),
+      ("chunk_short", "n_chunks", "1"),
+      ("chunk_short", "text", "This is a short text."),
+      ("chunk_ws", "text", "Hello world. Test."),
+      ("needs_long", "needs", "true"),
+      ("needs_short", "needs", "false"),
+      ("stats", "chunks_ge_1", "true"),
+      ("stats", "input_length", "36"),
+      ("stats", "tokens_pos", "true"),
+      ("stats", "will_truncate", "false"),
+      ("stats_long", "will_truncate", "true"),
+      ("tokens_empty", "tokens", "0"),
+      ("tokens_hello", "tokens", "2"),
+      ("tokens_hello_world", "tokens", "3")
+    )
+    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+  }
 }

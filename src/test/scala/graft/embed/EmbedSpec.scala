@@ -51,6 +51,26 @@ class EmbedSpec extends AnyFunSuite {
     assert(chunks.head.text == "Hello world. Test.")
   }
 
+  test("needsChunking / estimateTokens (chunking.test.ts:79-92)") {
+    assert(!Embed.needsChunking("Hello world", 100))
+    assert(Embed.needsChunking("word " * 1000, 100))
+    assert(Embed.estimateTokens("Hello world, this is a test.") ==
+      Embed.heuristicTokenCount("Hello world, this is a test."))
+  }
+
+  test("getChunkingStats (chunking.test.ts:95-110)") {
+    val text = "Hello world, this is a test message."
+    val st = Embed.getChunkingStats(text)
+    assert(st.inputLength == text.length)
+    assert(st.estimatedTokens > 0)
+    assert(st.estimatedChunks >= 1)
+    assert(!st.willTruncate)
+    assert(Embed.getChunkingStats("a" * 200000).willTruncate)
+    // estimate agrees with materialized chunking on a long text: ceil((T-o)/(s-o))
+    val long = Embed.getChunkingStats("This is a sentence. " * 200, size = 100, overlap = 20)
+    assert(long.estimatedChunks > 1)
+  }
+
   // ---- PII ----
 
   test("redact email") {
