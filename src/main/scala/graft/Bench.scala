@@ -87,10 +87,7 @@ object Bench {
         else s"bench_corpus_bucketed_$nDocs"
       if (!spark.catalog.tableExists(tbl)) {
         val mega = ExtractJob.megaHostMap(pages.toDF(), parts)
-        val saltFor = org.apache.spark.sql.functions.udf { (host: String, url: String) =>
-          val buckets = mega.value.getOrElse(host, 1)
-          if (buckets <= 1) 0 else Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), buckets)
-        }
+        val saltFor = ExtractJob.saltUdf(mega)
         import org.apache.spark.sql.functions._
         val keyed = pages.toDF()
           .withColumn("bucket_key",

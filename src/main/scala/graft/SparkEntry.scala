@@ -28,14 +28,24 @@ object SparkEntry {
 
   // ---- shared cached extraction per sfDir (queries share one pass) ----
   // Entries are bound to the SparkSession that created them: a stale entry
-  // from a stopped/replaced session is unpersisted and re-extracted.
+  // from a stopped/replaced session is unpersisted and re-extracted. Each
+  // cache keeps exactly ONE entry — on any miss (new sfDir or new session)
+  // every existing entry is unpersisted first, so a session that walks
+  // several SF dirs never accumulates persisted relations no query will
+  // read again.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Dataset[ScrapedRow])]()
+
+  private def evictAll[T](c: java.util.concurrent.ConcurrentHashMap[String, (SparkSession, T)])(
+      unpersist: T => Unit): Unit = {
+    c.values().forEach { case (_, v) => scala.util.Try(unpersist(v)) }
+    c.clear()
+  }
 
   private def extracted(spark: SparkSession, sfDir: String): Dataset[ScrapedRow] = synchronized {
     val hit = cache.get(sfDir)
     if (hit != null && (hit._1 eq spark)) hit._2
     else {
-      if (hit != null) scala.util.Try(hit._2.unpersist())
+      evictAll(cache)(_.unpersist())
       val n = PagesGen.pagesFor(sfDir)
       val parts = spark.sparkContext.defaultParallelism
       val ds = ExtractJob.extract(PagesGen.generate(spark, n), parts).persist()
@@ -54,6 +64,13 @@ object SparkEntry {
   // dedup_jaccard verifies exactly on the shingle sets. The classic
   // LSH → estimate → verify pipeline as two views over shared persisted
   // relations instead of two independent recomputations.
+  //
+  // DELIBERATE semantic unification vs round 2: sharing needs one shingle
+  // set, so minhash now estimates 3-gram Jaccard (r2: 5-gram — more
+  // permissive at the same 0.5 threshold; the planted near-dups are found
+  // either way, DedupOpsSpec), and jaccard's candidates come from 16 bands
+  // of a 64-slot signature (r2: 8 of 32 — candidate recall can only
+  // increase; its exact-Jaccard verify and 0.8 threshold are unchanged).
   private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
   private val candCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
@@ -61,7 +78,7 @@ object SparkEntry {
     val hit = sigCache.get(sfDir)
     if (hit != null && (hit._1 eq spark)) hit._2
     else {
-      if (hit != null) scala.util.Try(hit._2.unpersist())
+      evictAll(sigCache)(_.unpersist())
       import spark.implicits._
       val df = extracted(spark, sfDir).map { r =>
         val sh3 = TextOps.shingles(r.normalized_text, 3)
@@ -78,7 +95,7 @@ object SparkEntry {
     val hit = candCache.get(sfDir)
     if (hit != null && (hit._1 eq spark)) hit._2
     else {
-      if (hit != null) scala.util.Try(hit._2.unpersist())
+      evictAll(candCache)(_.unpersist())
       import spark.implicits._
       val bands = signatures(spark, sfDir).select("url", "sig64")
         .as[(String, Array[Long])].flatMap { case (url, sig) =>

@@ -59,7 +59,9 @@ object Embed {
     val estimatedChunks =
       if (estimatedTokens <= size) 1
       else {
-        val clampedOverlap = math.min(overlap, math.max(0, size - 1))
+        // clamp to [0, size-1] exactly like chunkText — the estimate must
+        // agree with the chunker it predicts, including for negative overlap
+        val clampedOverlap = math.min(math.max(0, overlap), math.max(0, size - 1))
         val effective = math.max(1, size - clampedOverlap)
         math.ceil((estimatedTokens - clampedOverlap).toDouble / effective).toInt
       }

@@ -174,7 +174,13 @@ object EmbedPipeline {
 
   /** Run metrics — the persisted-table analogue of the reference cache's
     * hit/miss counters (`cache.ts` stats surface): Spark accumulators, one
-    * increment per row as it flows through the stage (read after an action). */
+    * increment per row as it flows through the stage (read after an action).
+    * AT-LEAST-ONCE semantics: updates happen inside transformations, so a
+    * task retry, speculative duplicate, or a second action over the result
+    * re-counts those rows — Spark guarantees exactly-once only for
+    * accumulators updated in actions. Use them as live job telemetry;
+    * for exact reporting derive counts from the materialized output with
+    * [[exactCounters]]. */
   final case class EmbedCounters(
       cacheHits: org.apache.spark.util.LongAccumulator,
       cacheMisses: org.apache.spark.util.LongAccumulator,
@@ -189,6 +195,29 @@ object EmbedPipeline {
     spark.sparkContext.longAccumulator("embed_cache_hits"),
     spark.sparkContext.longAccumulator("embed_cache_misses"),
     spark.sparkContext.longAccumulator("embed_skipped"))
+
+  final case class CounterSnapshot(cacheHits: Long, cacheMisses: Long, skipped: Long) {
+    def hitRate: Double = {
+      val total = cacheHits + cacheMisses
+      if (total == 0) 0.0 else cacheHits.toDouble / total
+    }
+  }
+
+  /** EXACT counters from a materialized result — one aggregation over the
+    * output rows, immune to stage retries and repeated actions. Provider-path
+    * rows always carry a non-empty `cache_key` (validation skips carry ""),
+    * so: hits = cached rows, misses = non-cached rows that reached the
+    * provider path (including provider-failure skips), skipped = rows
+    * rejected before the cache join. */
+  def exactCounters(result: Dataset[EmbedRow]): CounterSnapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    val row = result.toDF().agg(
+      coalesce(sum(when(col("cached"), 1L).otherwise(0L)), lit(0L)).as("h"),
+      coalesce(sum(when(!col("cached") && col("cache_key") =!= "", 1L).otherwise(0L)), lit(0L)).as("m"),
+      coalesce(sum(when(col("status") === "skipped" && col("cache_key") === "", 1L).otherwise(0L)), lit(0L)).as("s")
+    ).head()
+    CounterSnapshot(row.getLong(0), row.getLong(1), row.getLong(2))
+  }
 
   /** Table-level stats of a persisted cache relation — the `getStats()`
     * analogue (`cache.ts:262-281`): size + utilization against a logical

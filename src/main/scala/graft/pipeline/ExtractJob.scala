@@ -69,14 +69,22 @@ object ExtractJob {
   /** Exchange on `xxhash64(host, salt)` using a precomputed mega-host map.
     * Payload-agnostic: works identically on raw pages and on extracted rows
     * (any relation with a `url` column). */
+  /** The one salt function: per-url sub-bucket within a mega-host. Shared by
+    * the exchange plan (below) and the bucketed-ingest layout (Bench) — the
+    * two are only exchange-equivalent while they salt identically, so there
+    * is exactly one definition. */
+  def saltUdf(mega: org.apache.spark.broadcast.Broadcast[Map[String, Int]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (host: String, url: String) =>
+      val buckets = mega.value.getOrElse(host, 1)
+      if (buckets <= 1) 0 else Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), buckets)
+    }
+
   def applySaltedRepartition(
       df: DataFrame,
       mega: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
       numPartitions: Int): DataFrame = {
-    val saltFor = udf { (host: String, url: String) =>
-      val buckets = mega.value.getOrElse(host, 1)
-      if (buckets <= 1) 0 else Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url), buckets)
-    }
+    val saltFor = saltUdf(mega)
     df.withColumn("__host", hostCol)
       .withColumn("__salt", saltFor(col("__host"), col("url")))
       .repartition(numPartitions, xxhash64(col("__host"), col("__salt")))

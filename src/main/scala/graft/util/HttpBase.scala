@@ -49,8 +49,16 @@ object HttpBase {
     "(?i)^localhost$".r
   )
 
-  def isPrivateHost(hostname: String): Boolean =
-    PrivateIpPatterns.exists(_.findFirstIn(hostname).isDefined)
+  def isPrivateHost(hostname: String): Boolean = {
+    // java.net.URI.getHost keeps the RFC 2732 brackets on IPv6 literals
+    // ("[::1]"); the patterns above are written against the bare address, so
+    // strip them or every IPv6 private-range check silently never matches.
+    val bare =
+      if (hostname.startsWith("[") && hostname.endsWith("]"))
+        hostname.substring(1, hostname.length - 1)
+      else hostname
+    PrivateIpPatterns.exists(_.findFirstIn(bare).isDefined)
+  }
 
   /** Validate a provider URL (http-base.ts:113-137): parseable, HTTPS unless
     * waived, not a private/internal address unless waived. */
@@ -63,7 +71,9 @@ object HttpBase {
       } catch {
         case _: Exception => throw ScrapeError(s"Invalid URL: $url", "INVALID_URL")
       }
-    if (requireHttps && parsed.getScheme != "https")
+    // schemes are case-insensitive (RFC 3986 §3.1; WHATWG URL lowercases
+    // `protocol`, java.net.URI preserves case)
+    if (requireHttps && parsed.getScheme.toLowerCase(java.util.Locale.ROOT) != "https")
       throw ScrapeError(s"HTTPS required. Got: ${parsed.getScheme}:", "VALIDATION_ERROR")
     if (!allowPrivate && isPrivateHost(parsed.getHost))
       throw ScrapeError(s"Private/internal addresses not allowed: ${parsed.getHost}", "VALIDATION_ERROR")

@@ -197,12 +197,29 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.utilization == stats.size.toDouble / 100)
 
     val warm = EmbedPipeline.newCounters(spark)
-    EmbedPipeline.embedDocuments(spark, docsDf, Some(cacheTable),
-      new HashStubProvider(8), counters = Some(warm)).collect()
+    val warmRes = EmbedPipeline.embedDocuments(spark, docsDf, Some(cacheTable),
+      new HashStubProvider(8), counters = Some(warm))
+    warmRes.collect()
     assert(warm.cacheHits.value == nSuccess)
     assert(warm.cacheMisses.value == 0)
     assert(warm.skipped.value == nSkipped)
     assert(warm.hitRate == 1.0)
+
+    // exactCounters: derived from the output rows, so REPEATED actions give
+    // identical numbers (the live accumulators above are at-least-once and
+    // would double-count here)
+    val exact1 = EmbedPipeline.exactCounters(warmRes)
+    val exact2 = EmbedPipeline.exactCounters(warmRes)
+    assert(exact1 == exact2)
+    assert(exact1.cacheHits == nSuccess)
+    assert(exact1.cacheMisses == 0)
+    assert(exact1.skipped == nSkipped)
+    assert(exact1.hitRate == 1.0)
+    val exactCold = EmbedPipeline.exactCounters(EmbedPipeline.embedDocuments(
+      spark, docsDf, None, new HashStubProvider(8)))
+    assert(exactCold.cacheHits == 0)
+    assert(exactCold.cacheMisses == nSuccess)
+    assert(exactCold.skipped == nSkipped)
   }
 }
 

@@ -156,4 +156,24 @@ class HttpEmbeddingSpec extends AnyFunSuite {
     assert(!HttpBase.isPrivateHost("8.8.8.8"))
     assert(!HttpBase.isPrivateHost("172.15.0.1"))
   }
+
+  test("SSRF gate: IPv6 literals arrive bracketed from java.net.URI and still match") {
+    // URI.getHost on "https://[::1]/" is "[::1]" — the gate must strip the
+    // RFC 2732 brackets or every IPv6 private range silently passes
+    assert(new java.net.URI("https://[::1]/v1").getHost == "[::1]")
+    assert(HttpBase.isPrivateHost("[::1]"))
+    assert(HttpBase.isPrivateHost("[fe80::1]"))
+    assert(HttpBase.isPrivateHost("[fd00::1]"))
+    assert(!HttpBase.isPrivateHost("[2001:db8::1]"))
+    val e = intercept[ScrapeError] {
+      new HttpEmbeddingProvider(HttpConfig("https://[::1]/v1", "m"), canned("{}"))
+    }
+    assert(e.getMessage.contains("Private/internal addresses not allowed"))
+  }
+
+  test("HTTPS scheme check is case-insensitive (RFC 3986)") {
+    HttpBase.validateUrl("HTTPS://api.example.com/v1")
+    val e = intercept[ScrapeError] { HttpBase.validateUrl("HTTP://api.example.com/v1") }
+    assert(e.getMessage.contains("HTTPS required"))
+  }
 }
