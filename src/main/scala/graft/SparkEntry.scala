@@ -175,6 +175,7 @@ object SparkEntry {
     // decode path (dims/format are generator inputs, not frozen outputs)
     "media_fixture" -> ((s, dir) => graft.multimodal.MediaFixtureQueries.mediaFixture(s)),
     "chunk_fixture" -> ((s, dir) => FixtureQueries.chunkFixture(s)),
+    "feed_utils_fixture" -> ((s, dir) => FeedFixtureQueries.feedUtilsFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -827,6 +828,7 @@ object SparkEntry {
     "github_fixture" -> FeedFixtureQueries.githubOracle,
     "media_fixture" -> graft.multimodal.MediaFixtureQueries.mediaOracle,
     "chunk_fixture" -> FixtureQueries.chunkOracle,
+    "feed_utils_fixture" -> FeedFixtureQueries.feedUtilsOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

@@ -355,6 +355,82 @@ object FeedFixtureQueries {
     s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
   }
 
+  // ---- feed utilities (K11–K13, rss.test.ts:239-296) ----
+
+  private val discoverHtml =
+    """<html>
+      |  <head>
+      |    <link rel="alternate" type="application/rss+xml" href="/feed.xml" />
+      |    <link rel="alternate" type="application/atom+xml" href="https://example.com/atom" />
+      |  </head>
+      |</html>""".stripMargin
+
+  def feedUtilsFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.feed.{FeedItem, FeedOps}
+    val cases = Seq("discover", "filter_by_date", "to_markdown", "markdown_safe")
+    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+      def bare(title: String, publishedAt: Option[String]) = FeedItem(
+        id = "", title = title, link = "", description = None, content = None,
+        author = None, publishedAt = publishedAt, rawPublishedAt = publishedAt,
+        updatedAt = None, categories = Nil, enclosure = None, customFields = Map.empty)
+      val rows: Seq[(String, String)] = name match {
+        case "discover" =>
+          Seq("feeds" -> FeedOps.discoverFeeds(discoverHtml, "https://example.com").mkString("|"))
+        case "filter_by_date" =>
+          val items = Seq(
+            bare("New", Some("2024-01-01T00:00:00Z")),
+            bare("Old", Some("2023-01-01T00:00:00Z")),
+            bare("Undated", None))
+          val after = Some(java.time.Instant.parse("2023-12-31T00:00:00Z"))
+          val strict = FeedOps.filterByDate(items, after, None, includeUndated = false)
+          val loose = FeedOps.filterByDate(items, after, None, includeUndated = true)
+          Seq(
+            "n_strict" -> strict.length.toString,
+            "first_strict" -> strict.head.title,
+            "n_with_undated" -> loose.length.toString)
+        case "to_markdown" =>
+          val feed = new RssParser().parse(fixture("rss2-basic.xml")).data
+          val md = FeedOps.feedToMarkdown(feed, maxItems = Some(1))
+          Seq(
+            "has_feed_title" -> md.contains("# Scrapex RSS 2.0 Test").toString,
+            "has_item1_heading" -> md.contains("## RSS Item 1").toString,
+            "has_date" -> md.contains("*2024-09-06*").toString,
+            "has_description" -> md.contains("This is a short description.").toString,
+            "excludes_item2" -> (!md.contains("RSS Item 2")).toString)
+        case "markdown_safe" =>
+          val feed = new RssParser()
+            .parse(fixture("atom-unsafe-links.xml"), Some("https://example.com/atom")).data
+          val md = FeedOps.feedToMarkdown(feed)
+          Seq(
+            "no_javascript" -> (!md.contains("javascript:")).toString,
+            "no_data" -> (!md.contains("data:")).toString,
+            "no_file" -> (!md.contains("file:")).toString)
+        case _ => Nil
+      }
+      rows.map { case (f, v) => (name, f, v) }
+    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+  }
+
+  val feedUtilsOracle: String = {
+    val rows = Seq(
+      ("discover", "feeds", "https://example.com/feed.xml|https://example.com/atom"),
+      ("filter_by_date", "first_strict", "New"),
+      ("filter_by_date", "n_strict", "1"),
+      ("filter_by_date", "n_with_undated", "2"),
+      ("markdown_safe", "no_data", "true"),
+      ("markdown_safe", "no_file", "true"),
+      ("markdown_safe", "no_javascript", "true"),
+      ("to_markdown", "excludes_item2", "true"),
+      ("to_markdown", "has_date", "true"),
+      ("to_markdown", "has_description", "true"),
+      ("to_markdown", "has_feed_title", "true"),
+      ("to_markdown", "has_item1_heading", "true")
+    )
+    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+  }
+
   // ---- GitHub utils (K14, github.test.ts) ----
 
   private val ghRepo = "https://github.com/developer-rakeshpaul/scrapex"
