@@ -176,6 +176,9 @@ object SparkEntry {
     "media_fixture" -> ((s, dir) => graft.multimodal.MediaFixtureQueries.mediaFixture(s)),
     "chunk_fixture" -> ((s, dir) => FixtureQueries.chunkFixture(s)),
     "feed_utils_fixture" -> ((s, dir) => FeedFixtureQueries.feedUtilsFixture(s)),
+    "blocks_fixture" -> ((s, dir) => FixtureQueries.blocksFixture(s)),
+    "meta_fixture" -> ((s, dir) => ExtractorFixtureQueries.metaFixture(s)),
+    "links_fixture" -> ((s, dir) => ExtractorFixtureQueries.linksFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -829,6 +832,9 @@ object SparkEntry {
     "media_fixture" -> graft.multimodal.MediaFixtureQueries.mediaOracle,
     "chunk_fixture" -> FixtureQueries.chunkOracle,
     "feed_utils_fixture" -> FeedFixtureQueries.feedUtilsOracle,
+    "blocks_fixture" -> FixtureQueries.blocksOracle,
+    "meta_fixture" -> ExtractorFixtureQueries.metaOracle,
+    "links_fixture" -> ExtractorFixtureQueries.linksOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

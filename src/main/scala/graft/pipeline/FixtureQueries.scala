@@ -207,6 +207,117 @@ object FixtureQueries {
       |  ('truncate_sentence_boundary', 'This is the first sentence.', true, CAST(1 AS BIGINT))
       |) AS t(test_case, text, truncated, blocks_accepted) ORDER BY test_case""".stripMargin
 
+  // ---- B1/B2 blocks + classifier fixture (blocks.test.ts / classifier.test.ts) ----
+
+  /** B1 parseBlocks structure + B2 classifier exact labels/scores, from the
+    * reference's own assertions (`/root/reference/test/content/blocks.test.ts:6-72`,
+    * `test/content/classifier.test.ts:6-81`). */
+  def blocksFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.content.{BlockParser, Classifier, ClassifierContext, ContentBlock => CB}
+    import graft.dom.HtmlParser
+    val cases = Seq(
+      "blocks_headings", "blocks_drop", "blocks_cap", "blocks_table",
+      "cls_nav_footer", "cls_boilerplate", "cls_substantive", "cls_too_short",
+      "cls_short_punct", "cls_media_credit", "cls_heading_scores", "cls_quote_code")
+    def block(t: String, text: String, level: Option[Int] = None) =
+      CB(t, text, level, None, Map.empty, Nil, 0)
+    def ctx(i: Int, total: Int) = ClassifierContext(i, total, None, Nil, 0)
+    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+      val rows: Seq[(String, String)] = name match {
+        case "blocks_headings" =>
+          val html = "<main><h1>Main Title</h1><p>First paragraph.</p><h2>Section</h2><p>Second paragraph.</p></main>"
+          val bs = BlockParser.parseBlocks(HtmlParser.parse(html))
+          Seq(
+            "n_blocks" -> bs.length.toString,
+            "b0" -> s"${bs(0).blockType}:${bs(0).level.getOrElse(0)}:${bs(0).text}",
+            "b1" -> s"${bs(1).blockType}:${bs(1).text}",
+            "b2" -> s"${bs(2).blockType}:${bs(2).level.getOrElse(0)}:${bs(2).text}",
+            "b3" -> s"${bs(3).blockType}:${bs(3).text}")
+        case "blocks_drop" =>
+          val html = "<body><div class=\"ad\">Sponsored block</div><p>Keep this.</p><script>console.log('drop');</script></body>"
+          val bs = BlockParser.parseBlocks(HtmlParser.parse(html), dropSelectors = Seq(".ad"))
+          Seq("n_blocks" -> bs.length.toString, "b0" -> s"${bs(0).blockType}:${bs(0).text}")
+        case "blocks_cap" =>
+          val html = "<body><p>One</p><p>Two</p><p>Three</p></body>"
+          Seq("n_blocks" -> BlockParser.parseBlocks(HtmlParser.parse(html), maxBlocks = 2).length.toString)
+        case "blocks_table" =>
+          val html = "<body><table><tr><th>Column A</th><th>Column B</th></tr><tr><td>Value 1</td><td>Value 2</td></tr></table></body>"
+          val bs = BlockParser.parseBlocks(HtmlParser.parse(html))
+          Seq(
+            "n_blocks" -> bs.length.toString,
+            "b0_type" -> bs(0).blockType,
+            "has_col_a" -> bs(0).text.contains("Column A").toString,
+            "has_val_1" -> bs(0).text.contains("Value 1").toString)
+        case "cls_nav_footer" =>
+          Seq(
+            "nav_accept" -> Classifier.default(block("nav", "Main menu"), ctx(0, 2)).accept.toString,
+            "footer_accept" -> Classifier.default(block("footer", "All rights reserved"), ctx(1, 2)).accept.toString)
+        case "cls_boilerplate" =>
+          val r = Classifier.default(block("paragraph", "Subscribe to our newsletter today"), ctx(0, 1))
+          Seq("accept" -> r.accept.toString, "label" -> r.label.getOrElse(""))
+        case "cls_substantive" =>
+          val r = Classifier.default(
+            block("paragraph", "This is a longer paragraph with enough information to be meaningful."), ctx(0, 1))
+          Seq("accept" -> r.accept.toString, "score_gt_half" -> r.score.exists(_ > 0.5).toString)
+        case "cls_too_short" =>
+          val r = Classifier.default(block("paragraph", "Click here"), ctx(0, 1))
+          Seq("accept" -> r.accept.toString, "label" -> r.label.getOrElse(""))
+        case "cls_short_punct" =>
+          Seq("accept" -> Classifier.default(block("paragraph", "All set."), ctx(0, 1)).accept.toString)
+        case "cls_media_credit" =>
+          val r = Classifier.default(block("paragraph", "Photo by Jane Doe"), ctx(0, 1))
+          Seq("accept" -> r.accept.toString, "label" -> r.label.getOrElse(""))
+        case "cls_heading_scores" =>
+          def score(l: Int, i: Int) =
+            Classifier.default(block("heading", Seq("Title", "Section", "Subsection")(i), Some(l)), ctx(i, 3))
+              .score.getOrElse(-1.0)
+          Seq("h1" -> score(1, 0).toString, "h2" -> score(2, 1).toString, "h3" -> score(3, 2).toString)
+        case "cls_quote_code" =>
+          Seq(
+            "quote" -> Classifier.default(block("quote", "A concise quote."), ctx(0, 2)).score.getOrElse(-1.0).toString,
+            "code" -> Classifier.default(block("code", "const x = 1;"), ctx(1, 2)).score.getOrElse(-1.0).toString)
+        case _ => Nil
+      }
+      rows.map { case (f, v) => (name, f, v) }
+    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+  }
+
+  val blocksOracle: String = {
+    val rows = Seq(
+      ("blocks_cap", "n_blocks", "2"),
+      ("blocks_drop", "b0", "paragraph:Keep this."),
+      ("blocks_drop", "n_blocks", "1"),
+      ("blocks_headings", "b0", "heading:1:Main Title"),
+      ("blocks_headings", "b1", "paragraph:First paragraph."),
+      ("blocks_headings", "b2", "heading:2:Section"),
+      ("blocks_headings", "b3", "paragraph:Second paragraph."),
+      ("blocks_headings", "n_blocks", "4"),
+      ("blocks_table", "b0_type", "table"),
+      ("blocks_table", "has_col_a", "true"),
+      ("blocks_table", "has_val_1", "true"),
+      ("blocks_table", "n_blocks", "1"),
+      ("cls_boilerplate", "accept", "false"),
+      ("cls_boilerplate", "label", "boilerplate"),
+      ("cls_heading_scores", "h1", "0.9"),
+      ("cls_heading_scores", "h2", "0.8"),
+      ("cls_heading_scores", "h3", "0.7"),
+      ("cls_media_credit", "accept", "false"),
+      ("cls_media_credit", "label", "media-credit"),
+      ("cls_nav_footer", "footer_accept", "false"),
+      ("cls_nav_footer", "nav_accept", "false"),
+      ("cls_quote_code", "code", "0.7"),
+      ("cls_quote_code", "quote", "0.7"),
+      ("cls_short_punct", "accept", "true"),
+      ("cls_substantive", "accept", "true"),
+      ("cls_substantive", "score_gt_half", "true"),
+      ("cls_too_short", "accept", "false"),
+      ("cls_too_short", "label", "too-short")
+    )
+    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+  }
+
   // ---- E4 chunking fixture (chunking.test.ts) ----
 
   /** E4 driver gate: the reference's own chunking assertions
