@@ -179,6 +179,7 @@ object SparkEntry {
     "blocks_fixture" -> ((s, dir) => FixtureQueries.blocksFixture(s)),
     "meta_fixture" -> ((s, dir) => ExtractorFixtureQueries.metaFixture(s)),
     "links_fixture" -> ((s, dir) => ExtractorFixtureQueries.linksFixture(s)),
+    "jsonld_fixture" -> ((s, dir) => ExtractorFixtureQueries.jsonldFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -835,6 +836,7 @@ object SparkEntry {
     "blocks_fixture" -> FixtureQueries.blocksOracle,
     "meta_fixture" -> ExtractorFixtureQueries.metaOracle,
     "links_fixture" -> ExtractorFixtureQueries.linksOracle,
+    "jsonld_fixture" -> ExtractorFixtureQueries.jsonldOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

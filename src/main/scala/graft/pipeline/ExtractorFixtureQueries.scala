@@ -116,6 +116,110 @@ object ExtractorFixtureQueries {
     s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
   }
 
+  /** M2 JSON-LD polymorphism (`test/extractors/jsonld.test.ts:24-300`). */
+  def jsonldFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.extract.JsonLdExtractor
+    def sc(json: String) = s"""<script type="application/ld+json">$json</script>"""
+    val cases = Seq(
+      "name_priority", "script_extract", "multiple_blocks", "jsonld_array",
+      "skip_invalid", "no_jsonld", "article_meta", "author_string",
+      "multiple_authors", "image_object", "image_array", "org_site_name",
+      "product", "keywords_string", "keywords_array", "keywords_dedupe", "type_array")
+    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+      def jl(body: String) = JsonLdExtractor.extract(ctx(s"<html><head>$body</head></html>"))
+      val rows: Seq[(String, String)] = name match {
+        case "name_priority" =>
+          Seq("name" -> JsonLdExtractor.name, "priority" -> JsonLdExtractor.priority.toString)
+        case "script_extract" =>
+          val r = jl(sc("""{"@context": "https://schema.org", "@type": "Article", "headline": "Test Article"}"""))
+          Seq(
+            "n_blocks" -> r.jsonLd.getOrElse(Nil).length.toString,
+            "has_headline" -> r.jsonLd.getOrElse(Nil).headOption.exists(_.contains("Test Article")).toString)
+        case "multiple_blocks" =>
+          Seq("n_blocks" -> jl(sc("""{"@type": "Article", "headline": "One"}""") +
+            sc("""{"@type": "Organization", "name": "Org"}""")).jsonLd.getOrElse(Nil).length.toString)
+        case "jsonld_array" =>
+          Seq("n_blocks" -> jl(sc("""[{"@type": "Article", "headline": "Article One"}, {"@type": "Article", "headline": "Article Two"}]"""))
+            .jsonLd.getOrElse(Nil).length.toString)
+        case "skip_invalid" =>
+          Seq("n_blocks" -> jl(sc("invalid json{") + sc("""{"@type": "Valid"}"""))
+            .jsonLd.getOrElse(Nil).length.toString)
+        case "no_jsonld" =>
+          Seq("jsonld_defined" -> jl("").jsonLd.isDefined.toString)
+        case "article_meta" =>
+          val r = jl(sc("""{"@type": "Article", "headline": "Test Headline", "description": "Test description", "author": {"@type": "Person", "name": "John Doe"}, "datePublished": "2024-01-15", "dateModified": "2024-02-01", "image": "https://example.com/image.jpg"}"""))
+          Seq(
+            "title" -> r.title.getOrElse(""),
+            "description" -> r.description.getOrElse(""),
+            "author" -> r.author.getOrElse(""),
+            "published_at" -> r.publishedAt.getOrElse(""),
+            "modified_at" -> r.modifiedAt.getOrElse(""),
+            "image" -> r.image.getOrElse(""))
+        case "author_string" =>
+          Seq("author" -> jl(sc("""{"@type": "Article", "author": "Jane Doe"}""")).author.getOrElse(""))
+        case "multiple_authors" =>
+          Seq("author" -> jl(sc("""{"@context": "https://schema.org", "@type": "Article", "headline": "Test", "author": [{"@type": "Person", "name": "Author One"}, {"@type": "Person", "name": "Author Two"}]}""")).author.getOrElse(""))
+        case "image_object" =>
+          Seq("image" -> jl(sc("""{"@type": "Article", "image": {"@type": "ImageObject", "url": "https://example.com/image.jpg"}}""")).image.getOrElse(""))
+        case "image_array" =>
+          Seq("image" -> jl(sc("""{"@context": "https://schema.org", "@type": "Article", "headline": "Test", "image": ["https://example.com/first.jpg", "https://example.com/second.jpg"]}""")).image.getOrElse(""))
+        case "org_site_name" =>
+          Seq("site_name" -> jl(sc("""{"@type": "Organization", "name": "My Organization"}""")).siteName.getOrElse(""))
+        case "product" =>
+          val r = jl(sc("""{"@type": "Product", "name": "Test Product", "description": "Product description", "image": "https://example.com/product.jpg"}"""))
+          Seq(
+            "title" -> r.title.getOrElse(""),
+            "description" -> r.description.getOrElse(""),
+            "image" -> r.image.getOrElse(""))
+        case "keywords_string" =>
+          Seq("keywords" -> jl(sc("""{"@type": "Article", "keywords": "javascript, typescript, nodejs"}""")).keywords.getOrElse(Nil).mkString("|"))
+        case "keywords_array" =>
+          Seq("keywords" -> jl(sc("""{"@type": "Article", "keywords": ["javascript", "typescript"]}""")).keywords.getOrElse(Nil).mkString("|"))
+        case "keywords_dedupe" =>
+          Seq("keywords" -> jl(sc("""{"keywords": "javascript, typescript"}""") +
+            sc("""{"keywords": "typescript, nodejs"}""")).keywords.getOrElse(Nil).mkString("|"))
+        case "type_array" =>
+          Seq("title" -> jl(sc("""{"@type": ["Article", "NewsArticle"], "headline": "News"}""")).title.getOrElse(""))
+        case _ => Nil
+      }
+      rows.map { case (f, v) => (name, f, v) }
+    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+  }
+
+  val jsonldOracle: String = {
+    val rows = Seq(
+      ("article_meta", "author", "John Doe"),
+      ("article_meta", "description", "Test description"),
+      ("article_meta", "image", "https://example.com/image.jpg"),
+      ("article_meta", "modified_at", "2024-02-01"),
+      ("article_meta", "published_at", "2024-01-15"),
+      ("article_meta", "title", "Test Headline"),
+      ("author_string", "author", "Jane Doe"),
+      ("image_array", "image", "https://example.com/first.jpg"),
+      ("image_object", "image", "https://example.com/image.jpg"),
+      ("jsonld_array", "n_blocks", "2"),
+      ("keywords_array", "keywords", "javascript|typescript"),
+      ("keywords_dedupe", "keywords", "javascript|typescript|nodejs"),
+      ("keywords_string", "keywords", "javascript|typescript|nodejs"),
+      ("multiple_authors", "author", "Author One, Author Two"),
+      ("multiple_blocks", "n_blocks", "2"),
+      ("name_priority", "name", "jsonld"),
+      ("name_priority", "priority", "80"),
+      ("no_jsonld", "jsonld_defined", "false"),
+      ("org_site_name", "site_name", "My Organization"),
+      ("product", "description", "Product description"),
+      ("product", "image", "https://example.com/product.jpg"),
+      ("product", "title", "Test Product"),
+      ("script_extract", "has_headline", "true"),
+      ("script_extract", "n_blocks", "1"),
+      ("skip_invalid", "n_blocks", "1"),
+      ("type_array", "title", "News")
+    )
+    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+  }
+
   def linksFixture(s: SparkSession): DataFrame = {
     import s.implicits._
     val cases = Seq(
