@@ -180,6 +180,9 @@ object SparkEntry {
     "meta_fixture" -> ((s, dir) => ExtractorFixtureQueries.metaFixture(s)),
     "links_fixture" -> ((s, dir) => ExtractorFixtureQueries.linksFixture(s)),
     "jsonld_fixture" -> ((s, dir) => ExtractorFixtureQueries.jsonldFixture(s)),
+    // E9/L4: preset request mappings against an injected transport — the
+    // recorded URL/headers/body vs the reference's preset contracts
+    "http_presets_fixture" -> ((s, dir) => graft.embed.PresetFixtureQueries.httpPresetsFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -837,6 +840,7 @@ object SparkEntry {
     "meta_fixture" -> ExtractorFixtureQueries.metaOracle,
     "links_fixture" -> ExtractorFixtureQueries.linksOracle,
     "jsonld_fixture" -> ExtractorFixtureQueries.jsonldOracle,
+    "http_presets_fixture" -> graft.embed.PresetFixtureQueries.httpPresetsOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
