@@ -183,6 +183,7 @@ object SparkEntry {
     // E9/L4: preset request mappings against an injected transport — the
     // recorded URL/headers/body vs the reference's preset contracts
     "http_presets_fixture" -> ((s, dir) => graft.embed.PresetFixtureQueries.httpPresetsFixture(s)),
+    "errors_fixture" -> ((s, dir) => FixtureQueries.errorsFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -841,6 +842,7 @@ object SparkEntry {
     "links_fixture" -> ExtractorFixtureQueries.linksOracle,
     "jsonld_fixture" -> ExtractorFixtureQueries.jsonldOracle,
     "http_presets_fixture" -> graft.embed.PresetFixtureQueries.httpPresetsOracle,
+    "errors_fixture" -> FixtureQueries.errorsOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

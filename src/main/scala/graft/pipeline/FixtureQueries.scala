@@ -207,6 +207,85 @@ object FixtureQueries {
       |  ('truncate_sentence_boundary', 'This is the first sentence.', true, CAST(1 AS BIGINT))
       |) AS t(test_case, text, truncated, blocks_accepted) ORDER BY test_case""".stripMargin
 
+  // ---- ScrapeError model fixture (core/errors.test.ts) ----
+
+  /** Structured-error surface (`/root/reference/test/core/errors.test.ts:6-96`):
+    * construction, statusCode, cause preservation, wrapping of ScrapeError /
+    * Throwable / string / other, retryability table, plain-map serialization. */
+  def errorsFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.sources.ScrapeError
+    val cases = Seq(
+      "create", "status_code", "wrap_same", "wrap_std", "wrap_string",
+      "wrap_other", "retryable", "to_map", "to_map_no_status")
+    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+      val rows: Seq[(String, String)] = name match {
+        case "create" =>
+          val e = ScrapeError("Test error", "FETCH_FAILED")
+          Seq("message" -> e.getMessage, "code" -> e.code, "name" -> e.toMap("name"))
+        case "status_code" =>
+          Seq("status" -> ScrapeError("Not found", "NOT_FOUND", Some(404)).statusCode.getOrElse(-1).toString)
+        case "wrap_same" =>
+          val orig = ScrapeError("Original", "TIMEOUT")
+          Seq("same_instance" -> (ScrapeError.from(orig) eq orig).toString)
+        case "wrap_std" =>
+          val cause = new RuntimeException("Standard error")
+          val e = ScrapeError.from(cause, "PARSE_ERROR")
+          Seq(
+            "message" -> e.getMessage, "code" -> e.code,
+            "cause_preserved" -> (e.getCause eq cause).toString)
+        case "wrap_string" =>
+          val e = ScrapeError.from("String error", "INVALID_URL")
+          Seq("message" -> e.getMessage, "code" -> e.code)
+        case "wrap_other" =>
+          Seq("code" -> ScrapeError.from(Map("k" -> 1)).code)
+        case "retryable" =>
+          Seq(
+            "fetch_failed" -> ScrapeError("f", "FETCH_FAILED").isRetryable.toString,
+            "timeout" -> ScrapeError("t", "TIMEOUT").isRetryable.toString,
+            "others_all_false" -> Seq(
+              "INVALID_URL", "BLOCKED", "NOT_FOUND", "ROBOTS_BLOCKED",
+              "PARSE_ERROR", "LLM_ERROR", "VALIDATION_ERROR")
+              .forall(c => !ScrapeError("x", c).isRetryable).toString)
+        case "to_map" =>
+          val m = ScrapeError("Serialize me", "BLOCKED", Some(403)).toMap
+          Seq(
+            "name" -> m("name"), "message" -> m("message"),
+            "code" -> m("code"), "status" -> m("statusCode"))
+        case "to_map_no_status" =>
+          Seq("has_status_key" -> ScrapeError("x", "TIMEOUT").toMap.contains("statusCode").toString)
+        case _ => Nil
+      }
+      rows.map { case (f, v) => (name, f, v) }
+    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+  }
+
+  val errorsOracle: String = {
+    val rows = Seq(
+      ("create", "code", "FETCH_FAILED"),
+      ("create", "message", "Test error"),
+      ("create", "name", "ScrapeError"),
+      ("retryable", "fetch_failed", "true"),
+      ("retryable", "others_all_false", "true"),
+      ("retryable", "timeout", "true"),
+      ("status_code", "status", "404"),
+      ("to_map", "code", "BLOCKED"),
+      ("to_map", "message", "Serialize me"),
+      ("to_map", "name", "ScrapeError"),
+      ("to_map", "status", "403"),
+      ("to_map_no_status", "has_status_key", "false"),
+      ("wrap_other", "code", "FETCH_FAILED"),
+      ("wrap_same", "same_instance", "true"),
+      ("wrap_std", "cause_preserved", "true"),
+      ("wrap_std", "code", "PARSE_ERROR"),
+      ("wrap_std", "message", "Standard error"),
+      ("wrap_string", "code", "INVALID_URL"),
+      ("wrap_string", "message", "String error")
+    )
+    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
+    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+  }
+
   // ---- B1/B2 blocks + classifier fixture (blocks.test.ts / classifier.test.ts) ----
 
   /** B1 parseBlocks structure + B2 classifier exact labels/scores, from the
