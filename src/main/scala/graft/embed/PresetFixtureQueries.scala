@@ -1,6 +1,7 @@
 package graft.embed
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.FixtureSupport
 import graft.util.HttpBase.CannedTransport
 
 /**
@@ -22,7 +23,7 @@ object PresetFixtureQueries {
     val cases = Seq(
       "openai_embed", "azure_embed", "ollama_embed", "hf_embed", "cohere_embed",
       "openai_llm", "anthropic_llm", "groq_llm", "ollama_llm", "lmstudio_llm")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases, "preset") { name =>
       val rows: Seq[(String, String)] = name match {
         case "openai_embed" =>
           val t = new CannedTransport((_, _) =>
@@ -99,8 +100,8 @@ object PresetFixtureQueries {
           Seq("url" -> t.lastUrl)
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("preset", "field", "value").orderBy("preset", "field")
+      rows
+    }
   }
 
   val httpPresetsOracle: String = {
@@ -135,7 +136,6 @@ object PresetFixtureQueries {
       ("openai_llm", "completion", "ok"),
       ("openai_llm", "url", "https://api.openai.com/v1/chat/completions")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '${v.replace("'", "''")}')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(preset, field, value) ORDER BY preset, field"
+    FixtureSupport.valuesOracle(rows, "preset")
   }
 }

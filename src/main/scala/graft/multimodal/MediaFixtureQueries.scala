@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.FixtureSupport
 
 /**
  * Fixture-anchored driver query for the multimodal image path: plant images
@@ -33,7 +34,7 @@ object MediaFixtureQueries {
     val cases = imageSpecs.map(_._1) ++
       Seq("resize_png_to_12x12", "feature_grid", "feature_unitnorm",
         "not_an_image", "frames_3500ms_1000ms", "frames_zero_duration")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       val rows: Seq[(String, String)] = imageSpecs.find(_._1 == name) match {
         case Some((_, seed, w, h, fmt)) =>
           val decoded = Multimodal.decodeImage(Multimodal.makeImage(seed, w, h, fmt))
@@ -74,8 +75,8 @@ object MediaFixtureQueries {
           case _ => Nil
         }
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val mediaOracle: String = {
@@ -102,7 +103,6 @@ object MediaFixtureQueries {
       ("resize_png_to_12x12", "height", "12"),
       ("resize_png_to_12x12", "width", "12")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 }

@@ -35,7 +35,7 @@ object ExtractorFixtureQueries {
       "canonical_og", "canonical_final", "published_meta", "published_time_el",
       "modified_meta", "lang_attr", "lang_og_locale", "keywords_split", "keywords_empty",
       "site_name")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       def meta(html: String, url: String = "https://example.com") =
         MetaExtractor.extract(ctx(html, url))
       val rows: Seq[(String, String)] = name match {
@@ -83,8 +83,8 @@ object ExtractorFixtureQueries {
           """<html><head><meta property="og:site_name" content="My Site"></head></html>""").siteName.getOrElse(""))
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val metaOracle: String = {
@@ -112,8 +112,7 @@ object ExtractorFixtureQueries {
       ("title_tag", "title", "Page Title"),
       ("title_twitter", "title", "Twitter Title")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 
   /** M2 JSON-LD polymorphism (`test/extractors/jsonld.test.ts:24-300`). */
@@ -126,7 +125,7 @@ object ExtractorFixtureQueries {
       "skip_invalid", "no_jsonld", "article_meta", "author_string",
       "multiple_authors", "image_object", "image_array", "org_site_name",
       "product", "keywords_string", "keywords_array", "keywords_dedupe", "type_array")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       def jl(body: String) = JsonLdExtractor.extract(ctx(s"<html><head>$body</head></html>"))
       val rows: Seq[(String, String)] = name match {
         case "name_priority" =>
@@ -183,8 +182,8 @@ object ExtractorFixtureQueries {
           Seq("title" -> jl(sc("""{"@type": ["Article", "NewsArticle"], "headline": "News"}""")).title.getOrElse(""))
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val jsonldOracle: String = {
@@ -216,8 +215,7 @@ object ExtractorFixtureQueries {
       ("skip_invalid", "n_blocks", "1"),
       ("type_array", "title", "News")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 
   def linksFixture(s: SparkSession): DataFrame = {
@@ -228,7 +226,7 @@ object ExtractorFixtureQueries {
       "skip_mailto_tel", "skip_short_text", "dedupe", "skip_nav",
       "skip_header", "skip_footer", "skip_nav_class", "prefer_article",
       "prefer_main", "fallback_body", "cap_text_200", "cap_100_links")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       def links(html: String, url: String = "https://example.com") =
         LinksExtractor.extract(ctx(html, url)).links.getOrElse(Nil)
       val rows: Seq[(String, String)] = name match {
@@ -301,8 +299,8 @@ object ExtractorFixtureQueries {
           Seq("n_links" -> links(art(many)).length.toString)
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val linksOracle: String = {
@@ -335,7 +333,6 @@ object ExtractorFixtureQueries {
       ("title_fallback", "n_links", "1"),
       ("title_fallback", "text", "Title Text")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 }

@@ -181,8 +181,7 @@ object FeedFixtureQueries {
       ("rss2_media", "item0_title", "Article with Media Thumbnail"),
       ("rss2_media", "n_items", "5")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 
   // ---- markdown (K1–K3) ----
@@ -369,7 +368,7 @@ object FeedFixtureQueries {
     import s.implicits._
     import graft.feed.{FeedItem, FeedOps}
     val cases = Seq("discover", "filter_by_date", "to_markdown", "markdown_safe")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       def bare(title: String, publishedAt: Option[String]) = FeedItem(
         id = "", title = title, link = "", description = None, content = None,
         author = None, publishedAt = publishedAt, rawPublishedAt = publishedAt,
@@ -408,8 +407,8 @@ object FeedFixtureQueries {
             "no_file" -> (!md.contains("file:")).toString)
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val feedUtilsOracle: String = {
@@ -427,8 +426,7 @@ object FeedFixtureQueries {
       ("to_markdown", "has_feed_title", "true"),
       ("to_markdown", "has_item1_heading", "true")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 
   // ---- GitHub utils (K14, github.test.ts) ----
@@ -510,7 +508,6 @@ object FeedFixtureQueries {
       ("raw_file", "https://raw.githubusercontent.com/developer-rakeshpaul/scrapex/main/CONTRIBUTING.md"),
       ("raw_not_github", "https://example.com/not-github")
     )
-    val values = rows.map { case (c, v) => s"  ('$c', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, value) ORDER BY test_case"
+    FixtureSupport.valuesOracle2(rows)
   }
 }

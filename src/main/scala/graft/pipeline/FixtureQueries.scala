@@ -218,7 +218,7 @@ object FixtureQueries {
     val cases = Seq(
       "create", "status_code", "wrap_same", "wrap_std", "wrap_string",
       "wrap_other", "retryable", "to_map", "to_map_no_status")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       val rows: Seq[(String, String)] = name match {
         case "create" =>
           val e = ScrapeError("Test error", "FETCH_FAILED")
@@ -256,8 +256,8 @@ object FixtureQueries {
           Seq("has_status_key" -> ScrapeError("x", "TIMEOUT").toMap.contains("statusCode").toString)
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val errorsOracle: String = {
@@ -282,8 +282,7 @@ object FixtureQueries {
       ("wrap_string", "code", "INVALID_URL"),
       ("wrap_string", "message", "String error")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 
   // ---- B1/B2 blocks + classifier fixture (blocks.test.ts / classifier.test.ts) ----
@@ -302,7 +301,7 @@ object FixtureQueries {
     def block(t: String, text: String, level: Option[Int] = None) =
       CB(t, text, level, None, Map.empty, Nil, 0)
     def ctx(i: Int, total: Int) = ClassifierContext(i, total, None, Nil, 0)
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       val rows: Seq[(String, String)] = name match {
         case "blocks_headings" =>
           val html = "<main><h1>Main Title</h1><p>First paragraph.</p><h2>Section</h2><p>Second paragraph.</p></main>"
@@ -358,8 +357,8 @@ object FixtureQueries {
             "code" -> Classifier.default(block("code", "const x = 1;"), ctx(1, 2)).score.getOrElse(-1.0).toString)
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val blocksOracle: String = {
@@ -393,8 +392,7 @@ object FixtureQueries {
       ("cls_too_short", "accept", "false"),
       ("cls_too_short", "label", "too-short")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 
   // ---- E4 chunking fixture (chunking.test.ts) ----
@@ -410,7 +408,7 @@ object FixtureQueries {
       "chunk_empty", "chunk_blank", "chunk_short", "chunk_long",
       "chunk_maxlen", "chunk_ws", "chunk_positions",
       "needs_short", "needs_long", "stats", "stats_long")
-    s.createDataset(cases).repartition(2).mapPartitions(_.flatMap { name =>
+    FixtureSupport.fixtureDf(s, cases) { name =>
       val rows: Seq[(String, String)] = name match {
         case "tokens_hello"       => Seq("tokens" -> Embed.heuristicTokenCount("hello").toString)
         case "tokens_hello_world" => Seq("tokens" -> Embed.heuristicTokenCount("hello world").toString)
@@ -448,8 +446,8 @@ object FixtureQueries {
           Seq("will_truncate" -> Embed.getChunkingStats("a" * 200000).willTruncate.toString)
         case _ => Nil
       }
-      rows.map { case (f, v) => (name, f, v) }
-    }).toDF("test_case", "field", "value").orderBy("test_case", "field")
+      rows
+    }
   }
 
   val chunkOracle: String = {
@@ -475,7 +473,6 @@ object FixtureQueries {
       ("tokens_hello", "tokens", "2"),
       ("tokens_hello_world", "tokens", "3")
     )
-    val values = rows.map { case (c, f, v) => s"  ('$c', '$f', '$v')" }
-    s"SELECT * FROM (VALUES\n${values.mkString(",\n")}\n) AS t(test_case, field, value) ORDER BY test_case, field"
+    FixtureSupport.valuesOracle(rows)
   }
 }
