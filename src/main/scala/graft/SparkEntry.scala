@@ -425,6 +425,21 @@ object SparkEntry {
       .agg(count("*").as("n"), min("doc_id").as("keeper"))
       .orderBy("hash32")),
 
+    // Connected-component cluster representatives (the transitive-closure
+    // step after candidate-pair generation: a≈b, b≈c ⇒ one survivor for
+    // {a,b,c}). Edges here are deterministic 8-chains over the contiguous
+    // doc_ids — diameter-7, so the generic iterative min-label operator
+    // must actually propagate across multiple rounds — while the ground
+    // truth stays SQL-expressible: label = doc_id - doc_id % 8.
+    "doc_dedup_cluster" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("id_a"))
+      val pairs = ids.filter(col("id_a") % 8 =!= 7)
+        .withColumn("id_b", col("id_a") + 1)
+        .join(docs(s, dir).select(col("doc_id").cast("long").as("id_b")), "id_b")
+        .select("id_a", "id_b")
+      graft.ops.DedupOps.clusterRepresentatives(pairs).orderBy("id")
+    }),
+
     "doc_quality" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -903,6 +918,10 @@ object SparkEntry {
     "doc_dedup_exact" ->
       ("SELECT substr(sha256(text), 1, 32) AS hash32, count(*) AS n, min(doc_id) AS keeper " +
        "FROM documents GROUP BY 1 ORDER BY hash32"),
+
+    "doc_dedup_cluster" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id - doc_id % 8 AS BIGINT) AS label " +
+       "FROM documents ORDER BY id"),
 
     "doc_quality" ->
       ("SELECT doc_id, length(text) AS n_chars, " +

@@ -47,4 +47,71 @@ object DedupOps {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /**
+   * Connected-component representatives over candidate pairs: every id in a
+   * duplicate cluster is labelled with the cluster's MINIMUM id, by
+   * iterative min-label propagation (the label-propagation core of
+   * large-scale CC, cf. the map-reduce CC literature) until fixpoint or
+   * `maxIter`.
+   *
+   * This is the step a training-data dedup pipeline runs AFTER pair
+   * generation: candidate pairs say "a≈b", but keeping one survivor per
+   * cluster needs transitive closure (a≈b, b≈c ⇒ keep only one of {a,b,c}).
+   *
+   * Scale contract (100 TB): each round is two shuffle joins over relations
+   * that carry only ids — a neighbor-min hop plus a pointer-jumping
+   * compression (label ← label(label)), so convergence is O(log diameter)
+   * rounds, not O(diameter); LSH-derived duplicate clusters are
+   * near-cliques and converge in 2–3 rounds regardless of corpus size. The
+   * convergence check is a cheap count on changed labels. Each generation
+   * is cut over via an EAGER `localCheckpoint`: without lineage truncation
+   * the logical plan nests one level per iteration and Catalyst analysis
+   * time grows superlinearly (the standard iterative-DataFrame trap); with
+   * it every round plans against a materialized leaf.
+   *
+   * @param pairs undirected candidate pairs (idA, idB), any id type
+   * @return (id, label) for every id that appears in `pairs`, where label =
+   *         min id of its connected component
+   */
+  def clusterRepresentatives(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy("src").agg(min("nbr_label").as("nbr_label"))
+      val hopped = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: follow one's label to ITS label — halves the
+      // distance to the component minimum every round
+      val updated = hopped
+        .join(
+          hopped.select(col("id").as("label"), col("label").as("parent")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -60,4 +60,43 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url",
       maxBucket = Int.MaxValue).count() == 70L * 69 / 2)
   }
+
+  test("clusterRepresentatives: transitive chains collapse to the min id") {
+    val s = spark
+    import s.implicits._
+    // chain a-b-c-d (diameter 3), disjoint pair x-y, triangle p-q-r
+    val pairs = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),
+      ("x", "y"),
+      ("p", "q"), ("q", "r"), ("p", "r")).toDF("id_a", "id_b")
+    val labels = DedupOps.clusterRepresentatives(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c", "d").forall(labels(_) == "a"))
+    assert(labels("x") == "x" && labels("y") == "x")
+    assert(Seq("p", "q", "r").forall(labels(_) == "p"))
+    assert(labels.size == 9)
+  }
+
+  test("clusterRepresentatives: long chain needs multiple propagation rounds") {
+    val s = spark
+    import s.implicits._
+    // a 30-link chain of longs: min label must travel the full diameter
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.clusterRepresentatives(pairs).as[(Long, Long)].collect()
+    assert(labels.length == 31)
+    assert(labels.forall(_._2 == 0L))
+  }
+
+  test("clusterRepresentatives: maxIter bounds the work (partial labels remain sound)") {
+    val s = spark
+    import s.implicits._
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // one round = one neighbor hop + one pointer jump: labels close at most
+    // distance 2 — sound but not converged on a long chain
+    val labels = DedupOps.clusterRepresentatives(pairs, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 0L)          // reached in one hop
+    assert(labels(10L) == 8L)         // hop to 9, jump to 9's hopped label 8
+    assert(labels.forall { case (id, l) => l <= id }) // labels only decrease
+  }
 }
