@@ -222,6 +222,31 @@ object SparkEntry {
         .orderBy("url_a", "url_b")
     }),
 
+    // End-to-end near-dup SURVIVOR selection: shared candidates → exact
+    // Jaccard verify (≥ 0.8) → connected components (pointer-jumping CC) →
+    // one survivor per duplicate cluster (the component-minimum url). This
+    // is the full pipeline a 100 TB training-data dedup actually runs —
+    // every stage bounded: banded self-join (suppressed mega-buckets),
+    // verify only on candidates, O(log diameter) CC rounds on id-only
+    // relations.
+    "dedup_survivors_pages" -> ((s, dir) => {
+      import s.implicits._
+      val shingled = signatures(s, dir).select(col("url"), col("sh3").as("shingles"))
+      val verified = nearDupCandidates(s, dir)
+        .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
+        .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
+        .select("url_a", "url_b", "sh_a", "sh_b")
+        .as[(String, String, Array[Long], Array[Long])]
+        .map { case (a, b, sa, sb) => (a, b, TextOps.jaccardSorted(sa, sb)) }
+        .toDF("url_a", "url_b", "jaccard")
+        .filter(col("jaccard") >= 0.8)
+        .select("url_a", "url_b")
+      graft.ops.DedupOps.clusterRepresentatives(verified, "url_a", "url_b")
+        .withColumn("is_survivor", col("id") === col("label"))
+        .toDF("url", "cluster_rep", "is_survivor")
+        .orderBy("url")
+    }),
+
     "dedup_jaccard_pages" -> ((s, dir) => {
       import s.implicits._
       // n-gram Jaccard near-dup: the SHARED LSH candidates → EXACT
