@@ -62,6 +62,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("survivor selection ends checkpoint-backed: downstream actions re-run no joins") {
+    // the iterative CC materializes via eager localCheckpoint, so the
+    // RETURNED plan must be a leaf scan over the checkpointed labels (plus
+    // project/sort) — no joins, no cartesian, nothing iterative left to
+    // re-execute on every downstream action
+    val q = graft.SparkEntry.queries
+    val p = plan(q("dedup_survivors_pages")(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("ExistingRDD"), s"survivors must be checkpoint-backed:\n${p.take(2000)}")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"survivors output plan must not replay the pipeline:\n${p.take(2000)}")
+  }
+
   test("adaptive ANN/near-dup queries keep equi-join plans (no cartesian at any width)") {
     val q = graft.SparkEntry.queries
     val sfDir = "/root/testdata/sf0.001"
