@@ -20,6 +20,12 @@ import graft.pipeline.{ExtractJob, PageRow, ScrapePipeline, ScrapedRow}
   * cumulative page number at this row, `within_budget` its budget verdict. */
 final case class HostBudgetRow(url: String, host: String, seq: Long, within_budget: Boolean)
 
+/** Output of [[StreamingExtract.nearDupStream]]: one row per (doc, LSH band);
+  * `collided` = another document already claimed this band bucket. A
+  * consumer counts collided bands per url (stateless roll-up) and flags
+  * docs over its threshold as near-duplicates. */
+final case class BandCollisionRow(url: String, band_idx: Int, band_key: Long, collided: Boolean)
+
 object StreamingExtract {
 
   val pageSchema: StructType = StructType(Seq(
@@ -80,6 +86,58 @@ object StreamingExtract {
             HostBudgetRow(url, host, seen, seen <= budgetPerHost)
           }.toVector // materialize before the state update
           state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming NEAR-dup detection — the MinHash-LSH family running
+    * continuously: extract → 3-gram shingles → minhash-64 → 16 band keys →
+    * `flatMapGroupsWithState` keyed by `(band_idx, band_key)`, whose state
+    * is the url that first claimed the bucket. Every later document hashing
+    * into a claimed bucket emits `collided = true` for that band; the
+    * near-dup DECISION (≥ k collided bands) is a stateless per-url roll-up
+    * the consumer runs — same split as the batch pipeline, where candidate
+    * generation is the bounded stateful part and verification is a
+    * downstream join.
+    *
+    * Scale contract: state is one url string per OCCUPIED band bucket —
+    * proportional to distinct content in the horizon, never to pairs; the
+    * per-group iterator touches each arriving row once. (Batch-side
+    * mega-bucket suppression is unnecessary: a boilerplate bucket holds ONE
+    * claimant url regardless of how many docs collide with it.) */
+  def nearDupStream(
+      spark: SparkSession,
+      inputDir: String,
+      maxFilesPerTrigger: Int = 4): Dataset[BandCollisionRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.ops.TextOps
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .as[PageRow]
+      .flatMap { p =>
+        val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
+        if (r.status != "ok" || r.normalized_text.isEmpty) Iterator.empty
+        else {
+          val sig = TextOps.minHash(TextOps.shingles(r.normalized_text, 3), 64)
+          TextOps.lshBands(sig, 4).iterator.zipWithIndex.map { case (key, idx) =>
+            (r.url, idx, key)
+          }
+        }
+      }
+      .groupByKey { case (_, idx, key) => (idx, key) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: (Int, Long), rows: Iterator[(String, Int, Long)], state: GroupState[String]) =>
+          var claimant = state.getOption.orNull
+          val out = rows.map { case (url, idx, key) =>
+            if (claimant == null) {
+              claimant = url
+              BandCollisionRow(url, idx, key, collided = false)
+            } else BandCollisionRow(url, idx, key, collided = claimant != url)
+          }.toVector // materialize before the state update
+          if (claimant != null) state.update(claimant)
           out.iterator
       }
   }

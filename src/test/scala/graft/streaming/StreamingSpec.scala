@@ -157,4 +157,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"all distinct empty-content rows must pass through dedup untouched; got $badUrls")
     assert(out.length == 5)
   }
+
+  test("streaming near-dup: band collisions within a batch and across batches") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    // batch 1: 8 distinct pages — no collisions expected between them
+    val batch1 = (0L until 8L).map(PagesGen.makePage)
+    batch1.toDS().repartition(2).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.nearDupStream(spark, dir, maxFilesPerTrigger = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("near_dup_out")
+      .start()
+    q.processAllAvailable()
+
+    def collisionsByUrl(): Map[String, Long] =
+      spark.sql("SELECT url, count(CASE WHEN collided THEN 1 END) c FROM near_dup_out GROUP BY url")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val afterB1 = collisionsByUrl()
+    assert(afterB1.size == 8)
+    assert(afterB1.values.forall(_ == 0L), s"distinct docs must not collide: $afterB1")
+
+    // batch 2: the SAME content under new urls — every band bucket is
+    // already claimed by batch-1 state, so all 16 bands of each doc collide
+    val batch2 = batch1.map(p => p.copy(url = p.url + "-copy"))
+    batch2.toDS().repartition(2).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val afterB2 = collisionsByUrl()
+    assert(afterB2.size == 16)
+    batch2.foreach { p =>
+      assert(afterB2(p.url) == 16L,
+        s"identical cross-batch content must collide on all 16 bands: ${p.url} -> ${afterB2(p.url)}")
+    }
+    batch1.foreach { p => assert(afterB2(p.url) == 0L) }
+  }
 }
