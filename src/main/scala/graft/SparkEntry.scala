@@ -806,6 +806,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Build-once/query-many ANN: same IVF algorithm, but the assignments
+    // persist as a table BUCKETED by cell — later query jobs join on cell
+    // with no exchange over the indexed side (the 100 TB serving shape;
+    // byte-identity to the in-memory path pinned in AnnIndexSpec).
+    "embed_knn_ivf_table" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val k = graft.ops.Ann.adaptiveIvfK(raw.count())
+      graft.ops.AnnIndex.build(raw, "graft_ivf_index", k, graft.ops.Ann.ivfSampleSize(k))
+      graft.ops.AnnIndex.query(s, "graft_ivf_index", raw.filter(_._1 < 5), nProbe = 4, topK = 5)
+    }),
+
     "embed_agg_label" -> ((s, dir) => s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("dim", col("dim").cast("long"))

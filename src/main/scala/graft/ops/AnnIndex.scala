@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTENT IVF index: build once, query many — the shape ANN takes at
+ * 100 TB, where the corpus is indexed by an offline job and every later
+ * query job must not re-shuffle (or re-assign) a billion vectors.
+ *
+ *  - `build` trains the coarse quantizer ([[Ann.trainCentroids]], bounded
+ *    sample), assigns every vector to its nearest cell (narrow map over a
+ *    broadcast centroid array), and writes the assignment relation as a
+ *    table BUCKETED BY `cell` plus a tiny `<table>_centroids` side table.
+ *  - `query` re-loads the centroids (k × dim floats — broadcastable at any
+ *    corpus size), probes the `nProbe` nearest cells per query, and joins
+ *    the probe list against the bucketed assignment table on `cell`: the
+ *    bucketed side is already hash-clustered on the join key, so the big
+ *    relation never crosses an exchange (asserted in AnnSpec).
+ *
+ * Results are byte-identical to the in-memory IVF path for the same
+ * centroids — the index is storage layout, not a different algorithm.
+ */
+object AnnIndex {
+
+  /** Train + assign + persist. Returns the trained centroids. */
+  def build(
+      emb: Dataset[(Long, Array[Float])],
+      tableName: String,
+      k: Int,
+      sampleSize: Int,
+      numBuckets: Int = 16): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.filter(_._1 < sampleSize).collect().sortBy(_._1).map(_._2)
+    val centroids = Ann.trainCentroids(sample, k)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val indexed = emb
+      .map { case (id, v) => (id, v, Ann.nearestCentroid(v, cB.value)) }
+      .toDF("vec_id", "embedding", "cell")
+    graft.pipeline.ExtractJob.writeBucketed(indexed, tableName, "cell", numBuckets)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${tableName}_centroids")
+    centroids
+  }
+
+  /** Centroids of a built index, cell-ordered. */
+  def loadCentroids(spark: SparkSession, tableName: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.table(s"${tableName}_centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+  }
+
+  /** Top-`topK` neighbors per query via the persisted index. The probe list
+    * (queries × nProbe rows) is the small side; the bucketed assignment
+    * table joins on `cell` without an exchange. */
+  def query(
+      spark: SparkSession,
+      tableName: String,
+      queries: Dataset[(Long, Array[Float])],
+      nProbe: Int = 4,
+      topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val centroids = loadCentroids(spark, tableName)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val probes = queries
+      .flatMap { case (qid, v) => Ann.probeCells(v, cB.value, nProbe).map(c => (qid, v, c)) }
+      .toDF("query_id", "q_emb", "cell")
+    val indexed = spark.table(tableName)
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, id, qv, v) =>
+        (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
+      }
+      .toDF("query_id", "vec_id", "cos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= topK)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+}

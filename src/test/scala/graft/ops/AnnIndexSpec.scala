@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The persistent IVF index must be pure storage layout: querying the
+  * bucketed table returns byte-identical rows to the in-memory IVF path,
+  * and the indexed side of the candidate join scans bucketed (no exchange
+  * over the big relation). */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ann-index")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("index query == in-memory IVF path; bucketed scan carries the join") {
+    val s = spark
+    import s.implicits._
+    val raw = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val n = raw.count()
+    val k = Ann.adaptiveIvfK(n)
+    val sampleN = Ann.ivfSampleSize(k)
+
+    val centroids = AnnIndex.build(raw, "ann_index_spec", k, sampleN, numBuckets = 8)
+    assert(centroids.length == k)
+    assert(AnnIndex.loadCentroids(s, "ann_index_spec").map(_.toSeq).toSeq ==
+      centroids.map(_.toSeq).toSeq)
+
+    val queries = raw.filter(_._1 < 5)
+    val viaIndex = AnnIndex.query(s, "ann_index_spec", queries, nProbe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // reference: the in-memory assignment path with the SAME centroids
+    val cB = s.sparkContext.broadcast(centroids)
+    val indexed = raw.map { case (id, v) => (id, v, Ann.nearestCentroid(v, cB.value)) }
+      .toDF("vec_id", "embedding", "cell")
+    import org.apache.spark.sql.functions._
+    val probes = queries
+      .flatMap { case (qid, v) => Ann.probeCells(v, cB.value, 4).map(c => (qid, v, c)) }
+      .toDF("query_id", "q_emb", "cell")
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, id, qv, v) =>
+        (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
+      }.toDF("query_id", "vec_id", "cos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val inMemory = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "cos").orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq == inMemory.toSeq,
+      "persistent-index results must be byte-identical to the in-memory IVF path")
+
+    // layout audit: the candidate join must scan the table bucketed
+    val p = AnnIndex.query(s, "ann_index_spec", queries, nProbe = 4, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"indexed side must scan bucketed:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
