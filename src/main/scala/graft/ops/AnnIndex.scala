@@ -39,15 +39,8 @@ object AnnIndex {
       .map { case (id, v) => (id, v, Ann.nearestCentroid(v, cB.value)) }
       .toDF("vec_id", "embedding", "cell")
     graft.pipeline.ExtractJob.writeBucketed(indexed, tableName, "cell", numBuckets)
-    // same orphaned-location hygiene as writeBucketed: a previous JVM's
-    // in-memory catalog forgets the table but its warehouse files remain,
-    // and a managed-table create refuses an existing location
     val centTable = s"${tableName}_centroids"
-    spark.sql(s"DROP TABLE IF EXISTS `$centTable`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), centTable.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.pipeline.ExtractJob.dropTableAndLocation(spark, centTable)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")

@@ -117,19 +117,24 @@ object ExtractJob {
     * extracted corpus: bucket by `domain` once at write time, then every
     * per-host join (robots audits, host-level quality rollups, crawl-politeness
     * stats) and host groupBy skips its shuffle forever after. */
+  /** Drop a managed table AND its warehouse location: a previous session's
+    * orphaned location blocks a managed-table create (the in-memory catalog
+    * forgets the table but the files remain). */
+  def dropTableAndLocation(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def writeBucketed(
       df: DataFrame,
       tableName: String,
       bucketCol: String,
       numBuckets: Int = 64): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    // a previous session's orphaned location blocks a managed-table create
-    // (the in-memory catalog forgets the table but the files remain)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndLocation(spark, tableName)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
