@@ -421,6 +421,19 @@ object SparkEntry {
     // warm re-run against the cache table built from the cold pass: every
     // success row must come back cached=true with identical key/vector meta
     // (the provider-call-free contract is additionally pinned in EmbedSpec).
+    // The metrics surface as data: exactCounters derives retry-stable
+    // hit/miss/skip counts from the materialized output (the reference
+    // cache getStats analogue), driver-checked against the same CTE the
+    // other E8 oracles use.
+    "embed_pipeline_counters" -> ((s, dir) => {
+      import s.implicits._
+      val res = graft.embed.EmbedPipeline.embedDocuments(
+        s, embedPipelineDocs(s, dir), None, new graft.embed.HashStubProvider(8))
+      val c = graft.embed.EmbedPipeline.exactCounters(res)
+      Seq((c.cacheHits, c.cacheMisses, c.skipped))
+        .toDF("cache_hits", "cache_misses", "skipped")
+    }),
+
     "embed_pipeline_cachehit" -> ((s, dir) => {
       val all = embedPipelineDocs(s, dir)
       val cold = graft.embed.EmbedPipeline.embedDocuments(
@@ -909,6 +922,12 @@ object SparkEntry {
       "CASE WHEN reason = '' THEN pii ELSE false END AS pii_redacted, " +
       "false AS cached FROM r ORDER BY doc_id"
     },
+
+    "embed_pipeline_counters" ->
+      (embedPipelineCte +
+       "SELECT CAST(0 AS BIGINT) AS cache_hits, " +
+       "CAST(sum(CASE WHEN reason = '' THEN 1 ELSE 0 END) AS BIGINT) AS cache_misses, " +
+       "CAST(sum(CASE WHEN reason <> '' THEN 1 ELSE 0 END) AS BIGINT) AS skipped FROM r"),
 
     // stub provider in SQL: vector dim d = byte d of sha256(redacted input),
     // scaled /255 — truncated through REAL to mirror the Float pipeline value
