@@ -237,7 +237,11 @@ object SparkEntry {
         .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
         .select("url_a", "url_b", "sh_a", "sh_b")
         .as[(String, String, Array[Long], Array[Long])]
-        .map { case (a, b, sa, sb) => (a, b, TextOps.jaccardSorted(sa, sb)) }
+        // the SAME 5-decimal rounding as dedup_jaccard_pages, so the two
+        // views of the shared verify stage agree at the threshold boundary
+        .map { case (a, b, sa, sb) =>
+          (a, b, math.round(TextOps.jaccardSorted(sa, sb) * 100000) / 100000.0)
+        }
         .toDF("url_a", "url_b", "jaccard")
         .filter(col("jaccard") >= 0.8)
         .select("url_a", "url_b")
@@ -475,7 +479,15 @@ object SparkEntry {
         .withColumn("id_b", col("id_a") + 1)
         .join(docs(s, dir).select(col("doc_id").cast("long").as("id_b")), "id_b")
         .select("id_a", "id_b")
-      graft.ops.DedupOps.clusterRepresentatives(pairs).orderBy("id")
+      // left-join every doc back on: a chain-singleton (possible when
+      // n % 8 == 1 — the last block has one member) appears in no pair,
+      // so CC omits it; its representative is itself, matching the
+      // oracle's label = doc_id - doc_id % 8 at every corpus size
+      val labels = graft.ops.DedupOps.clusterRepresentatives(pairs)
+      docs(s, dir).select(col("doc_id").cast("long").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .orderBy("id")
     }),
 
     "doc_quality" -> ((s, dir) => docs(s, dir)
@@ -805,18 +817,7 @@ object SparkEntry {
         .flatMap { case (id, v, _) =>
           graft.ops.Ann.probeCells(v, cB.value, 4).map(c => (id, v, c))
         }.toDF("query_id", "q_emb", "cell")
-      val scored = probes.join(indexed, Seq("cell"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .dropDuplicates("query_id", "vec_id")
-        .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (qid, id, qv, v) => (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0) }
-        .toDF("query_id", "vec_id", "cos")
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
-        .select("query_id", "rank", "vec_id", "cos")
-        .orderBy("query_id", "rank")
+      graft.ops.AnnIndex.scoreProbes(probes, indexed, topK = 5)
     }),
 
     // Build-once/query-many ANN: same IVF algorithm, but the assignments
@@ -828,8 +829,12 @@ object SparkEntry {
       val raw = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding").as[(Long, Array[Float])]
       val k = graft.ops.Ann.adaptiveIvfK(raw.count())
-      graft.ops.AnnIndex.build(raw, "graft_ivf_index", k, graft.ops.Ann.ivfSampleSize(k))
-      graft.ops.AnnIndex.query(s, "graft_ivf_index", raw.filter(_._1 < 5), nProbe = 4, topK = 5)
+      // index name keyed by sfDir (like the other shared relations): a
+      // second dir must not clobber the table behind an uncollected
+      // DataFrame built for the first
+      val tbl = "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+      graft.ops.AnnIndex.build(raw, tbl, k, graft.ops.Ann.ivfSampleSize(k))
+      graft.ops.AnnIndex.query(s, tbl, raw.filter(_._1 < 5), nProbe = 4, topK = 5)
     }),
 
     "embed_agg_label" -> ((s, dir) => s.read.parquet(s"$dir/embeddings.parquet")

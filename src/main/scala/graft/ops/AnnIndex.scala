@@ -32,7 +32,13 @@ object AnnIndex {
       numBuckets: Int = 16): Array[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample = emb.filter(_._1 < sampleSize).collect().sortBy(_._1).map(_._2)
+    // bounded training sample = the sampleSize LOWEST ids (TakeOrdered — no
+    // full shuffle, no dense-0-based-id assumption; works for sparse or
+    // offset vec_ids). For contiguous 0-based ids this is exactly
+    // `filter(_._1 < sampleSize)`, keeping centroid byte-identity with the
+    // in-memory IVF query path.
+    val sample = emb.orderBy("vec_id").limit(sampleSize)
+      .collect().sortBy(_._1).map(_._2)
     val centroids = Ann.trainCentroids(sample, k)
     val cB = spark.sparkContext.broadcast(centroids)
     val indexed = emb
@@ -55,6 +61,31 @@ object AnnIndex {
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
   }
 
+  /** The ONE scoring tail every IVF path shares (in-memory query, persisted
+    * index, spec reference): probe-join on `cell`, self-match filter,
+    * candidate dedupe, 5-decimal cosine, dense rank, top-`topK`. Byte-
+    * identity between the paths is the product contract — keep exactly one
+    * definition. `probes` = (query_id, q_emb, cell); `indexed` =
+    * (vec_id, embedding, cell). */
+  def scoreProbes(probes: DataFrame, indexed: DataFrame, topK: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, id, qv, v) =>
+        (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
+      }
+      .toDF("query_id", "vec_id", "cos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= topK)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** Top-`topK` neighbors per query via the persisted index. The probe list
     * (queries × nProbe rows) is the small side; the bucketed assignment
     * table joins on `cell` without an exchange. */
@@ -70,20 +101,6 @@ object AnnIndex {
     val probes = queries
       .flatMap { case (qid, v) => Ann.probeCells(v, cB.value, nProbe).map(c => (qid, v, c)) }
       .toDF("query_id", "q_emb", "cell")
-    val indexed = spark.table(tableName)
-    val scored = probes.join(indexed, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, id, qv, v) =>
-        (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
-      }
-      .toDF("query_id", "vec_id", "cos")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= topK)
-      .select("query_id", "rank", "vec_id", "cos")
-      .orderBy("query_id", "rank")
+    scoreProbes(probes, spark.table(tableName), topK)
   }
 }

@@ -106,12 +106,14 @@ object DedupOps {
         .localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
+      // NOTE: Dataset.unpersist would be a no-op here — localCheckpoint
+      // blocks live in the block manager, not the CacheManager. Superseded
+      // generations are reclaimed by the ContextCleaner once this loop
+      // drops its reference (the only handle to the checkpointed RDD).
       labels = updated
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     labels
   }
 }

@@ -111,12 +111,6 @@ object ExtractJob {
       .as[PageRow]
   }
 
-  /** Persist a dataset bucketed by a key so downstream equi-joins and
-    * aggregations on that key are exchange-free (Spark reads co-bucketed
-    * tables without shuffling either side). The 100 TB pattern for the
-    * extracted corpus: bucket by `domain` once at write time, then every
-    * per-host join (robots audits, host-level quality rollups, crawl-politeness
-    * stats) and host groupBy skips its shuffle forever after. */
   /** Drop a managed table AND its warehouse location: a previous session's
     * orphaned location blocks a managed-table create (the in-memory catalog
     * forgets the table but the files remain). */
@@ -128,6 +122,12 @@ object ExtractJob {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Persist a dataset bucketed by a key so downstream equi-joins and
+    * aggregations on that key are exchange-free (Spark reads co-bucketed
+    * tables without shuffling either side). The 100 TB pattern for the
+    * extracted corpus: bucket by `domain` once at write time, then every
+    * per-host join (robots audits, host-level quality rollups, crawl-politeness
+    * stats) and host groupBy skips its shuffle forever after. */
   def writeBucketed(
       df: DataFrame,
       tableName: String,

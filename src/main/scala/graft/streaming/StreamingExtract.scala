@@ -101,17 +101,31 @@ object StreamingExtract {
     * downstream join.
     *
     * Scale contract: state is one url string per OCCUPIED band bucket —
-    * proportional to distinct content in the horizon, never to pairs; the
-    * per-group iterator touches each arriving row once. (Batch-side
-    * mega-bucket suppression is unnecessary: a boilerplate bucket holds ONE
-    * claimant url regardless of how many docs collide with it.) */
+    * proportional to distinct content in the HORIZON, never to pairs; the
+    * horizon is real: each bucket carries an EVENT-TIME TTL (the near-dup
+    * analogue of `dedupStream`'s watermark) — a bucket whose last claim is
+    * `stateTtlMs` behind the watermark is dropped from the store, so its
+    * content can re-claim later and state stays bounded by construction.
+    * (Event-time, not processing-time: processing-time timeouts force the
+    * query to keep re-triggering for timeout checks, which breaks
+    * `processAllAvailable`/`AvailableNow` semantics; event-time timeouts
+    * fire only as the data-driven watermark advances.) The per-group
+    * iterator touches each arriving row once. (Batch-side mega-bucket
+    * suppression is unnecessary: a boilerplate bucket holds ONE claimant
+    * url regardless of how many docs collide with it.) */
   def nearDupStream(
       spark: SparkSession,
       inputDir: String,
-      maxFilesPerTrigger: Int = 4): Dataset[BandCollisionRow] = {
+      maxFilesPerTrigger: Int = 4,
+      stateTtlMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[BandCollisionRow] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.ops.TextOps
+    // the watermark is declared on the BAND relation, after the per-row
+    // flatMap: attribute metadata does not survive object serialization, so
+    // tagging warc_ts before the map would leave the stateful operator
+    // without a watermarked column and fail the streaming checker
     spark.readStream
       .schema(pageSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -123,22 +137,39 @@ object StreamingExtract {
         else {
           val sig = TextOps.minHash(TextOps.shingles(r.normalized_text, 3), 64)
           TextOps.lshBands(sig, 4).iterator.zipWithIndex.map { case (key, idx) =>
-            (r.url, idx, key)
+            (r.url, idx, key, p.warc_ts)
           }
         }
       }
-      .groupByKey { case (_, idx, key) => (idx, key) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (bucket: (Int, Long), rows: Iterator[(String, Int, Long)], state: GroupState[String]) =>
-          var claimant = state.getOption.orNull
-          val out = rows.map { case (url, idx, key) =>
-            if (claimant == null) {
-              claimant = url
-              BandCollisionRow(url, idx, key, collided = false)
-            } else BandCollisionRow(url, idx, key, collided = claimant != url)
-          }.toVector // materialize before the state update
-          if (claimant != null) state.update(claimant)
-          out.iterator
+      .toDF("url", "band_idx", "band_key", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, idx, key, _) => (idx, key) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: (Int, Long), rows: Iterator[(String, Int, Long, java.sql.Timestamp)],
+         state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var claimant = state.getOption.orNull
+            var maxTs = Long.MinValue
+            val out = rows.map { case (url, idx, key, ts) =>
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+              if (claimant == null) {
+                claimant = url
+                BandCollisionRow(url, idx, key, collided = false)
+              } else BandCollisionRow(url, idx, key, collided = claimant != url)
+            }.toVector // materialize before the state update
+            if (claimant != null) {
+              state.update(claimant)
+              // expire when the watermark passes last-claim + TTL; clamp
+              // above the current watermark (a timeout in the past throws)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxTs + stateTtlMs))
+            }
+            out.iterator
+          }
       }
   }
 

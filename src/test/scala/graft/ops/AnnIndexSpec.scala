@@ -50,19 +50,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probes = queries
       .flatMap { case (qid, v) => Ann.probeCells(v, cB.value, 4).map(c => (qid, v, c)) }
       .toDF("query_id", "q_emb", "cell")
-    val scored = probes.join(indexed, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, id, qv, v) =>
-        (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
-      }.toDF("query_id", "vec_id", "cos")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    val inMemory = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "vec_id", "cos").orderBy("query_id", "rank")
+    val inMemory = AnnIndex.scoreProbes(probes, indexed, topK = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
 
     assert(viaIndex.nonEmpty)

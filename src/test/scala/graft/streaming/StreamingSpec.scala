@@ -162,7 +162,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark
     import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
-    // batch 1: 8 distinct pages — no collisions expected between them
+    // batch 1: 8 distinct pages — no collisions expected between them.
+    // (Event-time TTL: timeouts fire only as the watermark advances, so
+    // processAllAvailable stays a usable barrier — the reason the operator
+    // uses EventTimeTimeout, not ProcessingTimeTimeout.)
     val batch1 = (0L until 8L).map(PagesGen.makePage)
     batch1.toDS().repartition(2).write.mode("overwrite").parquet(dir)
 
@@ -181,7 +184,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterB1.values.forall(_ == 0L), s"distinct docs must not collide: $afterB1")
 
     // batch 2: the SAME content under new urls — every band bucket is
-    // already claimed by batch-1 state, so all 16 bands of each doc collide
+    // already claimed by batch-1 state (same warc_ts, so nothing expired),
+    // and all 16 bands of each doc collide
     val batch2 = batch1.map(p => p.copy(url = p.url + "-copy"))
     batch2.toDS().repartition(2).write.mode("append").parquet(dir)
     q.processAllAvailable()
