@@ -69,16 +69,16 @@ object AnnIndex {
     * (vec_id, embedding, cell). */
   def scoreProbes(probes: DataFrame, indexed: DataFrame, topK: Int): DataFrame = {
     val spark = probes.sparkSession
-    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // scoring runs as the native codegen `cosine_sim` expression — the
+    // ArrayData buffers are read in place, no per-row encoder round-trip.
+    // `floor(x·1e5 + 0.5)/1e5` IS `math.round(x·1e5)/1e5` (Math.round(double)
+    // = floor(x + 0.5)), so the column formula byte-matches the scalar path.
     val scored = probes.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, id, qv, v) =>
-        (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
-      }
-      .toDF("query_id", "vec_id", "cos")
+      .select(col("query_id"), col("vec_id"),
+        (floor(expr("cosine_sim(q_emb, embedding)") * 100000d + 0.5d) / 100000d).as("cos"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= topK)

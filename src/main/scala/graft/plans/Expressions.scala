@@ -59,12 +59,73 @@ object TokenCount {
   }
 }
 
+/**
+ * Native Catalyst expression: cosine similarity over two `array<float>`
+ * columns, the hot scalar of every ANN / embedding-dedup scoring stage.
+ *
+ * The typed-Dataset route (`as[(… Array[Float] …)].map`) deserializes both
+ * vectors into JVM arrays per row — at 10^9 candidate pairs that is the
+ * dominant cost. `cosine_sim(a, b)` stays inside whole-stage codegen:
+ * doGenCode emits a call on the two `ArrayData` values directly
+ * (`getFloat(i)` reads from the unsafe row buffer — no array allocation, no
+ * encoder). Semantics match [[graft.ops.VectorOps.cosine]] exactly: 0.0 on
+ * a zero-norm side; mismatched dimensions raise the same error.
+ */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.plans.CosineSim.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  /** Straight loop over the two ArrayData buffers — no boxing, no arrays. */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"dimension mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 /** `SparkSessionExtensions` hook — registers the native functions so SQL
   * users get them (`spark.sql.extensions=graft.plans.GraftExtensions`), and
   * `GraftExtensions.register(spark)` does the same on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
   }
 }
 
@@ -75,6 +136,12 @@ object GraftExtensions {
       "token_count(str) - count of whitespace-separated tokens", ""),
     (children: Seq[Expression]) => TokenCount(children.head))
 
+  private[plans] val cosineSimDescriptor = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo("graft.plans.CosineSim", null, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
   /** Register on an existing session (local/test convenience). Also registers
     * the SQL extraction surface: `extract_page(html, url)` — ONE
     * struct-returning UDF so SQL users pay one DOM parse per row instead of
@@ -84,6 +151,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (ident, info, builder) = tokenCountDescriptor
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val (cIdent, cInfo, cBuilder) = cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(cIdent, cInfo, cBuilder)
     spark.udf.register("extract_page",
       (html: String, url: String) => graft.pipeline.ScrapePipeline.scrapeHtml(
         if (html == null) "" else html, if (url == null) "" else url))

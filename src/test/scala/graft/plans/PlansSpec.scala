@@ -55,6 +55,44 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0) == 300L)
   }
 
+  test("cosine_sim native expression: matches VectorOps.cosine, codegen, nulls") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.{TextOps, VectorOps}
+    def rnd(seed: Long, i: Int): Float = {
+      val h = TextOps.mix64(seed ^ (i.toLong * 0x9e3779b97f4a7c15L))
+      (((h >>> 11) * 1.1102230246251565e-16) * 2 - 1).toFloat
+    }
+    val vecs = (0 until 50).map(s => Array.tabulate(16)(d => rnd(s, d)))
+    val pairs = (for (a <- vecs; b <- vecs.take(5)) yield (a, b)) :+
+      ((Array.fill(16)(0f), vecs.head)) // zero-norm side → 0.0 like VectorOps
+    val df = pairs.toDF("a", "b")
+    val got = df.selectExpr("cosine_sim(a, b) AS c").collect().map(_.getDouble(0))
+    val want = pairs.map { case (a, b) => VectorOps.cosine(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+
+    // inside whole-stage codegen: a plain local relation plans as
+    // LocalTableScan (no codegen stage) and AQE materializes its final plan
+    // only after execution — repartition to force a real stage, run, then
+    // inspect the adaptive FINAL plan
+    val q = df.repartition(2).selectExpr("cosine_sim(a, b) AS c")
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE nests the codegen stage inside a QueryStageExec whose plan is not
+    // in `children`, so match the `*(n)` whole-stage marker on the
+    // projection instead of collecting the node
+    assert(finalPlan.toString.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"),
+      finalPlan.toString)
+
+    // null propagation
+    val n = Seq((Option.empty[Array[Float]], Option(Array(1f))))
+      .toDF("a", "b").selectExpr("cosine_sim(a, b)").first()
+    assert(n.isNullAt(0))
+  }
+
   test("VectorAvgAggregator: distributed element-wise average with map-side combine") {
     val sp = spark
     import sp.implicits._
