@@ -688,10 +688,13 @@ object SparkEntry {
         .select("vec_id", "embedding")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      // scoring via the native codegen cosine_sim expression (the pair scan
+      // stays whole-stage, no per-row encoder round trip); floor(x·1e5+0.5)
+      // is Math.round byte-for-byte
+      graft.plans.GraftExtensions.register(s)
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .as[(Long, Array[Float], Long, Array[Float])]
-        .map { case (x, vx, y, vy) => (x, y, math.round(VectorOps.cosine(vx, vy) * 100000) / 100000.0) }
-        .toDF("id_a", "id_b", "cos")
+        .select(col("id_a"), col("id_b"),
+          (floor(expr("cosine_sim(emb_a, emb_b)") * 100000d + 0.5d) / 100000d).as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy("id_a", "id_b")
     }),
