@@ -455,7 +455,7 @@ object SparkEntry {
     // n_words via the native codegen TokenCount expression (graft.plans) —
     // one byte-scan per row, no regex/array alloc; equals the DuckDB
     // regexp_split oracle on whitespace-sane text (verified per-row at sf0.01).
-    "doc_tokens" -> ((s, dir) => { graft.plans.GraftExtensions.register(s); docs(s, dir)
+    "doc_tokens" -> ((s, dir) => { graft.plans.GraftExtensions.registerNative(s); docs(s, dir)
       .select(col("doc_id"),
         expr("CAST(token_count(text) AS BIGINT)").as("n_words"),
         length(col("text")).cast("long").as("n_chars"),
@@ -678,7 +678,6 @@ object SparkEntry {
     // verification SF). Threshold 0.35 ~= p99.9 of the synthetic corpus's
     // pair-cosine distribution (max 0.51) so the query surfaces real pairs...
     "dedup_embed_pages" -> ((s, dir) => {
-      import s.implicits._
       // SF gate: this is the O(n²) brute-force ORACLE for the LSH scale path
       // (dedup_embed_lsh). Cap to the first 4000 vec_ids (covers every
       // verification SF: sf0.1 has 2000) so a larger sfDir cannot detonate
@@ -688,13 +687,13 @@ object SparkEntry {
         .select("vec_id", "embedding")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      // scoring via the native codegen cosine_sim expression (the pair scan
-      // stays whole-stage, no per-row encoder round trip); floor(x·1e5+0.5)
-      // is Math.round byte-for-byte
-      graft.plans.GraftExtensions.register(s)
+      // scoring via the native codegen cosine_sim5 expression: the pair
+      // scan stays whole-stage with no per-row encoder round trip, and the
+      // rounding is JDK Math.round inside the helper — byte-identical to
+      // the scalar path by construction
+      graft.plans.GraftExtensions.registerNative(s)
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (floor(expr("cosine_sim(emb_a, emb_b)") * 100000d + 0.5d) / 100000d).as("cos"))
+        .select(col("id_a"), col("id_b"), expr("cosine_sim5(emb_a, emb_b)").as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy("id_a", "id_b")
     }),
@@ -728,13 +727,14 @@ object SparkEntry {
       // (exactly the rows a dedup query must surface).
       val pairs = graft.ops.DedupOps.candidatePairs(
         buckets, Seq("table", "bucket"), "vec_id", maxBucket = Int.MaxValue)
+      // exact verify on candidates only, scored by the native codegen
+      // cosine_sim5 expression (this is the scale path — the per-row
+      // encoder round trip mattered most here)
+      graft.plans.GraftExtensions.registerNative(s)
       pairs
         .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
         .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-        .select("id_a", "id_b", "emb_a", "emb_b")
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (x, y, vx, vy) => (x, y, math.round(VectorOps.cosine(vx, vy) * 100000) / 100000.0) }
-        .toDF("id_a", "id_b", "cos")
+        .select(col("id_a"), col("id_b"), expr("cosine_sim5(emb_a, emb_b)").as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy("id_a", "id_b")
     }),

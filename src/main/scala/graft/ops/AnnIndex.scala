@@ -69,16 +69,17 @@ object AnnIndex {
     * (vec_id, embedding, cell). */
   def scoreProbes(probes: DataFrame, indexed: DataFrame, topK: Int): DataFrame = {
     val spark = probes.sparkSession
-    graft.plans.GraftExtensions.register(spark)
-    // scoring runs as the native codegen `cosine_sim` expression — the
-    // ArrayData buffers are read in place, no per-row encoder round-trip.
-    // `floor(x·1e5 + 0.5)/1e5` IS `math.round(x·1e5)/1e5` (Math.round(double)
-    // = floor(x + 0.5)), so the column formula byte-matches the scalar path.
+    graft.plans.GraftExtensions.registerNative(spark)
+    // scoring runs as the native codegen `cosine_sim5` expression — the
+    // ArrayData buffers are read in place (no per-row encoder round trip)
+    // and the 5-decimal rounding uses JDK Math.round inside the helper, so
+    // the column path is byte-identical to the scalar
+    // `math.round(VectorOps.cosine(..)*1e5)/1e5` by construction.
     val scored = probes.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
-        (floor(expr("cosine_sim(q_emb, embedding)") * 100000d + 0.5d) / 100000d).as("cos"))
+        expr("cosine_sim5(q_emb, embedding)").as("cos"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= topK)

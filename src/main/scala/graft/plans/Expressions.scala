@@ -117,6 +117,40 @@ object CosineSim {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** 5-decimal-rounded cosine with JDK `Math.round` semantics — NOT
+    * `floor(x·1e5 + 0.5)`, which double-rounds across integer boundaries
+    * (Math.round(0.49999999999999994) == 0 since Java 7, floor+0.5 gives
+    * 1). Every scoring surface uses THIS, so the native column path and
+    * the scalar `math.round(VectorOps.cosine(...)·1e5)/1e5` path are
+    * byte-identical by construction. */
+  def cosineRounded5(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    Math.round(cosine(a, b) * 100000) / 100000.0
+}
+
+/** `cosine_sim5(a, b)` — the rounded scoring variant (see
+  * [[CosineSim.cosineRounded5]]). */
+case class CosineSim5(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CosineSim(left, right).checkInputDataTypes()
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosineRounded5(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.plans.CosineSim.cosineRounded5($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim5 = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim5"
 }
 
 /** `SparkSessionExtensions` hook — registers the native functions so SQL
@@ -126,6 +160,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSim5Descriptor)
   }
 }
 
@@ -142,6 +177,22 @@ object GraftExtensions {
       "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
     (children: Seq[Expression]) => CosineSim(children(0), children(1)))
 
+  private[plans] val cosineSim5Descriptor = (
+    FunctionIdentifier("cosine_sim5"),
+    new ExpressionInfo("graft.plans.CosineSim5", null, "cosine_sim5",
+      "cosine_sim5(a, b) - cosine similarity rounded to 5 decimals (Math.round semantics)", ""),
+    (children: Seq[Expression]) => CosineSim5(children(0), children(1)))
+
+  /** Register ONLY the native Catalyst expressions — the right call from
+    * library code that needs an expression (e.g. the ANN scoring tail):
+    * no session-wide UDF names are touched, so a user's own extract_page /
+    * normalize_url registrations are never clobbered as a side effect. */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(tokenCountDescriptor, cosineSimDescriptor, cosineSim5Descriptor).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
   /** Register on an existing session (local/test convenience). Also registers
     * the SQL extraction surface: `extract_page(html, url)` — ONE
     * struct-returning UDF so SQL users pay one DOM parse per row instead of
@@ -149,10 +200,7 @@ object GraftExtensions {
     * text-analysis scalars, so the whole training-data toolkit is reachable
     * from plain `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = tokenCountDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-    val (cIdent, cInfo, cBuilder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(cIdent, cInfo, cBuilder)
+    registerNative(spark)
     spark.udf.register("extract_page",
       (html: String, url: String) => graft.pipeline.ScrapePipeline.scrapeHtml(
         if (html == null) "" else html, if (url == null) "" else url))

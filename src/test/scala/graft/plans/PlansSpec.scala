@@ -91,6 +91,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = Seq((Option.empty[Array[Float]], Option(Array(1f))))
       .toDF("a", "b").selectExpr("cosine_sim(a, b)").first()
     assert(n.isNullAt(0))
+
+    // cosine_sim5 = Math.round semantics, byte-identical to the scalar
+    // scoring path used across the ANN queries (NOT floor(x+0.5), which
+    // double-rounds across integer boundaries)
+    val got5 = df.selectExpr("cosine_sim5(a, b) AS c").collect().map(_.getDouble(0))
+    val want5 = pairs.map { case (a, b) => math.round(VectorOps.cosine(a, b) * 100000) / 100000.0 }
+    got5.zip(want5).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    assert(Math.round(0.49999999999999994) == 0L) // the JDK fix the helper relies on
   }
 
   test("VectorAvgAggregator: distributed element-wise average with map-side combine") {
