@@ -652,20 +652,17 @@ object SparkEntry {
     }),
 
     "embed_knn" -> ((s, dir) => {
-      import s.implicits._
+      // brute-force exact top-k: the 5 query vectors broadcast against the
+      // full corpus scan (the deliberate small-side nested-loop shape), with
+      // the native codegen cosine_sim5 scoring the pair stream in place
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val queriesLocal = emb.filter(col("vec_id") < 5)
-        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      val qB = s.sparkContext.broadcast(queriesLocal)
-      val scored = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val qs = qB.value
-          it.flatMap { case (id, v) =>
-            qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
-              (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0)
-            }
-          }
-        }.toDF("query_id", "vec_id", "cos")
+        .select("vec_id", "embedding")
+      graft.plans.GraftExtensions.registerNative(s)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), expr("cosine_sim5(q_emb, embedding)").as("cos"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 10)
@@ -753,11 +750,10 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
         .withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("embedding", "q_emb")
+      graft.plans.GraftExtensions.registerNative(s)
       val cands = q.join(emb, Seq("bucket")).filter(col("query_id") =!= col("vec_id"))
-      val scored = cands.select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (qid, id, qv, v) => (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0) }
-        .toDF("query_id", "vec_id", "cos")
+      val scored = cands.select(col("query_id"), col("vec_id"),
+        expr("cosine_sim5(q_emb, embedding)").as("cos"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
@@ -784,18 +780,11 @@ object SparkEntry {
         .flatMap { case (id, v, _) =>
           graft.ops.Ann.multiProbeBuckets(v, nBits, 0, 3).map(b => (id, v, b))
         }.toDF("query_id", "q_emb", "bucket")
-      val scored = probes.join(indexed, Seq("bucket"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .dropDuplicates("query_id", "vec_id")
-        .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (qid, id, qv, v) => (qid, id, math.round(VectorOps.cosine(qv, v) * 100000) / 100000.0) }
-        .toDF("query_id", "vec_id", "cos")
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
-        .select("query_id", "rank", "vec_id", "cos")
-        .orderBy("query_id", "rank")
+      // identical probe-scoring shape as IVF — the ONE shared scoring tail
+      // (a multi-probe bucket is just a cell)
+      graft.ops.AnnIndex.scoreProbes(
+        probes.withColumnRenamed("bucket", "cell"),
+        indexed.withColumnRenamed("bucket", "cell"), topK = 5)
     }),
 
     // IVF ANN: deterministic k-means coarse quantizer (k ≈ √n cells trained
