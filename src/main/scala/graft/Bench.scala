@@ -100,7 +100,10 @@ object Bench {
     def runVariant(v: String): Long = v match {
       case "extract_first" => ExtractJob.extractFirst(pages, parts).toDF().count()
       case "bucketed_scan" => ExtractJob.extractOnSplits(bucketedPages).toDF().count()
-      case _               => ExtractJob.extract(pages, parts).toDF().count()
+      case "shuffle_first" => ExtractJob.extract(pages, parts).toDF().count()
+      case other => sys.error(
+        s"unknown SPARK_GRAFT_VARIANT '$other' (expected shuffle_first | extract_first | bucketed_scan)" +
+          " — refusing to silently time a different plan under this label")
     }
 
     // warm-up (JIT) — two discarded full passes; the DOM/Readability stack
@@ -125,12 +128,15 @@ object Bench {
     val docsPerSec = extractedCount / extractSec
 
     // per-variant plan-cost comparison (full mode only): one warm pass, then
-    // MIN of two timed passes — a plan comparison wants the noise floor, and
-    // this shared host spikes individual runs 3-10x under external load
+    // MIN of the timed passes for EVERY variant — a plan comparison wants
+    // the noise floor, and this shared host spikes individual runs 3-10x
+    // under external load. (The headline variant contributes the min of its
+    // headline reps — same metric as the others, unlike extract_sec, which
+    // stays the protocol median.)
     val variantTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) Seq(variant -> extractSec)
       else Seq("shuffle_first", "extract_first", "bucketed_scan").map { v =>
-        if (v == variant) v -> extractSec
+        if (v == variant) v -> times.min
         else {
           runVariant(v) // warm this plan's code path once
           val ts = (1 to 2).map { _ =>

@@ -46,6 +46,12 @@ object SparkEntry {
     if (hit != null && (hit._1 eq spark)) hit._2
     else {
       evictAll(cache)(_.unpersist())
+      // the signature/candidate relations derive from the evicted
+      // extraction — drop them in the same breath, or a session that walks
+      // to a new SF dir without running another dedup query keeps them
+      // resident indefinitely
+      evictAll(sigCache)(_.unpersist())
+      evictAll(candCache)(_.unpersist())
       val n = PagesGen.pagesFor(sfDir)
       val parts = spark.sparkContext.defaultParallelism
       val ds = ExtractJob.extract(PagesGen.generate(spark, n), parts).persist()

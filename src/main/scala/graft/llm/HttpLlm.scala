@@ -80,9 +80,9 @@ object HttpLlm {
       o
     }
 
-    private def postBody(prompt: String, opts: CompletionOptions, forceJsonMode: Boolean): String = {
+    private def postBody(prompt: String, opts: CompletionOptions): String = {
       val body = buildRequest(prompt, opts)
-      if (forceJsonMode) // http.ts:122-128 — response_format appended last
+      if (jsonMode) // http.ts:122-128 — response_format appended last
         body.putObject("response_format").put("type", "json_object")
       val raw = HttpBase.post(config, transport, mapper.writeValueAsString(body))
       val content = responseMapper(mapper.readTree(raw))
@@ -92,12 +92,12 @@ object HttpLlm {
 
     def complete(prompt: String): String = complete(prompt, CompletionOptions())
     def complete(prompt: String, opts: CompletionOptions): String =
-      postBody(prompt, opts, jsonMode)
+      postBody(prompt, opts)
 
     /** LLMProvider seam used by [[Enhancer]]: a JSON-object completion
       * through the structured prompt assembly (validation happens in the
       * Enhancer's mini-schema layer). */
-    def completeJson(prompt: String): String = postBody(prompt, CompletionOptions(), jsonMode)
+    def completeJson(prompt: String): String = postBody(prompt, CompletionOptions())
 
     /** http.ts:136-196 (`completeJSON`): schema-prompt assembly, JSON-mode
       * request, trim-parse with markdown/surrounding-text extraction
@@ -115,7 +115,7 @@ object HttpLlm {
            |Do not include any explanation or markdown formatting. Just the JSON object.""".stripMargin
       val effOpts = opts.copy(systemPrompt = opts.systemPrompt.orElse(
         Some("You are a helpful assistant that responds only with valid JSON.")))
-      val content = postBody(jsonPrompt, effOpts, jsonMode)
+      val content = postBody(jsonPrompt, effOpts)
       val node = extractJson(content).getOrElse(
         throw ScrapeError("Failed to parse LLM response as JSON: No JSON found in response",
           "VALIDATION_ERROR"))

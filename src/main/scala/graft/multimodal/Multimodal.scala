@@ -185,17 +185,18 @@ object Multimodal {
       val kind = (Math.floorMod(h, 3L)) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      // image rows carry REAL encoded bytes across three formats (decoded by
-      // the real ImageIO path); audio/video stay hash-derived opaque blobs
-      // for the stub codecs (no ffmpeg in this container)
+      // image rows carry REAL encoded bytes across all four JDK-decodable
+      // formats (decoded by the real ImageIO path); audio/video stay
+      // hash-derived opaque blobs for the stub codecs (no ffmpeg here)
       val (bytes, mime, w0, h0) =
         if (kind == "image") {
           val w = 16 + Math.floorMod(h, 17L).toInt
           val hh = 16 + Math.floorMod(h >>> 8, 17L).toInt
-          val (fmt, mm) = Math.floorMod(h >>> 24, 3L).toInt match {
+          val (fmt, mm) = Math.floorMod(h >>> 24, 4L).toInt match {
             case 0 => ("png", "image/png")
             case 1 => ("jpg", "image/jpeg")
-            case _ => ("gif", "image/gif")
+            case 2 => ("gif", "image/gif")
+            case _ => ("bmp", "image/bmp")
           }
           (makeImage(h, w, hh, fmt), mm, w, hh)
         } else {

@@ -256,7 +256,18 @@ object ExtractJob {
   ): Dataset[ScrapedRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val mega = megaHostMap(pages.toDF(), numPartitions)
+    // the mega-host map must be keyed on the SAME host strings the salted
+    // exchange reads — the EXTRACTED rows' urls, which extraction has
+    // passed through UrlOps.normalizeUrl (case, www, tracking params). A
+    // raw-keyed map looks equivalent but misses at apply time whenever
+    // normalization changes the host (e.g. WWW.MegaHost.com), silently
+    // no-opping the skew split for exactly the hosts it exists to split.
+    // Applying the same pure normalization in the pre-pass keeps it a
+    // column-pruned scan — extraction still runs exactly once.
+    val normUrl = udf((u: String) =>
+      graft.urlx.UrlOps.normalizeUrl(if (u == null) "" else u))
+    val mega = megaHostMap(
+      pages.toDF().select(normUrl(col("url")).as("url")), numPartitions)
     val extracted = extractOnSplits(pages, counters, manifest, runId)
     applySaltedRepartition(extracted.toDF(), mega, numPartitions)
       .drop("__host").as[ScrapedRow]

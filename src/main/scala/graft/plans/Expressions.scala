@@ -102,20 +102,27 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Straight loop over the two ArrayData buffers — no boxing, no arrays. */
+  /** Straight loop over the two ArrayData buffers — no boxing, no arrays.
+    * Exactly [[graft.ops.VectorOps.cosine]]'s order of checks: norms first
+    * (a zero-norm side → 0.0 WITHOUT a length check — an empty/corrupt
+    * vector scores 0.0 and filters out instead of killing the query), and
+    * the dimension requirement only when both sides are non-zero. */
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = a.numElements()
-    require(n == b.numElements(), s"dimension mismatch: $n vs ${b.numElements()}")
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val la = a.numElements()
+    val lb = b.numElements()
+    var na = 0.0
     var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    while (i < la) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < lb) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+    if (na == 0.0 || nb == 0.0) return 0.0
+    require(la == lb, s"dimension mismatch: $la vs $lb")
+    var dot = 0.0
+    i = 0
+    while (i < la) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** 5-decimal-rounded cosine with JDK `Math.round` semantics — NOT

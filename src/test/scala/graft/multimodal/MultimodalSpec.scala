@@ -77,7 +77,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(images.nonEmpty)
     // the corpus must exercise all three real formats
     val mimes = images.map(_.mime).toSet
-    assert(mimes == Set("image/png", "image/jpeg", "image/gif"), s"formats planted: $mimes")
+    assert(mimes == Set("image/png", "image/jpeg", "image/gif", "image/bmp"), s"formats planted: $mimes")
     images.foreach { m =>
       assert(features(m.media_id).decode_ok, s"image ${m.media_id} (${m.mime}) must really decode")
       // the feature must equal the real pixel feature, not the stub

@@ -113,6 +113,33 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rest.forall(_.getLong(1) == 1L), "non-mega hosts must stay co-located")
   }
 
+  test("extract-first salts a mega-host whose RAW urls need normalization") {
+    // regression: the mega-host map used to key on raw-url hosts while the
+    // exchange reads extraction-normalized hosts, so a 'WWW.MegaHost.com'
+    // skew silently escaped the salt split
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1700000000000L
+    val body = "<html><body><article><p>" +
+      "Enough content to extract from this little page of prose." +
+      "</p></article></body></html>"
+    val rows = (0 until 400).map { i =>
+      val url =
+        if (i < 320) s"https://WWW.MegaHost.com/Post/$i" // 80% skew, needs case+www normalization
+        else s"https://site-$i.example.org/p/$i"
+      graft.pipeline.PageRow(url, new java.sql.Timestamp(base + i), body.getBytes("UTF-8"), "", "en")
+    }
+    val ds = ExtractJob.extractFirst(rows.toDS().repartition(4), 8)
+    val perPartition = ds.toDF()
+      .select(col("domain"), spark_partition_id().as("pid"))
+      .filter(col("domain") === "megahost.com")
+      .groupBy("pid").count().collect()
+    assert(perPartition.map(_.getLong(1)).sum == 320L)
+    assert(perPartition.length > 1,
+      s"normalized mega-host must be salt-split, landed in ${perPartition.length} partition(s)")
+  }
+
   test("exchange-free variant: extractOnSplits plan has no Exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nosplit").toString
     PagesGen.generate(spark, 50).write.mode("overwrite").parquet(dir)
