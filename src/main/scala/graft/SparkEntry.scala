@@ -190,6 +190,7 @@ object SparkEntry {
     // recorded URL/headers/body vs the reference's preset contracts
     "http_presets_fixture" -> ((s, dir) => graft.embed.PresetFixtureQueries.httpPresetsFixture(s)),
     "errors_fixture" -> ((s, dir) => FixtureQueries.errorsFixture(s)),
+    "input_fixture" -> ((s, dir) => FixtureQueries.inputFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -912,6 +913,7 @@ object SparkEntry {
     "jsonld_fixture" -> ExtractorFixtureQueries.jsonldOracle,
     "http_presets_fixture" -> graft.embed.PresetFixtureQueries.httpPresetsOracle,
     "errors_fixture" -> FixtureQueries.errorsOracle,
+    "input_fixture" -> FixtureQueries.inputOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

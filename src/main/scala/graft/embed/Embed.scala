@@ -253,6 +253,19 @@ object Embed {
       .replaceAll("(?m)^[\\s]*\\d+\\.\\s+", "")
 
   /** input.ts:169-199 — reject < minLength chars or < 3 words of len > 1. */
+  /** input.ts:212-227 — debugging surface: the selected input truncated to
+    * `maxLength` with a `...` marker, or the no-input sentinel. */
+  def previewInput(
+      data: InputData,
+      inputType: String = "textContent",
+      customText: Option[String] = None,
+      maxLength: Int = 200): String =
+    selectInput(data, inputType, customText) match {
+      case None                                  => "[No input available]"
+      case Some(t) if t.length <= maxLength      => t
+      case Some(t)                               => t.substring(0, maxLength) + "..."
+    }
+
   def validateInput(text: Option[String], minLength: Int = 10): InputValidation =
     text match {
       case None | Some("") =>

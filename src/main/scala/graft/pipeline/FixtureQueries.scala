@@ -207,6 +207,117 @@ object FixtureQueries {
       |  ('truncate_sentence_boundary', 'This is the first sentence.', true, CAST(1 AS BIGINT))
       |) AS t(test_case, text, truncated, blocks_accepted) ORDER BY test_case""".stripMargin
 
+  // ---- E1/E2 input-selection fixture (embeddings/input.test.ts) ----
+
+  /** E1/E2 driver gate: the reference's own selectInput / validateInput /
+    * previewInput assertions (`/root/reference/test/embeddings/input.test.ts:16-152`)
+    * as `(test_case, field, value)` rows vs a VALUES oracle. */
+  def inputFixture(s: SparkSession): DataFrame = {
+    import graft.embed.Embed
+    import Embed.InputData
+    val sample = InputData(
+      title = Some("Test Title"), description = Some("Test description"),
+      textContent = Some("This is the main text content of the article."),
+      content = Some("# Heading\n\nThis is **markdown** content."),
+      excerpt = Some("This is an excerpt..."), summary = Some("This is a summary."))
+    val cases = Seq(
+      "default_text", "explicit_text", "title_summary", "summary_fallback",
+      "custom_text", "content_fallback", "excerpt_fallback", "none_available",
+      "whitespace_norm", "prefer_normalized", "ignore_normalized",
+      "validate_none", "validate_short", "validate_few_words", "validate_ok",
+      "preview_truncated", "preview_short", "preview_none")
+    FixtureSupport.fixtureDf(s, cases) { name =>
+      def sel(d: InputData, t: String = "textContent",
+          custom: Option[String] = None, preferNorm: Boolean = true) =
+        Embed.selectInput(d, t, custom, preferNorm).getOrElse("")
+      name match {
+        case "default_text" => Seq("input" -> sel(sample))
+        case "explicit_text" => Seq("input" -> sel(sample, "textContent"))
+        case "title_summary" =>
+          val i = sel(sample, "title+summary")
+          Seq(
+            "has_title" -> i.contains("Test Title").toString,
+            "has_summary" -> i.contains("This is a summary.").toString)
+        case "summary_fallback" =>
+          Seq("has_excerpt" ->
+            sel(sample.copy(summary = None), "title+summary").contains("This is an excerpt...").toString)
+        case "custom_text" =>
+          Seq("input" -> sel(sample, "custom", custom = Some("Custom input text")))
+        case "content_fallback" =>
+          val i = sel(sample.copy(textContent = None), "textContent")
+          Seq(
+            "has_heading" -> i.contains("Heading").toString,
+            "has_md_text" -> i.contains("markdown content").toString,
+            "no_md_syntax" -> (!i.contains("**")).toString)
+        case "excerpt_fallback" =>
+          Seq("input" -> sel(InputData(excerpt = Some("Just an excerpt")), "textContent"))
+        case "none_available" =>
+          Seq("defined" -> Embed.selectInput(InputData(), "textContent").isDefined.toString)
+        case "whitespace_norm" =>
+          Seq("input" -> sel(InputData(textContent = Some("Hello   world.\n\n\n\n\nNew paragraph."))))
+        case "prefer_normalized" =>
+          Seq("input" -> sel(InputData(
+            normalizedText = Some("Normalized content wins."),
+            textContent = Some("Original text content."))))
+        case "ignore_normalized" =>
+          Seq("input" -> sel(InputData(
+            normalizedText = Some("Normalized content wins."),
+            textContent = Some("Original text content.")), "textContent", preferNorm = false))
+        case "validate_none" =>
+          val r = Embed.validateInput(None)
+          Seq("valid" -> r.valid.toString, "reason" -> r.reason.getOrElse(""))
+        case "validate_short" =>
+          val r = Embed.validateInput(Some("short"))
+          Seq("valid" -> r.valid.toString,
+            "reason_short" -> r.reason.exists(_.contains("too short")).toString)
+        case "validate_few_words" =>
+          val r = Embed.validateInput(Some("aaaa b c d e f"))
+          Seq("valid" -> r.valid.toString,
+            "reason_words" -> r.reason.exists(_.contains("too few words")).toString)
+        case "validate_ok" =>
+          val r = Embed.validateInput(Some("This is a perfectly reasonable input text."))
+          Seq("valid" -> r.valid.toString, "words_pos" -> (r.wordCount > 0).toString)
+        case "preview_truncated" =>
+          val p = Embed.previewInput(sample, maxLength = 20)
+          Seq("ends_dots" -> p.endsWith("...").toString, "len_le_23" -> (p.length <= 23).toString)
+        case "preview_short" =>
+          Seq("preview" -> Embed.previewInput(InputData(textContent = Some("Short text")), maxLength = 100))
+        case "preview_none" =>
+          Seq("preview" -> Embed.previewInput(InputData()))
+        case _ => Nil
+      }
+    }
+  }
+
+  val inputOracle: String = FixtureSupport.valuesOracle(Seq(
+    ("content_fallback", "has_heading", "true"),
+    ("content_fallback", "has_md_text", "true"),
+    ("content_fallback", "no_md_syntax", "true"),
+    ("custom_text", "input", "Custom input text"),
+    ("default_text", "input", "This is the main text content of the article."),
+    ("excerpt_fallback", "input", "Just an excerpt"),
+    ("explicit_text", "input", "This is the main text content of the article."),
+    ("ignore_normalized", "input", "Original text content."),
+    ("none_available", "defined", "false"),
+    ("prefer_normalized", "input", "Normalized content wins."),
+    ("preview_none", "preview", "[No input available]"),
+    ("preview_short", "preview", "Short text"),
+    ("preview_truncated", "ends_dots", "true"),
+    ("preview_truncated", "len_le_23", "true"),
+    ("summary_fallback", "has_excerpt", "true"),
+    ("title_summary", "has_summary", "true"),
+    ("title_summary", "has_title", "true"),
+    ("validate_few_words", "reason_words", "true"),
+    ("validate_few_words", "valid", "false"),
+    ("validate_none", "reason", "No input text available"),
+    ("validate_none", "valid", "false"),
+    ("validate_ok", "valid", "true"),
+    ("validate_ok", "words_pos", "true"),
+    ("validate_short", "reason_short", "true"),
+    ("validate_short", "valid", "false"),
+    ("whitespace_norm", "input", "Hello world.\n\nNew paragraph.")
+  ))
+
   // ---- ScrapeError model fixture (core/errors.test.ts) ----
 
   /** Structured-error surface (`/root/reference/test/core/errors.test.ts:6-96`):
