@@ -191,6 +191,7 @@ object SparkEntry {
     "http_presets_fixture" -> ((s, dir) => graft.embed.PresetFixtureQueries.httpPresetsFixture(s)),
     "errors_fixture" -> ((s, dir) => FixtureQueries.errorsFixture(s)),
     "input_fixture" -> ((s, dir) => FixtureQueries.inputFixture(s)),
+    "safety_fixture" -> ((s, dir) => FixtureQueries.safetyFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -914,6 +915,7 @@ object SparkEntry {
     "http_presets_fixture" -> graft.embed.PresetFixtureQueries.httpPresetsOracle,
     "errors_fixture" -> FixtureQueries.errorsOracle,
     "input_fixture" -> FixtureQueries.inputOracle,
+    "safety_fixture" -> FixtureQueries.safetyOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

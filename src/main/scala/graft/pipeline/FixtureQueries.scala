@@ -318,6 +318,124 @@ object FixtureQueries {
     ("whitespace_norm", "input", "Hello world.\n\nNew paragraph.")
   ))
 
+  // ---- E3 PII-safety fixture (embeddings/safety.test.ts) ----
+
+  /** E3 unit semantics (`/root/reference/test/embeddings/safety.test.ts:6-121`):
+    * exact redacted strings, per-type counts, selective config, custom
+    * patterns, containsPii. (The `pii_redact` oracle covers the corpus
+    * path; this pins the reference's own unit cases in the driver gate.) */
+  def safetyFixture(s: SparkSession): DataFrame = {
+    import graft.embed.Embed
+    val cases = Seq(
+      "email", "phones", "cards", "ssn", "ips", "clean",
+      "selective", "custom_pattern", "contains_email", "contains_phone",
+      "contains_clean", "contains_selective")
+    FixtureSupport.fixtureDf(s, cases) { name =>
+      name match {
+        case "email" =>
+          val r = Embed.redactPii("Contact me at john.doe@example.com for more info.")
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "text" -> r.text,
+            "count" -> r.redactionCount.toString,
+            "by_email" -> r.redactionsByType.getOrElse("email", 0).toString)
+        case "phones" =>
+          val r = Embed.redactPii("Call me at (555) 123-4567 or +1-555-987-6543.")
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "has_marker" -> r.text.contains("[REDACTED]").toString,
+            "count" -> r.redactionCount.toString)
+        case "cards" =>
+          val r = Embed.redactPii("Card: 4111-1111-1111-1111 or 5500000000000004")
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "no_4111" -> (!r.text.contains("4111")).toString,
+            "no_5500" -> (!r.text.contains("5500")).toString)
+        case "ssn" =>
+          val r = Embed.redactPii("SSN: 123-45-6789")
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "text" -> r.text,
+            "by_ssn" -> r.redactionsByType.getOrElse("ssn", 0).toString)
+        case "ips" =>
+          val r = Embed.redactPii("Server IP: 192.168.1.1 and 10.0.0.254")
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "no_192" -> (!r.text.contains("192.168")).toString,
+            "no_10" -> (!r.text.contains("10.0.0")).toString,
+            "count" -> r.redactionCount.toString)
+        case "clean" =>
+          val t = "This is a normal sentence without any personal information."
+          val r = Embed.redactPii(t)
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "unchanged" -> (r.text == t).toString,
+            "count" -> r.redactionCount.toString)
+        case "selective" =>
+          val r = Embed.redactPii("Reach user@test.com or 555-123-4567",
+            Embed.PiiConfig(phone = false, creditCard = false))
+          Seq(
+            "has_marker" -> r.text.contains("[REDACTED]").toString,
+            "phone_kept" -> r.text.contains("555-123-4567").toString,
+            "by_email" -> r.redactionsByType.getOrElse("email", 0).toString)
+        case "custom_pattern" =>
+          val r = Embed.redactPii("Keys: API_KEY_ABC123XYZ and API_KEY_DEF456",
+            Embed.PiiConfig(customPatterns = Seq(java.util.regex.Pattern.compile("API_KEY_[A-Z0-9]+"))))
+          Seq(
+            "redacted" -> r.redacted.toString,
+            "no_key1" -> (!r.text.contains("API_KEY_ABC123XYZ")).toString,
+            "no_key2" -> (!r.text.contains("API_KEY_DEF456")).toString,
+            "count" -> r.redactionCount.toString,
+            "by_custom" -> r.redactionsByType.getOrElse("custom_0", 0).toString)
+        case "contains_email" =>
+          Seq("contains" -> Embed.containsPii("Email: user@test.com").toString)
+        case "contains_phone" =>
+          Seq("contains" -> Embed.containsPii("Phone: 555-123-4567").toString)
+        case "contains_clean" =>
+          Seq("contains" -> Embed.containsPii("Hello, this is a test.").toString)
+        case "contains_selective" =>
+          Seq("contains" -> Embed.containsPii("Email: user@test.com",
+            Embed.PiiConfig(email = false)).toString)
+        case _ => Nil
+      }
+    }
+  }
+
+  val safetyOracle: String = FixtureSupport.valuesOracle(Seq(
+    ("cards", "no_4111", "true"),
+    ("cards", "no_5500", "true"),
+    ("cards", "redacted", "true"),
+    ("clean", "count", "0"),
+    ("clean", "redacted", "false"),
+    ("clean", "unchanged", "true"),
+    ("contains_clean", "contains", "false"),
+    ("contains_email", "contains", "true"),
+    ("contains_phone", "contains", "true"),
+    ("contains_selective", "contains", "false"),
+    ("custom_pattern", "by_custom", "2"),
+    ("custom_pattern", "count", "2"),
+    ("custom_pattern", "no_key1", "true"),
+    ("custom_pattern", "no_key2", "true"),
+    ("custom_pattern", "redacted", "true"),
+    ("email", "by_email", "1"),
+    ("email", "count", "1"),
+    ("email", "redacted", "true"),
+    ("email", "text", "Contact me at [REDACTED] for more info."),
+    ("ips", "count", "2"),
+    ("ips", "no_10", "true"),
+    ("ips", "no_192", "true"),
+    ("ips", "redacted", "true"),
+    ("phones", "count", "2"),
+    ("phones", "has_marker", "true"),
+    ("phones", "redacted", "true"),
+    ("selective", "by_email", "1"),
+    ("selective", "has_marker", "true"),
+    ("selective", "phone_kept", "true"),
+    ("ssn", "by_ssn", "1"),
+    ("ssn", "redacted", "true"),
+    ("ssn", "text", "SSN: [REDACTED]")
+  ))
+
   // ---- ScrapeError model fixture (core/errors.test.ts) ----
 
   /** Structured-error surface (`/root/reference/test/core/errors.test.ts:6-96`):
