@@ -192,6 +192,7 @@ object SparkEntry {
     "errors_fixture" -> ((s, dir) => FixtureQueries.errorsFixture(s)),
     "input_fixture" -> ((s, dir) => FixtureQueries.inputFixture(s)),
     "safety_fixture" -> ((s, dir) => FixtureQueries.safetyFixture(s)),
+    "vector_fixture" -> ((s, dir) => FixtureQueries.vectorFixture(s)),
 
     "extract_blocks" -> ((s, dir) => {
       import s.implicits._
@@ -916,6 +917,7 @@ object SparkEntry {
     "errors_fixture" -> FixtureQueries.errorsOracle,
     "input_fixture" -> FixtureQueries.inputOracle,
     "safety_fixture" -> FixtureQueries.safetyOracle,
+    "vector_fixture" -> FixtureQueries.vectorOracle,
 
     "embed_pipeline" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

@@ -436,6 +436,65 @@ object FixtureQueries {
     ("ssn", "text", "SSN: [REDACTED]")
   ))
 
+  // ---- E5/E6 vector-kernel fixture (embeddings/aggregation.test.ts) ----
+
+  /** E5/E6 unit semantics (`/root/reference/test/embeddings/aggregation.test.ts:13-146`):
+    * first/average/max aggregation, unit normalization, exact cosine poles,
+    * euclidean distance — all through the driver gate. */
+  def vectorFixture(s: SparkSession): DataFrame = {
+    import graft.ops.VectorOps
+    def fmt(v: Array[Float]): String = v.map(x => f"$x%.4f").mkString("|")
+    def fd(d: Double): String = f"$d%.4f"
+    val cases = Seq(
+      "agg_first", "agg_average", "agg_max", "normalize", "normalize_zero",
+      "cosine_identical", "cosine_orthogonal", "cosine_opposite",
+      "euclidean_zero", "euclidean_345")
+    FixtureSupport.fixtureDf(s, cases) { name =>
+      name match {
+        case "agg_first" =>
+          Seq("vector" -> fmt(VectorOps.aggregate(Seq(Array(1f, 2f, 3f)), "first")))
+        case "agg_average" =>
+          Seq("vector" -> fmt(VectorOps.aggregate(
+            Seq(Array(1f, 2f, 3f), Array(3f, 4f, 5f)), "average")))
+        case "agg_max" =>
+          Seq("vector" -> fmt(VectorOps.aggregate(
+            Seq(Array(1f, 5f, 3f), Array(4f, 2f, 6f)), "max")))
+        case "normalize" =>
+          val n = VectorOps.normalize(Array(3f, 4f))
+          Seq(
+            "vector" -> fmt(n),
+            "unit_mag" -> fd(math.sqrt(n.map(x => x.toDouble * x).sum)))
+        case "normalize_zero" =>
+          Seq("vector" -> fmt(VectorOps.normalize(Array(0f, 0f, 0f))))
+        case "cosine_identical" =>
+          Seq("cos" -> fd(VectorOps.cosine(Array(1f, 2f, 3f), Array(1f, 2f, 3f))))
+        case "cosine_orthogonal" =>
+          Seq("cos" -> fd(VectorOps.cosine(Array(1f, 0f), Array(0f, 1f))))
+        case "cosine_opposite" =>
+          Seq("cos" -> fd(VectorOps.cosine(Array(1f, 2f), Array(-1f, -2f))))
+        case "euclidean_zero" =>
+          Seq("dist" -> fd(VectorOps.euclidean(Array(1f, 2f, 3f), Array(1f, 2f, 3f))))
+        case "euclidean_345" =>
+          Seq("dist" -> fd(VectorOps.euclidean(Array(0f, 0f), Array(3f, 4f))))
+        case _ => Nil
+      }
+    }
+  }
+
+  val vectorOracle: String = FixtureSupport.valuesOracle(Seq(
+    ("agg_average", "vector", "2.0000|3.0000|4.0000"),
+    ("agg_first", "vector", "1.0000|2.0000|3.0000"),
+    ("agg_max", "vector", "4.0000|5.0000|6.0000"),
+    ("cosine_identical", "cos", "1.0000"),
+    ("cosine_opposite", "cos", "-1.0000"),
+    ("cosine_orthogonal", "cos", "0.0000"),
+    ("euclidean_345", "dist", "5.0000"),
+    ("euclidean_zero", "dist", "0.0000"),
+    ("normalize", "unit_mag", "1.0000"),
+    ("normalize", "vector", "0.6000|0.8000"),
+    ("normalize_zero", "vector", "0.0000|0.0000|0.0000")
+  ))
+
   // ---- ScrapeError model fixture (core/errors.test.ts) ----
 
   /** Structured-error surface (`/root/reference/test/core/errors.test.ts:6-96`):
