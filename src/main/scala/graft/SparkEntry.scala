@@ -95,8 +95,22 @@ object SparkEntry {
     }
   }
 
-  /** Banded-LSH candidate pairs over the shared signatures: 16 bands × 4
-    * slots, mega-bucket suppression, payload-free self-join (DedupOps). */
+  /** MinHash estimate-prefilter floor for the exact-Jaccard verify
+    * (VERDICT r3 #2): exact shingle-set Jaccard runs ONLY on candidate pairs
+    * whose signature-agreement estimate ≥ 0.8 − ε with ε = 0.25. With 64
+    * signature slots, `est ~ Binomial(64, J)/64`, so for a true pair at the
+    * J = 0.8 verify threshold P[est < 0.55] ≈ Φ(−4.9) ≈ 5e-7 — the
+    * prefilter changes no output row in practice (DedupOpsSpec pins the
+    * estimate-vs-exact agreement property), while skipping the O(|shingles|)
+    * exact merge for the great mass of low-similarity band collisions. */
+  private val JaccardPrefilterFloor = 0.55
+
+  /** Banded-LSH candidate pairs over the shared signatures — 16 bands × 4
+    * slots, mega-bucket suppression, payload-free self-join (DedupOps) —
+    * WITH the signature-agreement estimate attached: the 512 B signatures
+    * are joined back by url once, AFTER pair dedup, and the estimate is
+    * computed a single time for all three downstream views (minhash output,
+    * jaccard prefilter, survivor prefilter). */
   private def nearDupCandidates(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val hit = candCache.get(sfDir)
     if (hit != null && (hit._1 eq spark)) hit._2
@@ -107,12 +121,45 @@ object SparkEntry {
         .as[(String, Array[Long])].flatMap { case (url, sig) =>
           TextOps.lshBands(sig, 4).zipWithIndex.map { case (b, i) => (url, i, b) }
         }.toDF("url", "band_idx", "band_key")
-      val pairs = graft.ops.DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url")
+      val pairs0 = graft.ops.DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "url")
         .withColumnRenamed("id_a", "url_a").withColumnRenamed("id_b", "url_b")
+      val sigs = signatures(spark, sfDir).select(col("url"), col("sig64"))
+      val pairs = pairs0
+        .join(sigs.select(col("url").as("url_a"), col("sig64").as("sig_a")), "url_a")
+        .join(sigs.select(col("url").as("url_b"), col("sig64").as("sig_b")), "url_b")
+        .select("url_a", "url_b", "sig_a", "sig_b")
+        .as[(String, String, Array[Long], Array[Long])]
+        .map { case (a, b, sa, sb) =>
+          (a, b, math.round(TextOps.minHashSimilarity(sa, sb) * 100000) / 100000.0)
+        }
+        .toDF("url_a", "url_b", "est_jaccard")
         .persist()
       candCache.put(sfDir, (spark, pairs))
       pairs
     }
+  }
+
+  /** The shared verify stage of the jaccard / survivor queries: candidates
+    * → minhash-estimate prefilter (≥ [[JaccardPrefilterFloor]], computed
+    * once in the shared relation) → exact shingle-set Jaccard on the
+    * survivors of the prefilter only. Shingle sets ship as distinct-sorted
+    * 64-bit hashes (8 B/shingle vs ~40-char strings) — exact Jaccard modulo
+    * 64-bit collisions. The 5-decimal rounding is shared so both views
+    * agree at the threshold boundary. */
+  private def jaccardVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingled = signatures(s, dir).select(col("url"), col("sh3").as("shingles"))
+    nearDupCandidates(s, dir)
+      .filter(col("est_jaccard") >= JaccardPrefilterFloor)
+      .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
+      .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
+      .select("url_a", "url_b", "sh_a", "sh_b")
+      .as[(String, String, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) =>
+        (a, b, math.round(TextOps.jaccardSorted(sa, sb) * 100000) / 100000.0)
+      }
+      .toDF("url_a", "url_b", "jaccard")
+      .filter(col("jaccard") >= 0.8)
   }
 
   /** Input for the E8 queries: the documents table plus three planted rows
@@ -211,22 +258,15 @@ object SparkEntry {
       .orderBy("norm_hash")),
 
     "dedup_minhash_pages" -> ((s, dir) => {
-      import s.implicits._
       // shingle → minhash → LSH band → bucket join → estimated near-dup pairs.
       // Shuffle hygiene at 100 TB: the band self-join relation carries ONLY
       // (band_idx, band_key, url) — the 64-slot signatures (512 B each) are
       // re-attached by url AFTER candidate pairs are deduped, so they never
-      // ride the quadratic part of the shuffle. Signatures AND the banded
-      // candidate pairs come from relations shared with dedup_jaccard (one
-      // pass, one self-join for both queries).
-      val sigs = signatures(s, dir).select(col("url"), col("sig64").as("sig"))
-      val withSigs = nearDupCandidates(s, dir)
-        .join(sigs.select(col("url").as("url_a"), col("sig").as("sig_a")), "url_a")
-        .join(sigs.select(col("url").as("url_b"), col("sig").as("sig_b")), "url_b")
-      withSigs.select("url_a", "url_b", "sig_a", "sig_b")
-        .as[(String, String, Array[Long], Array[Long])].map { case (a, b, sa, sb) =>
-          (a, b, math.round(TextOps.minHashSimilarity(sa, sb) * 100000) / 100000.0)
-        }.toDF("url_a", "url_b", "est_jaccard")
+      // ride the quadratic part of the shuffle. The shared candidate relation
+      // already carries the signature-agreement estimate (computed once for
+      // this query, the jaccard prefilter, and the survivor prefilter), so
+      // this query is a pure filter over it.
+      nearDupCandidates(s, dir)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("url_a", "url_b")
     }),
@@ -239,45 +279,17 @@ object SparkEntry {
     // verify only on candidates, O(log diameter) CC rounds on id-only
     // relations.
     "dedup_survivors_pages" -> ((s, dir) => {
-      import s.implicits._
-      val shingled = signatures(s, dir).select(col("url"), col("sh3").as("shingles"))
-      val verified = nearDupCandidates(s, dir)
-        .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
-        .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
-        .select("url_a", "url_b", "sh_a", "sh_b")
-        .as[(String, String, Array[Long], Array[Long])]
-        // the SAME 5-decimal rounding as dedup_jaccard_pages, so the two
-        // views of the shared verify stage agree at the threshold boundary
-        .map { case (a, b, sa, sb) =>
-          (a, b, math.round(TextOps.jaccardSorted(sa, sb) * 100000) / 100000.0)
-        }
-        .toDF("url_a", "url_b", "jaccard")
-        .filter(col("jaccard") >= 0.8)
-        .select("url_a", "url_b")
-      graft.ops.DedupOps.clusterRepresentatives(verified, "url_a", "url_b")
+      graft.ops.DedupOps.clusterRepresentatives(
+          jaccardVerified(s, dir).select("url_a", "url_b"), "url_a", "url_b")
         .withColumn("is_survivor", col("id") === col("label"))
         .toDF("url", "cluster_rep", "is_survivor")
         .orderBy("url")
     }),
 
-    "dedup_jaccard_pages" -> ((s, dir) => {
-      import s.implicits._
-      // n-gram Jaccard near-dup: the SHARED LSH candidates → EXACT
-      // shingle-set Jaccard verify (exact Jaccard runs only on candidates).
-      // Shingle sets ship as distinct-sorted 64-bit hashes (8 B/shingle vs
-      // ~40-char strings) — exact Jaccard modulo 64-bit collisions.
-      val shingled = signatures(s, dir).select(col("url"), col("sh3").as("shingles"))
-      val withSets = nearDupCandidates(s, dir)
-        .join(shingled.select(col("url").as("url_a"), col("shingles").as("sh_a")), "url_a")
-        .join(shingled.select(col("url").as("url_b"), col("shingles").as("sh_b")), "url_b")
-      withSets.select("url_a", "url_b", "sh_a", "sh_b")
-        .as[(String, String, Array[Long], Array[Long])]
-        .map { case (a, b, sa, sb) =>
-          (a, b, math.round(TextOps.jaccardSorted(sa, sb) * 100000) / 100000.0)
-        }.toDF("url_a", "url_b", "jaccard")
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("url_a", "url_b")
-    }),
+    "dedup_jaccard_pages" -> ((s, dir) =>
+      // n-gram Jaccard near-dup: shared LSH candidates → minhash-estimate
+      // prefilter → EXACT shingle-set Jaccard verify (see jaccardVerified)
+      jaccardVerified(s, dir).orderBy("url_a", "url_b")),
 
     "dedup_simhash_pages" -> ((s, dir) => {
       import s.implicits._
@@ -606,24 +618,36 @@ object SparkEntry {
     // rule's "resumable from checkpoint with per-partition lineage+metrics").
     "manifest_counters" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_manifest_q").toString
-      val pages = PagesGen.generate(s, 600)
-      val r1 = ExtractJob.runResumable(s, pages, out, 8, "run1")
-      val r2 = ExtractJob.runResumable(s, pages, out, 8, "run2")
-      val data = s.read.parquet(out + "/data")
-      val manifest = s.read.parquet(out + "/manifest")
-      val manifestPages = manifest.agg(sum("n_rows")).first().getLong(0)
-      val manifestParts = manifest.filter(col("run_id") === "run1").count()
-      Seq(
-        ("data_distinct_urls", data.select("url").distinct().count()),
-        ("data_rows", data.count()),
-        ("manifest_pages_sum", manifestPages),
-        ("manifest_run1_partitions_min", math.min(manifestParts, 1L)),
-        ("run1_empty_content", r1.emptyContent),
-        ("run1_pages_parsed", r1.pagesParsed),
-        ("run1_parse_failures", r1.parseFailures),
-        ("run2_pages_parsed", r2.pagesParsed)
-      ).toDF("metric", "value").orderBy("metric")
+      // fixed per-invocation path, deleted before AND after (ADVICE r3):
+      // repeated bench/verify runs must neither accumulate 600-page output
+      // dirs nor resume against a stale checkpoint (which would zero run1)
+      val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_manifest_q").toString
+      def rmTree(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmTree))
+        p.delete(): Unit
+      }
+      rmTree(new java.io.File(out))
+      try {
+        val pages = PagesGen.generate(s, 600)
+        val r1 = ExtractJob.runResumable(s, pages, out, 8, "run1")
+        val r2 = ExtractJob.runResumable(s, pages, out, 8, "run2")
+        val data = s.read.parquet(out + "/data")
+        val manifest = s.read.parquet(out + "/manifest")
+        val manifestPages = manifest.agg(sum("n_rows")).first().getLong(0)
+        val manifestParts = manifest.filter(col("run_id") === "run1").count()
+        // the Seq materializes every metric eagerly, so the files can be
+        // deleted in the finally without the returned DataFrame re-reading them
+        Seq(
+          ("data_distinct_urls", data.select("url").distinct().count()),
+          ("data_rows", data.count()),
+          ("manifest_pages_sum", manifestPages),
+          ("manifest_run1_partitions_min", math.min(manifestParts, 1L)),
+          ("run1_empty_content", r1.emptyContent),
+          ("run1_pages_parsed", r1.pagesParsed),
+          ("run1_parse_failures", r1.parseFailures),
+          ("run2_pages_parsed", r2.pagesParsed)
+        ).toDF("metric", "value").orderBy("metric")
+      } finally rmTree(new java.io.File(out))
     }),
 
     // rows-only: the full 4-type enhancement over the extraction corpus

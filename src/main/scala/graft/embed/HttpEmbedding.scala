@@ -195,7 +195,14 @@ object HttpEmbedding {
       },
       responseMapper = res => {
         if (!res.isArray) throw new IllegalStateException("Unexpected HuggingFace response format")
-        if (res.size() > 0 && res.get(0).isArray && res.get(0).get(0).isNumber)
+        // null-guard the inner element (ADVICE r3): a degenerate [[]] or
+        // [null] response must surface as the clean provider error below,
+        // not an NPE (and not the flat-array branch, whose floatValue()
+        // would silently read a non-number as 0.0)
+        if (res.size() > 0 && res.get(0).isArray && res.get(0).size() == 0)
+          throw new IllegalStateException("Unexpected HuggingFace response format")
+        if (res.size() > 0 && res.get(0).isArray &&
+            res.get(0).get(0).isNumber)
           (0 until res.size()).map { i =>
             val e = res.get(i)
             Array.tabulate(e.size())(j => e.get(j).floatValue())

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
-  /** Train + assign + persist. Returns the trained centroids. */
+  /** Train + assign + persist. Returns the trained centroids. Column names
+    * of `emb` are normalized to (vec_id, embedding) up front, so tuple
+    * datasets with default `_1`/`_2` columns work too (ADVICE r3). */
   def build(
       emb: Dataset[(Long, Array[Float])],
       tableName: String,
@@ -32,16 +34,17 @@ object AnnIndex {
       numBuckets: Int = 16): Array[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val named = emb.toDF("vec_id", "embedding").as[(Long, Array[Float])]
     // bounded training sample = the sampleSize LOWEST ids (TakeOrdered — no
     // full shuffle, no dense-0-based-id assumption; works for sparse or
     // offset vec_ids). For contiguous 0-based ids this is exactly
     // `filter(_._1 < sampleSize)`, keeping centroid byte-identity with the
     // in-memory IVF query path.
-    val sample = emb.orderBy("vec_id").limit(sampleSize)
+    val sample = named.orderBy("vec_id").limit(sampleSize)
       .collect().sortBy(_._1).map(_._2)
     val centroids = Ann.trainCentroids(sample, k)
     val cB = spark.sparkContext.broadcast(centroids)
-    val indexed = emb
+    val indexed = named
       .map { case (id, v) => (id, v, Ann.nearestCentroid(v, cB.value)) }
       .toDF("vec_id", "embedding", "cell")
     graft.pipeline.ExtractJob.writeBucketed(indexed, tableName, "cell", numBuckets)
@@ -63,7 +66,8 @@ object AnnIndex {
 
   /** The ONE scoring tail every IVF path shares (in-memory query, persisted
     * index, spec reference): probe-join on `cell`, self-match filter,
-    * candidate dedupe, 5-decimal cosine, dense rank, top-`topK`. Byte-
+    * candidate dedupe, 5-decimal cosine, row_number ranking with `vec_id`
+    * as the deterministic tiebreak, top-`topK`. Byte-
     * identity between the paths is the product contract — keep exactly one
     * definition. `probes` = (query_id, q_emb, cell); `indexed` =
     * (vec_id, embedding, cell). */

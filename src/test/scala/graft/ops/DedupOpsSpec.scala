@@ -87,6 +87,46 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("minhash estimate agrees with exact jaccard: the 0.55 prefilter floor drops no J>=0.8 pair") {
+    // The dedup_jaccard prefilter (SparkEntry.JaccardPrefilterFloor) verifies
+    // exactly only pairs whose 64-slot signature-agreement estimate >= 0.55.
+    // Property over a deterministic similarity sweep: every pair whose exact
+    // shingle-set Jaccard >= 0.8 estimates >= 0.55 (no dropped verified
+    // pair), and the estimate tracks exact Jaccard closely on average.
+    val rnd = new scala.util.Random(42)
+    val lexicon = Array("spark", "shuffle", "partition", "extract", "corpus",
+      "anchor", "table", "vector", "token", "density", "salt", "manifest",
+      "stream", "quality", "window", "schema", "batch", "cosine", "chunk", "label")
+    def doc(words: Int): Array[String] = Array.fill(words)(lexicon(rnd.nextInt(lexicon.length)))
+    var maxErr = 0.0
+    var sumErr = 0.0
+    var n = 0
+    var verifiedSeen = 0
+    (0 until 60).foreach { _ =>
+      val base = doc(120 + rnd.nextInt(120))
+      // mutate a sliding fraction of words: similarity sweeps ~1.0 → ~0.2
+      val mutFrac = rnd.nextDouble() * 0.5
+      val mutated = base.clone()
+      (0 until (base.length * mutFrac).toInt).foreach { _ =>
+        mutated(rnd.nextInt(base.length)) = lexicon(rnd.nextInt(lexicon.length))
+      }
+      val ta = base.mkString(" ")
+      val tb = mutated.mkString(" ")
+      val sa = TextOps.shingles(ta, 3); val sb = TextOps.shingles(tb, 3)
+      val exact = TextOps.jaccardSorted(TextOps.shingleHashes(sa), TextOps.shingleHashes(sb))
+      val est = TextOps.minHashSimilarity(TextOps.minHash(sa, 64), TextOps.minHash(sb, 64))
+      if (exact >= 0.8) {
+        verifiedSeen += 1
+        assert(est >= 0.55,
+          f"prefilter would drop a verified pair: exact=$exact%.3f est=$est%.3f")
+      }
+      val err = math.abs(est - exact)
+      maxErr = math.max(maxErr, err); sumErr += err; n += 1
+    }
+    assert(verifiedSeen >= 5, s"sweep must exercise the verify region (saw $verifiedSeen)")
+    assert(sumErr / n < 0.1, f"estimate should track exact jaccard (mean |err| = ${sumErr / n}%.3f)")
+  }
+
   test("clusterRepresentatives: maxIter bounds the work (partial labels remain sound)") {
     val s = spark
     import s.implicits._
