@@ -186,6 +186,11 @@ object SparkEntry {
   private def embedPipelineDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
+      // 5009 chars → 3 chunks of the 500-token/50-overlap chunker. The text
+      // is deliberately BREAK-POINT-FREE past its 9-char head (no sentence
+      // punctuation, no spaces), so chunk boundaries are pure arithmetic
+      // (stride 1800 chars) and the multi-chunk oracle formula is exact.
+      (-4L, "ab cd ef " + "x" * 5000), // -> success, n_chunks = 3
       (-3L, ""),                 // -> "No input text available"
       (-2L, "tiny"),             // -> too short
       (-1L, "aaaa b c d e f")    // -> too few words of len > 1
@@ -241,6 +246,7 @@ object SparkEntry {
     "feed_fixture_items" -> ((s, dir) => FeedFixtureQueries.feedFixtureItems(s)),
     "markdown_fixture" -> ((s, dir) => FeedFixtureQueries.markdownFixture(s)),
     "github_fixture" -> ((s, dir) => FeedFixtureQueries.githubFixture(s)),
+    "paginate_fixture" -> ((s, dir) => FeedFixtureQueries.paginateFixture(s)),
     // multimodal: planted-parameter ground truth through the REAL ImageIO
     // decode path (dims/format are generator inputs, not frozen outputs)
     "media_fixture" -> ((s, dir) => graft.multimodal.MediaFixtureQueries.mediaFixture(s)),
@@ -1045,26 +1051,38 @@ object SparkEntry {
 
   // Shared CTE prefix for the E8 embed_pipeline oracles: planted skip rows,
   // the validation gate (input.ts:169-199 messages), the 5-regex redaction
-  // chain, and the pii flag (counts on the ORIGINAL text, reference quirk).
+  // chain, the pii flag (counts on the ORIGINAL text, reference quirk), and
+  // the chunking arithmetic (`c`): a doc of L redacted chars is 1 chunk when
+  // ceil(L/4) <= 500 tokens (L <= 2000), else chunks of 2000 chars at
+  // stride 1800 (size − overlap, in chars) → n_chunks = 1 + ceil((L−2000)
+  // / 1800), 500 tokens per full chunk plus ceil(tail/4) for the last.
   //
-  // SF-validity bound (ADVICE r2): the downstream oracles encode n_chunks=1
-  // and tokens=ceil(len/4) on the RAW redacted text, which matches chunkText
-  // only while every document stays under one chunk (~2000 chars) and is
-  // whitespace-collapsed-equal to its raw form. The driver's documents table
-  // satisfies both at every verification SF (max text length ~400, single
-  // spaces); a future corpus with longer/whitespace-irregular docs must
-  // extend the SQL to the multi-chunk formula rather than silently diverge.
+  // SF-validity bound (ADVICE r2, extended r4 per VERDICT #9): the formula
+  // matches chunkText exactly for docs that are whitespace-collapsed-equal
+  // to their raw form AND — when multi-chunk — free of sentence-boundary /
+  // word-boundary break points in the ±20% search window (no '.!?' and no
+  // spaces past the head). The driver's documents satisfy the first bound
+  // at every SF (max ~400 chars, single chunk); the planted -4 doc is
+  // constructed break-point-free, so corpus growth past 2000 chars now
+  // FAILS LOUDLY against this formula instead of silently diverging.
   private def embedPipelineCte: String = {
     val wc = """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 1))"""
     val red = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '$ccRe', '[REDACTED]', 'g'), '$emailRe', '[REDACTED]', 'g'), '$phoneRe', '[REDACTED]', 'g'), '$ssnRe', '[REDACTED]', 'g'), '$ipRe', '[REDACTED]', 'g')"
     val piiCount = s"length(regexp_extract_all(text, '$ccRe')) + length(regexp_extract_all(text, '$emailRe')) + length(regexp_extract_all(text, '$phoneRe')) + length(regexp_extract_all(text, '$ssnRe')) + length(regexp_extract_all(text, '$ipRe'))"
     "WITH all_docs AS (SELECT doc_id, text FROM documents " +
+    "UNION ALL SELECT -4, 'ab cd ef ' || repeat('x', 5000) " +
     "UNION ALL SELECT -3, '' UNION ALL SELECT -2, 'tiny' UNION ALL SELECT -1, 'aaaa b c d e f'), " +
     "v AS (SELECT doc_id, text, CASE WHEN length(text) = 0 THEN 'No input text available' " +
     s"WHEN length(text) < 10 THEN 'Input too short (' || length(text) || ' < 10 characters)' " +
     s"WHEN $wc < 3 THEN 'Input has too few words (' || $wc || ' < 3)' " +
     "ELSE '' END AS reason FROM all_docs), " +
-    s"r AS (SELECT doc_id, reason, $red AS rtext, ($piiCount) > 0 AS pii FROM v) "
+    s"r AS (SELECT doc_id, reason, $red AS rtext, ($piiCount) > 0 AS pii FROM v), " +
+    "c0 AS (SELECT doc_id, reason, rtext, pii, length(rtext) AS len, " +
+    "CASE WHEN length(rtext) <= 2000 THEN 1 " +
+    "ELSE 1 + CAST(ceil((length(rtext) - 2000) / 1800.0) AS INT) END AS n_chunks FROM r), " +
+    "c AS (SELECT *, " +
+    "CAST(500 * (n_chunks - 1) + ceil((len - 1800 * (n_chunks - 1)) / 4.0) AS BIGINT) AS tokens " +
+    "FROM c0) "
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1076,6 +1094,7 @@ object SparkEntry {
     "feed_fixture_items" -> FeedFixtureQueries.feedOracle,
     "markdown_fixture" -> FeedFixtureQueries.markdownOracle,
     "github_fixture" -> FeedFixtureQueries.githubOracle,
+    "paginate_fixture" -> FeedFixtureQueries.paginateOracle,
     "media_fixture" -> graft.multimodal.MediaFixtureQueries.mediaOracle,
     "chunk_fixture" -> FixtureQueries.chunkOracle,
     "feed_utils_fixture" -> FeedFixtureQueries.feedUtilsOracle,
@@ -1099,10 +1118,10 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN reason = '' THEN 'success' ELSE 'skipped' END AS status, reason, " +
       s"CASE WHEN reason = '' THEN sha256(concat('$fp', chr(0), rtext)) ELSE '' END AS cache_key, " +
       "CASE WHEN reason = '' THEN substr(sha256(rtext), 1, 16) ELSE '' END AS checksum, " +
-      "CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS n_chunks, " +
-      "CAST(CASE WHEN reason = '' THEN ceil(length(rtext) / 4.0) ELSE 0 END AS BIGINT) AS tokens, " +
+      "CAST(CASE WHEN reason = '' THEN n_chunks ELSE 0 END AS BIGINT) AS n_chunks, " +
+      "CAST(CASE WHEN reason = '' THEN tokens ELSE 0 END AS BIGINT) AS tokens, " +
       "CASE WHEN reason = '' THEN pii ELSE false END AS pii_redacted, " +
-      "false AS cached FROM r ORDER BY doc_id"
+      "false AS cached FROM c ORDER BY doc_id"
     },
 
     "embed_pipeline_counters" ->
@@ -1111,14 +1130,24 @@ object SparkEntry {
        "CAST(sum(CASE WHEN reason = '' THEN 1 ELSE 0 END) AS BIGINT) AS cache_misses, " +
        "CAST(sum(CASE WHEN reason <> '' THEN 1 ELSE 0 END) AS BIGINT) AS skipped FROM r"),
 
-    // stub provider in SQL: vector dim d = byte d of sha256(redacted input),
-    // scaled /255 — truncated through REAL to mirror the Float pipeline value
+    // stub provider in SQL: chunk vector dim d = byte d of sha256(chunk
+    // text), scaled /255, truncated through REAL to mirror the Float
+    // pipeline value; the document vector is the chunk average (double
+    // accumulate → REAL, mirroring VectorOps.aggregate). Chunk substrings
+    // come from the same stride-1800 arithmetic as `c` (exact for the
+    // break-point-free multi-chunk planted doc; single-chunk docs reduce to
+    // the whole rtext). The ci < 16 series bound caps supported docs at 16
+    // chunks (≈29k chars) — raise it if the corpus ever grows past that.
     "embed_pipeline_vec" ->
       (embedPipelineCte +
+       ", ch AS (SELECT doc_id, ci, substr(rtext, 1800 * ci + 1, " +
+       "CASE WHEN ci < n_chunks - 1 THEN 2000 ELSE len - 1800 * ci END) AS chunk " +
+       "FROM c CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS ci) t " +
+       "WHERE reason = '' AND ci < n_chunks) " +
        "SELECT doc_id, CAST(d AS BIGINT) AS dim, " +
-       "round(CAST(CAST(('0x' || substr(sha256(rtext), 2 * d + 1, 2))::INT / 255.0 AS REAL) AS DOUBLE), 5) AS v " +
-       "FROM r CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) t " +
-       "WHERE reason = '' ORDER BY doc_id, dim"),
+       "round(CAST(CAST(avg(CAST(CAST(('0x' || substr(sha256(chunk), 2 * d + 1, 2))::INT / 255.0 AS REAL) AS DOUBLE)) AS REAL) AS DOUBLE), 5) AS v " +
+       "FROM ch CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) t2 " +
+       "GROUP BY doc_id, d ORDER BY doc_id, dim"),
 
     "embed_pipeline_cachehit" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
@@ -1126,9 +1155,9 @@ object SparkEntry {
       embedPipelineCte +
       "SELECT doc_id, CASE WHEN reason = '' THEN 'success' ELSE 'skipped' END AS status, " +
       s"CASE WHEN reason = '' THEN sha256(concat('$fp', chr(0), rtext)) ELSE '' END AS cache_key, " +
-      "CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS BIGINT) AS n_chunks, " +
-      "CAST(CASE WHEN reason = '' THEN ceil(length(rtext) / 4.0) ELSE 0 END AS BIGINT) AS tokens, " +
-      "CASE WHEN reason = '' THEN true ELSE false END AS cached FROM r ORDER BY doc_id"
+      "CAST(CASE WHEN reason = '' THEN n_chunks ELSE 0 END AS BIGINT) AS n_chunks, " +
+      "CAST(CASE WHEN reason = '' THEN tokens ELSE 0 END AS BIGINT) AS tokens, " +
+      "CASE WHEN reason = '' THEN true ELSE false END AS cached FROM c ORDER BY doc_id"
     },
 
     "pii_redact" ->

@@ -510,4 +510,69 @@ object FeedFixtureQueries {
     )
     FixtureSupport.valuesOracle2(rows)
   }
+
+  // ---- S4: paginateFeed (RFC 5005 rel="next" walking) ----
+
+  /** One Atom page of a pre-crawled chain; `next = None` ends the chain. */
+  private def atomChainPage(title: String, entryId: Int, next: Option[String]): String =
+    s"""<?xml version="1.0" encoding="utf-8"?>
+       |<feed xmlns="http://www.w3.org/2005/Atom">
+       |  <title>$title</title>
+       |  <id>urn:feed:$entryId</id>
+       |  ${next.map(n => s"""<link rel="next" href="$n"/>""").getOrElse("")}
+       |  <entry><title>Entry $entryId</title><link href="https://example.com/e/$entryId"/><id>urn:e$entryId</id></entry>
+       |</feed>""".stripMargin
+
+  /** S4 driver gate (VERDICT r3 #8): replay a 3-page RFC-5005 `rel="next"`
+    * chain (feed.ts:171-191 semantics — the same shape the reference's
+    * paginateFeed test walks with a mock fetcher, rss.test.ts:320-350)
+    * through `FeedOps.paginateFeed` against a pre-crawled url→xml lookup.
+    * Cells are fixed by construction: page count, walk order (titles and
+    * per-page entry links), maxPages truncation, and cycle-safety (a 2-page
+    * `rel="next"` cycle terminates at exactly maxPages). */
+  def paginateFixture(s: SparkSession): DataFrame = {
+    val chain = Map(
+      "https://example.com/feed?page=1" ->
+        atomChainPage("Chain Page 1", 1, Some("https://example.com/feed?page=2")),
+      "https://example.com/feed?page=2" ->
+        atomChainPage("Chain Page 2", 2, Some("https://example.com/feed?page=3")),
+      "https://example.com/feed?page=3" -> atomChainPage("Chain Page 3", 3, None))
+    val cycle = Map(
+      "https://example.com/cycle/a" ->
+        atomChainPage("Cycle A", 10, Some("https://example.com/cycle/b")),
+      "https://example.com/cycle/b" ->
+        atomChainPage("Cycle B", 11, Some("https://example.com/cycle/a")))
+    FixtureSupport.fixtureDf(s, Seq("chain_3_pages", "chain_max_pages_2", "cycle_bounded")) {
+      case "chain_3_pages" =>
+        val pages = graft.feed.FeedOps.paginateFeed("https://example.com/feed?page=1", chain.get)
+        Seq(
+          "n_pages" -> pages.length.toString,
+          "titles" -> pages.map(_.title).mkString("|"),
+          "entry_links" -> pages.map(_.items.head.link).mkString("|"),
+          "last_has_next" -> pages.last.next.isDefined.toString)
+      case "chain_max_pages_2" =>
+        val pages = graft.feed.FeedOps.paginateFeed(
+          "https://example.com/feed?page=1", chain.get, maxPages = 2)
+        Seq(
+          "n_pages" -> pages.length.toString,
+          "titles" -> pages.map(_.title).mkString("|"))
+      case "cycle_bounded" =>
+        val pages = graft.feed.FeedOps.paginateFeed(
+          "https://example.com/cycle/a", cycle.get, maxPages = 5)
+        Seq(
+          "n_pages" -> pages.length.toString,
+          "titles" -> pages.map(_.title).mkString("|"))
+    }
+  }
+
+  val paginateOracle: String = FixtureSupport.valuesOracle(Seq(
+    ("chain_3_pages", "entry_links",
+      "https://example.com/e/1|https://example.com/e/2|https://example.com/e/3"),
+    ("chain_3_pages", "last_has_next", "false"),
+    ("chain_3_pages", "n_pages", "3"),
+    ("chain_3_pages", "titles", "Chain Page 1|Chain Page 2|Chain Page 3"),
+    ("chain_max_pages_2", "n_pages", "2"),
+    ("chain_max_pages_2", "titles", "Chain Page 1|Chain Page 2"),
+    ("cycle_bounded", "n_pages", "5"),
+    ("cycle_bounded", "titles", "Cycle A|Cycle B|Cycle A|Cycle B|Cycle A")))
 }

@@ -65,6 +65,40 @@ object FixtureQueries {
       |  </body>
       |</html>""".stripMargin
 
+  /** `sampleHtml` from `/root/reference/test/core/scrape.test.ts:7-32` —
+    * carries a `link[rel="icon"]` (the M3 favicon path) plus the og/meta
+    * set the reference asserts at scrape.test.ts:47-54. */
+  private val scrapeSampleHtml =
+    """<!DOCTYPE html>
+      |<html lang="en">
+      |<head>
+      |  <meta charset="UTF-8">
+      |  <title>Test Page Title</title>
+      |  <meta name="description" content="Test page description">
+      |  <meta property="og:title" content="OG Title">
+      |  <meta property="og:description" content="OG Description">
+      |  <meta property="og:image" content="https://example.com/image.jpg">
+      |  <meta name="author" content="Test Author">
+      |  <meta name="keywords" content="test, page, keywords">
+      |  <link rel="canonical" href="https://example.com/canonical">
+      |  <link rel="icon" href="/favicon.ico">
+      |</head>
+      |<body>
+      |  <article>
+      |    <h1>Main Heading</h1>
+      |    <p>This is the main content of the test page. It contains enough text to be considered meaningful content for extraction purposes.</p>
+      |    <p>Here is another paragraph with more content to ensure we have sufficient text for the content extractor to work with.</p>
+      |    <a href="https://external.com/link">External Link</a>
+      |    <a href="/internal/page">Internal Link</a>
+      |  </article>
+      |</body>
+      |</html>""".stripMargin
+
+  /** `minimalHtml` from scrape.test.ts:185-192 — the reference asserts
+    * `contentType === 'unknown'` on it (the M5 driver cell). */
+  private val minimalHtml =
+    "<html><head><title>Simple</title></head><body><p>Content</p></body></html>"
+
   /** (fixture html, scrape url, custom extractors) per reference test case. */
   private def pageSpecs: Seq[(String, String, Boolean)] = Seq(
     // (html, url, withPriceExtractor)
@@ -73,7 +107,9 @@ object FixtureQueries {
       "https://example.com/blog/deep-dive", false),
     (fixture("quick-start.html"), "https://example.com/page", false),
     (inlineArticleHtml, "https://example.com/article", false),
-    (priceHtml, "https://example.com", true)
+    (priceHtml, "https://example.com", true),
+    (scrapeSampleHtml, "https://example.com/sample", false),
+    (minimalHtml, "https://example.com/minimal", false)
   )
 
   private def scrapeAll(s: SparkSession): org.apache.spark.sql.Dataset[ScrapedRow] = {
@@ -90,19 +126,46 @@ object FixtureQueries {
     import s.implicits._
     scrapeAll(s).flatMap { r =>
       val base = r.url match {
+        // content_type cells (M5): expected values follow the reference's
+        // own detection rules (content.ts:108-165) applied to each page —
+        // messy has <article> + time[datetime]/class="date" → 'article';
+        // deep-dive/quick-start have no dateline and no url/og signal →
+        // 'unknown'; the price page has [class*="price"] → 'product';
+        // minimal is reference-ASSERTED 'unknown' (scrape.test.ts:192).
+        // favicon cells (M3): no rel=icon in messy/deep-dive → the
+        // `protocol//host/favicon.ico` fallback; the sample page replicates
+        // the reference's swapped-argument resolveUrl quirk (favicon.ts:33),
+        // which returns the canonicalized finalUrl for a page-relative href.
         case "https://example.com/blog/messy" => Seq(
-          "title" -> r.title, "description" -> r.description)
+          "title" -> r.title, "description" -> r.description,
+          "content_type" -> r.content_type,
+          "favicon" -> r.favicon.getOrElse(""))
         case "https://example.com/blog/deep-dive" => Seq(
           "title" -> r.title, "description" -> r.description,
           "canonical_url" -> r.canonical_url,
           "author" -> r.author.getOrElse(""),
-          "image" -> r.image.getOrElse(""))
+          "image" -> r.image.getOrElse(""),
+          "content_type" -> r.content_type,
+          "favicon" -> r.favicon.getOrElse(""))
         case "https://example.com/page" => Seq(
-          "title" -> r.title, "description" -> r.description)
+          "title" -> r.title, "description" -> r.description,
+          "content_type" -> r.content_type)
         case "https://example.com/article" => Seq(
           "title" -> r.title, "description" -> r.description)
         case "https://example.com/" => Seq(
-          "custom_price" -> r.custom.getOrElse("price", ""))
+          "custom_price" -> r.custom.getOrElse("price", ""),
+          "content_type" -> r.content_type)
+        case "https://example.com/sample" => Seq(
+          "title" -> r.title, "description" -> r.description,
+          "image" -> r.image.getOrElse(""),
+          "author" -> r.author.getOrElse(""),
+          "canonical_url" -> r.canonical_url,
+          "language" -> r.language.getOrElse(""),
+          "keywords" -> r.keywords.mkString(","),
+          "favicon" -> r.favicon.getOrElse(""))
+        case "https://example.com/minimal" => Seq(
+          "title" -> r.title, "description" -> r.description,
+          "content_type" -> r.content_type)
         case _ => Nil
       }
       base.map { case (f, v) => (r.url, f, v) }
@@ -169,18 +232,35 @@ object FixtureQueries {
   /** VALUES oracles — expected cells transcribed from the reference tests. */
   val metaOracle: String =
     """SELECT * FROM (VALUES
+      |  ('https://example.com/', 'content_type', 'product'),
       |  ('https://example.com/', 'custom_price', '$29.99'),
       |  ('https://example.com/article', 'description', 'Article description'),
       |  ('https://example.com/article', 'title', 'My Article'),
       |  ('https://example.com/blog/deep-dive', 'author', 'Alex Doe'),
       |  ('https://example.com/blog/deep-dive', 'canonical_url', 'https://example.com/blog/deep-dive'),
+      |  ('https://example.com/blog/deep-dive', 'content_type', 'unknown'),
       |  ('https://example.com/blog/deep-dive', 'description', 'A practical guide to scraping modern websites.'),
+      |  ('https://example.com/blog/deep-dive', 'favicon', 'https://example.com/favicon.ico'),
       |  ('https://example.com/blog/deep-dive', 'image', 'https://example.com/assets/cover.png'),
       |  ('https://example.com/blog/deep-dive', 'title', 'Deep Dive: Web Scraping'),
+      |  ('https://example.com/blog/messy', 'content_type', 'article'),
       |  ('https://example.com/blog/messy', 'description', 'The actual summary of the article.'),
+      |  ('https://example.com/blog/messy', 'favicon', 'https://example.com/favicon.ico'),
       |  ('https://example.com/blog/messy', 'title', 'The Real Title'),
+      |  ('https://example.com/minimal', 'content_type', 'unknown'),
+      |  ('https://example.com/minimal', 'description', ''),
+      |  ('https://example.com/minimal', 'title', 'Simple'),
+      |  ('https://example.com/page', 'content_type', 'unknown'),
       |  ('https://example.com/page', 'description', 'Page description'),
-      |  ('https://example.com/page', 'title', 'My Page')
+      |  ('https://example.com/page', 'title', 'My Page'),
+      |  ('https://example.com/sample', 'author', 'Test Author'),
+      |  ('https://example.com/sample', 'canonical_url', 'https://example.com/canonical'),
+      |  ('https://example.com/sample', 'description', 'OG Description'),
+      |  ('https://example.com/sample', 'favicon', 'https://example.com/sample'),
+      |  ('https://example.com/sample', 'image', 'https://example.com/image.jpg'),
+      |  ('https://example.com/sample', 'keywords', 'test,page,keywords'),
+      |  ('https://example.com/sample', 'language', 'en'),
+      |  ('https://example.com/sample', 'title', 'OG Title')
       |) AS t(url, field, value) ORDER BY url, field""".stripMargin
 
   val checksOracle: String = {

@@ -39,7 +39,27 @@ class FixtureQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://example.com/page", "description") -> "Page description",
       ("https://example.com/article", "title") -> "My Article",
       ("https://example.com/article", "description") -> "Article description",
-      ("https://example.com/", "custom_price") -> "$29.99")
+      ("https://example.com/", "custom_price") -> "$29.99",
+      // M3/M5 cells (round 4): content types per the reference's detection
+      // rules; favicons per the fallback / swapped-resolveUrl quirk
+      ("https://example.com/", "content_type") -> "product",
+      ("https://example.com/blog/messy", "content_type") -> "article",
+      ("https://example.com/blog/messy", "favicon") -> "https://example.com/favicon.ico",
+      ("https://example.com/blog/deep-dive", "content_type") -> "unknown",
+      ("https://example.com/blog/deep-dive", "favicon") -> "https://example.com/favicon.ico",
+      ("https://example.com/page", "content_type") -> "unknown",
+      ("https://example.com/minimal", "title") -> "Simple",
+      ("https://example.com/minimal", "description") -> "",
+      ("https://example.com/minimal", "content_type") -> "unknown",
+      // scrape.test.ts:47-54 sampleHtml assertions
+      ("https://example.com/sample", "title") -> "OG Title",
+      ("https://example.com/sample", "description") -> "OG Description",
+      ("https://example.com/sample", "image") -> "https://example.com/image.jpg",
+      ("https://example.com/sample", "author") -> "Test Author",
+      ("https://example.com/sample", "canonical_url") -> "https://example.com/canonical",
+      ("https://example.com/sample", "language") -> "en",
+      ("https://example.com/sample", "keywords") -> "test,page,keywords",
+      ("https://example.com/sample", "favicon") -> "https://example.com/sample")
     assert(got == expected)
   }
 
