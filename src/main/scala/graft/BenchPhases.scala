@@ -8,6 +8,35 @@ import graft.pipeline.{ExtractJob, PageRow, PagesGen}
   * pre-pass, repartition+extract), to separate scaling-relevant compute from
   * fixed overheads. Not part of the driver contract. */
 object BenchPhases {
+
+  /** Pre-decoded pages for the raw thread-pool ceiling (no Spark anywhere). */
+  def rawCeilingDocs(n: Int): Array[(String, String)] =
+    (0 until n).map { i =>
+      val p = PagesGen.makePage(i.toLong)
+      (p.url, ExtractJob.decodeHtml(p.html))
+    }.toArray
+
+  /** Wall seconds for one full extraction pass of `docs` on a bare
+    * FixedThreadPool — the single-box throughput ceiling the Spark plan is
+    * compared against (`spark_vs_ceiling` in the bench JSON): same per-row
+    * function, no scheduler, no shuffle, no encoders. */
+  def rawPoolSec(docs: Array[(String, String)], threads: Int): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = docs.grouped(math.max(1, docs.length / (threads * 4))).map { batch =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var n = 0L
+          batch.foreach { case (u, h) => n += graft.pipeline.ScrapePipeline.scrapeHtml(h, u).word_count }
+          n
+        }
+      })
+    }.toVector
+    futs.foreach(_.get())
+    pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "80000").toInt
@@ -41,26 +70,8 @@ object BenchPhases {
     ExtractJob.extract(pages, parts).toDF().count()
 
     // raw thread-pool ceiling: same per-row function, no Spark at all
-    val rawDocs = (0 until math.min(nDocs, 40000)).map { i =>
-      val p = PagesGen.makePage(i.toLong)
-      (p.url, ExtractJob.decodeHtml(p.html))
-    }.toArray
-    def rawPool(threads: Int): Double = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      val t0 = System.nanoTime()
-      val futs = rawDocs.grouped(math.max(1, rawDocs.length / (threads * 4))).map { batch =>
-        pool.submit(new java.util.concurrent.Callable[Long] {
-          def call(): Long = {
-            var n = 0L
-            batch.foreach { case (u, h) => n += graft.pipeline.ScrapePipeline.scrapeHtml(h, u).word_count }
-            n
-          }
-        })
-      }.toVector
-      futs.foreach(_.get())
-      pool.shutdown()
-      (System.nanoTime() - t0) / 1e9
-    }
+    val rawDocs = rawCeilingDocs(math.min(nDocs, 40000))
+    def rawPool(threads: Int): Double = rawPoolSec(rawDocs, threads)
     rawPool(cpus.toInt) // warm
     (1 to 3).foreach { rep =>
       System.err.println(s"--- rep $rep (cpus=$cpus) ---")

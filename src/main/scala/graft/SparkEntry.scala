@@ -179,6 +179,22 @@ object SparkEntry {
   private def jaccardVerified(s: SparkSession, dir: String): DataFrame =
     verifiedFrom(signatures(s, dir), nearDupCandidates(s, dir))
 
+  /** Force-materialize the shared cached relations for `sfDir` and return
+    * named timings — bench accounting (VERDICT r3 #1): without an explicit
+    * pre-warm, whichever query first touches `extracted()`/`signatures()`/
+    * the candidate relation absorbs the whole shared cost into its own
+    * bench line (the round-3 `dedup_exact_pages` 15 s mystery), masking both
+    * its real cost and regressions in the materialization itself. */
+  def prewarmShared(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime(); f; (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("extracted")(extracted(spark, sfDir).count()),
+      timed("signatures")(signatures(spark, sfDir).count()),
+      timed("candidates")(nearDupCandidates(spark, sfDir).count()))
+  }
+
   /** Input for the E8 queries: the documents table plus three planted rows
     * exercising each skip reason of the never-throws contract. Planted ids
     * are NEGATIVE — the documents table ids are non-negative at every SF, so

@@ -273,6 +273,46 @@ object ExtractJob {
       .drop("__host").as[ScrapedRow]
   }
 
+  /** Byte-ratio plan selection for unbucketed input (BASELINE.md: choosing
+    * shuffle_first vs extract_first "is a one-line byte-ratio check at
+    * ingest", made real per VERDICT r3 #6). Extracts a bounded sample on the
+    * driver and compares the bytes each plan would shuffle: shuffle_first
+    * moves the raw html, extract_first moves the extracted rows. Real-web
+    * markup-heavy corpora (markup:text ≈ 10:1) pick extract_first; dense-
+    * text corpora where the extracted row (content md + text + normalized)
+    * outweighs its html pick shuffle_first. The sample is one
+    * `limit(sampleN)` read — O(one partition) at any corpus size. */
+  def chooseVariant(pages: Dataset[PageRow], sampleN: Int = 256): String = {
+    val sample = pages.toDF().select("url", "html").limit(sampleN).collect()
+    var htmlChars = 0L
+    var extractedChars = 0L
+    sample.foreach { r =>
+      val url = r.getString(0)
+      val html = r.getAs[Array[Byte]](1)
+      htmlChars += (if (html == null) 0 else html.length)
+      val row = ScrapePipeline.scrapeHtml(decodeHtml(html), url)
+      // the fields that dominate a shuffled ScrapedRow's serialized size
+      extractedChars += row.content.length + row.text_content.length +
+        row.normalized_text.length + row.excerpt.length + row.description.length +
+        row.links.iterator.map(l => l.url.length + l.text.length).sum
+    }
+    if (extractedChars < htmlChars) "extract_first" else "shuffle_first"
+  }
+
+  /** Auto-planned extraction for unbucketed input: [[chooseVariant]] on a
+    * sample, then the chosen plan. (Bucketed-at-ingest input should call
+    * [[extractOnSplits]] directly — no exchange beats either choice.) */
+  def extractAuto(
+      pages: Dataset[PageRow],
+      numPartitions: Int,
+      counters: Option[Counters] = None,
+      manifest: Option[org.apache.spark.util.CollectionAccumulator[ManifestRow]] = None,
+      runId: String = "run"
+  ): (String, Dataset[ScrapedRow]) = chooseVariant(pages) match {
+    case v @ "extract_first" => (v, extractFirst(pages, numPartitions, counters, manifest, runId))
+    case v => (v, extract(pages, numPartitions, counters, manifest, runId))
+  }
+
   private def fusedExtract(
       input: Dataset[(String, Array[Byte])],
       counters: Option[Counters],
