@@ -159,7 +159,7 @@ object Bench {
     // bench window as the Spark number — `spark_vs_ceiling` makes a sub-0.8
     // scaling tier on a noisy shared host mechanically distinguishable from
     // a plan defect (ratio holds ⇒ the box moved, not the plan).
-    val rawDocs = BenchPhases.rawCeilingDocs(math.min(nDocs, 40000))
+    val rawDocs = BenchPhases.rawCeilingDocs(math.min(nDocs, 40000), corpusKind == "heavy")
     BenchPhases.rawPoolSec(rawDocs, cpus.toInt) // warm
     val rawSec = (1 to 3).map(_ => BenchPhases.rawPoolSec(rawDocs, cpus.toInt)).sorted.apply(1)
     val rawDocsPerSec = rawDocs.length / rawSec

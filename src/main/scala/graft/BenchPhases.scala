@@ -9,10 +9,12 @@ import graft.pipeline.{ExtractJob, PageRow, PagesGen}
   * fixed overheads. Not part of the driver contract. */
 object BenchPhases {
 
-  /** Pre-decoded pages for the raw thread-pool ceiling (no Spark anywhere). */
-  def rawCeilingDocs(n: Int): Array[(String, String)] =
+  /** Pre-decoded pages for the raw thread-pool ceiling (no Spark anywhere).
+    * `heavy` must match the corpus the Spark side is benched on, or the
+    * `spark_vs_ceiling` ratio compares different per-doc work. */
+  def rawCeilingDocs(n: Int, heavy: Boolean = false): Array[(String, String)] =
     (0 until n).map { i =>
-      val p = PagesGen.makePage(i.toLong)
+      val p = PagesGen.makePage(i.toLong, heavy)
       (p.url, ExtractJob.decodeHtml(p.html))
     }.toArray
 
@@ -22,19 +24,20 @@ object BenchPhases {
     * function, no scheduler, no shuffle, no encoders. */
   def rawPoolSec(docs: Array[(String, String)], threads: Int): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val t0 = System.nanoTime()
-    val futs = docs.grouped(math.max(1, docs.length / (threads * 4))).map { batch =>
-      pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
-          var n = 0L
-          batch.foreach { case (u, h) => n += graft.pipeline.ScrapePipeline.scrapeHtml(h, u).word_count }
-          n
-        }
-      })
-    }.toVector
-    futs.foreach(_.get())
-    pool.shutdown()
-    (System.nanoTime() - t0) / 1e9
+    try {
+      val t0 = System.nanoTime()
+      val futs = docs.grouped(math.max(1, docs.length / (threads * 4))).map { batch =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var n = 0L
+            batch.foreach { case (u, h) => n += graft.pipeline.ScrapePipeline.scrapeHtml(h, u).word_count }
+            n
+          }
+        })
+      }.toVector
+      futs.foreach(_.get())
+      (System.nanoTime() - t0) / 1e9
+    } finally pool.shutdown() // non-daemon threads must not outlive a failed run
   }
 
   def main(args: Array[String]): Unit = {

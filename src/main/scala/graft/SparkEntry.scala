@@ -688,10 +688,13 @@ object SparkEntry {
     // rule's "resumable from checkpoint with per-partition lineage+metrics").
     "manifest_counters" -> ((s, dir) => {
       import s.implicits._
-      // fixed per-invocation path, deleted before AND after (ADVICE r3):
+      // fixed per-PROCESS path, deleted before AND after (ADVICE r3):
       // repeated bench/verify runs must neither accumulate 600-page output
-      // dirs nor resume against a stale checkpoint (which would zero run1)
-      val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_manifest_q").toString
+      // dirs nor resume against a stale checkpoint (which would zero run1);
+      // the pid suffix keeps concurrent driver JVMs from deleting each
+      // other's in-flight checkpoints
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_manifest_q_${ProcessHandle.current().pid()}").toString
       def rmTree(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmTree))
         p.delete(): Unit

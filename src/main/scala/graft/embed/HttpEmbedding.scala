@@ -194,20 +194,22 @@ object HttpEmbedding {
         o
       },
       responseMapper = res => {
-        if (!res.isArray) throw new IllegalStateException("Unexpected HuggingFace response format")
-        // null-guard the inner element (ADVICE r3): a degenerate [[]] or
-        // [null] response must surface as the clean provider error below,
-        // not an NPE (and not the flat-array branch, whose floatValue()
-        // would silently read a non-number as 0.0)
-        if (res.size() > 0 && res.get(0).isArray && res.get(0).size() == 0)
-          throw new IllegalStateException("Unexpected HuggingFace response format")
-        if (res.size() > 0 && res.get(0).isArray &&
-            res.get(0).get(0).isNumber)
+        def bad() = throw new IllegalStateException("Unexpected HuggingFace response format")
+        if (!res.isArray) bad()
+        // Degenerate shapes (ADVICE r3): [[]], [null], [[null]], or mixed
+        // rows must surface as the clean provider error — never an NPE and
+        // never the flat branch, whose floatValue() would silently read a
+        // non-number as 0.0 and store a corrupt all-zero vector.
+        if (res.size() > 0 && res.get(0).isArray) {
           (0 until res.size()).map { i =>
             val e = res.get(i)
+            if (!e.isArray || e.size() == 0 || !e.get(0).isNumber) bad()
             Array.tabulate(e.size())(j => e.get(j).floatValue())
           }
-        else Seq(Array.tabulate(res.size())(j => res.get(j).floatValue()))
+        } else {
+          if ((0 until res.size()).exists(j => !res.get(j).isNumber)) bad()
+          Seq(Array.tabulate(res.size())(j => res.get(j).floatValue()))
+        }
       })
   }
 

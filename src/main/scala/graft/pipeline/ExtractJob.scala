@@ -283,20 +283,33 @@ object ExtractJob {
     * outweighs its html pick shuffle_first. The sample is one
     * `limit(sampleN)` read — O(one partition) at any corpus size. */
   def chooseVariant(pages: Dataset[PageRow], sampleN: Int = 256): String = {
+    // UTF-8 byte length without allocating the encoded array — the shuffle
+    // moves UTF8String bytes, so comparing UTF-16 char counts against html
+    // BYTE counts would misorder the sides by up to 3x on non-Latin text
+    def utf8Len(s: String): Long = {
+      var bytes = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        bytes += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+        i += Character.charCount(cp)
+      }
+      bytes
+    }
     val sample = pages.toDF().select("url", "html").limit(sampleN).collect()
-    var htmlChars = 0L
-    var extractedChars = 0L
+    var htmlBytes = 0L
+    var extractedBytes = 0L
     sample.foreach { r =>
       val url = r.getString(0)
       val html = r.getAs[Array[Byte]](1)
-      htmlChars += (if (html == null) 0 else html.length)
+      htmlBytes += (if (html == null) 0 else html.length)
       val row = ScrapePipeline.scrapeHtml(decodeHtml(html), url)
       // the fields that dominate a shuffled ScrapedRow's serialized size
-      extractedChars += row.content.length + row.text_content.length +
-        row.normalized_text.length + row.excerpt.length + row.description.length +
-        row.links.iterator.map(l => l.url.length + l.text.length).sum
+      extractedBytes += utf8Len(row.content) + utf8Len(row.text_content) +
+        utf8Len(row.normalized_text) + utf8Len(row.excerpt) + utf8Len(row.description) +
+        row.links.iterator.map(l => utf8Len(l.url) + utf8Len(l.text)).sum
     }
-    if (extractedChars < htmlChars) "extract_first" else "shuffle_first"
+    if (extractedBytes < htmlBytes) "extract_first" else "shuffle_first"
   }
 
   /** Auto-planned extraction for unbucketed input: [[chooseVariant]] on a
