@@ -179,6 +179,38 @@ object SparkEntry {
   private def jaccardVerified(s: SparkSession, dir: String): DataFrame =
     verifiedFrom(signatures(s, dir), nearDupCandidates(s, dir))
 
+  /** Embedding-cosine near-dup pairs, LSH scale path (shared by
+    * `dedup_embed_lsh` and `dedup_embed_survivors`): multi-table
+    * random-hyperplane bucketing → payload-free candidate self-join →
+    * exact cosine verify on candidates only (native codegen `cosine_sim5`).
+    * The bucket relation carries only (table, bucket, vec_id); the 256 B
+    * embedding payloads are re-attached by id AFTER pair dedup, so they
+    * never ride the quadratic part of the shuffle. Corpus-adaptive width
+    * pins expected occupancy at ~64 vectors/bucket at ANY corpus size
+    * (nBits = ceil(log2(n/64))). No count-based suppression: hyperplane
+    * buckets are coarse BY DESIGN and occupancy is already pinned — a count
+    * cap would suppress every bucket in a degenerate all-dup corpus
+    * (exactly the rows a dedup query must surface). */
+  private def embedLshVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nBits = graft.ops.Ann.adaptiveNBits(emb.count(), targetBucket = 64)
+    val buckets = emb.as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until 8).map(t => (id, t, VectorOps.cosineLshBucket(v, nBits, t)))
+      }
+      .toDF("vec_id", "table", "bucket")
+    val pairs = graft.ops.DedupOps.candidatePairs(
+      buckets, Seq("table", "bucket"), "vec_id", maxBucket = Int.MaxValue)
+    graft.plans.GraftExtensions.registerNative(s)
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"), expr("cosine_sim5(emb_a, emb_b)").as("cos"))
+      .filter(col("cos") >= 0.35)
+  }
+
   /** Force-materialize the shared cached relations for `sfDir` and return
     * named timings — bench accounting (VERDICT r3 #1): without an explicit
     * pre-warm, whichever query first touches `extracted()`/`signatures()`/
@@ -356,24 +388,25 @@ object SparkEntry {
 
     "dedup_simhash_pages" -> ((s, dir) => {
       import s.implicits._
+      // SimHash near-dup through the SAME candidate-pair operator as the
+      // minhash/embedding families (DedupOps.candidatePairs: payload-free
+      // self-join + mega-bucket suppression in one definition) — the band
+      // key here is one of the 4 16-bit simhash chunks (pigeonhole: pairs
+      // within hamming distance ≤ 3 share at least one chunk), and the
+      // 8-byte hashes are re-attached by url AFTER pair dedup.
       val hashed = extracted(s, dir).map(r => (r.url, TextOps.simHash(r.normalized_text)))
         .toDF("url", "simhash")
-      // band on 4×16-bit chunks → candidates within hamming distance ≤ 3 likely share a chunk
-      val chunks0 = hashed.select(col("url"), col("simhash"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("i"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
-      // mega-bucket suppression: chunks shared by >64 docs are template
-      // boilerplate signatures — joining them is quadratic noise at scale
-      val chunkSizes = chunks0.groupBy(col("ch.i").as("ci"), col("ch.c").as("cc")).count()
-      val chunks = chunks0.join(
-        chunkSizes.filter(col("count") <= 64),
-        col("ch.i") === col("ci") && col("ch.c") === col("cc"))
-        .select("url", "simhash", "ch")
-      val cands = chunks.as("a").join(chunks.as("b"),
-          col("a.ch.i") === col("b.ch.i") && col("a.ch.c") === col("b.ch.c") && col("a.url") < col("b.url"))
-        .select(col("a.url").as("url_a"), col("b.url").as("url_b"),
-          col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-        .dropDuplicates("url_a", "url_b")
-      cands.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      val bands = hashed.select(col("url"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
+        .select(col("url"), col("ch.i").as("chunk_idx"), col("ch.c").as("chunk_key"))
+      val pairs = graft.ops.DedupOps.candidatePairs(
+        bands, Seq("chunk_idx", "chunk_key"), "url", maxBucket = 64)
+        .withColumnRenamed("id_a", "url_a").withColumnRenamed("id_b", "url_b")
+      pairs
+        .join(hashed.select(col("url").as("url_a"), col("simhash").as("h_a")), "url_a")
+        .join(hashed.select(col("url").as("url_b"), col("simhash").as("h_b")), "url_b")
+        .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
         .filter(col("hamming") <= 3)
         .select("url_a", "url_b", "hamming")
         .orderBy("url_a", "url_b")
@@ -807,39 +840,20 @@ object SparkEntry {
     // hyperplane-agreement probability p), exact cosine verify on candidates
     // only, dropDuplicates across tables. Rows-only check, like embed_knn_lsh
     // (bucketing is approximate by design).
-    "dedup_embed_lsh" -> ((s, dir) => {
-      import s.implicits._
-      // bucket relation carries only (table, bucket, vec_id); the 256 B
-      // embedding payloads are re-attached by id AFTER pair dedup, so they
-      // never ride the quadratic part of the self-join shuffle.
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding")
-      // corpus-adaptive width: expected occupancy pinned at ~64 vectors per
-      // bucket at ANY corpus size (nBits = ceil(log2(n/64))) — the count is
-      // one column-pruned metadata-cheap job, the candidate self-join stays
-      // O(n·64) instead of O(n²/2^const)
-      val nBits = graft.ops.Ann.adaptiveNBits(emb.count(), targetBucket = 64)
-      val buckets = emb.as[(Long, Array[Float])]
-        .flatMap { case (id, v) =>
-          (0 until 8).map(t => (id, t, VectorOps.cosineLshBucket(v, nBits, t)))
-        }
-        .toDF("vec_id", "table", "bucket")
-      // no count-based suppression here: hyperplane buckets are coarse BY
-      // DESIGN and occupancy is already pinned by the adaptive nBits; a
-      // count cap would suppress every bucket in a degenerate all-dup corpus
-      // (exactly the rows a dedup query must surface).
-      val pairs = graft.ops.DedupOps.candidatePairs(
-        buckets, Seq("table", "bucket"), "vec_id", maxBucket = Int.MaxValue)
-      // exact verify on candidates only, scored by the native codegen
-      // cosine_sim5 expression (this is the scale path — the per-row
-      // encoder round trip mattered most here)
-      graft.plans.GraftExtensions.registerNative(s)
-      pairs
-        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-        .select(col("id_a"), col("id_b"), expr("cosine_sim5(emb_a, emb_b)").as("cos"))
-        .filter(col("cos") >= 0.35)
-        .orderBy("id_a", "id_b")
+    "dedup_embed_lsh" -> ((s, dir) => embedLshVerified(s, dir).orderBy("id_a", "id_b")),
+
+    // ...and the embedding family's survivor composition, mirroring
+    // dedup_survivors_pages: LSH-verified cosine pairs → connected
+    // components → one survivor (minimum vec_id) per duplicate cluster.
+    // Rows-only like its pair source (LSH candidate generation is
+    // approximate by design); the CC operator itself is oracle-gated by
+    // doc_dedup_cluster and dedup_survivors_fixture.
+    "dedup_embed_survivors" -> ((s, dir) => {
+      graft.ops.DedupOps.clusterRepresentatives(
+          embedLshVerified(s, dir).select("id_a", "id_b"))
+        .withColumn("is_survivor", col("id") === col("label"))
+        .toDF("vec_id", "cluster_rep", "is_survivor")
+        .orderBy("vec_id")
     }),
 
     "embed_knn_lsh" -> ((s, dir) => {
@@ -990,10 +1004,14 @@ object SparkEntry {
       def recallOf(approx: DataFrame): Double =
         approx.join(exactTop, Seq("query_id", "vec_id")).count().toDouble / (nQueries.toDouble * topK)
 
-      // single-probe LSH (embed_knn_lsh shape)
+      // single-probe LSH (embed_knn_lsh shape); the bucketed relation is
+      // persisted — single-probe and multi-probe score against the same
+      // index, and without the persist each scoreProbes action re-hashes
+      // the whole corpus
       val nBits = graft.ops.Ann.adaptiveNBits(n, targetBucket = 128)
       val indexed = emb.map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, nBits)) }
         .toDF("vec_id", "embedding", "cell")
+        .persist()
       val lshProbes = indexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
       val lshTop = graft.ops.AnnIndex.scoreProbes(lshProbes, indexed, topK)
@@ -1028,6 +1046,7 @@ object SparkEntry {
         "ivf" -> recallOf(ivfTop))
       System.err.println(s"[ann_recall] n=$n nBits=$nBits k=$k recalls=$recalls")
       exactTop.unpersist()
+      indexed.unpersist()
       floors.map { case (v, f) => (v, f, recalls(v) >= f) }
         .toDF("variant", "recall_floor", "meets_floor")
         .orderBy("variant")
