@@ -116,7 +116,14 @@ object Embed {
       val targetEnd = math.min(startIndex + chunkSizeChars, normalized.length)
       val endIndex =
         if (targetEnd < normalized.length) findBreakPoint(normalized, targetEnd) else targetEnd
-      val chunk = Js.trim(normalized.substring(startIndex, endIndex))
+      // JS slice semantics (chunking.ts:146): when findBreakPoint lands
+      // BEHIND startIndex (a stale sentence boundary in the ±20% window on
+      // long punctuation-free stretches), slice(start, end<start) is "" and
+      // the loop creeps forward — substring would throw and the whole
+      // document would be silently skipped by the never-throws pipeline
+      val chunk =
+        if (endIndex <= startIndex) ""
+        else Js.trim(normalized.substring(startIndex, endIndex))
       if (chunk.nonEmpty)
         chunks += TextChunk(chunk, startIndex, endIndex, heuristicTokenCount(chunk))
 

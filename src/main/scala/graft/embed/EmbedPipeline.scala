@@ -29,7 +29,10 @@ class HashStubProvider(val dims: Int = 8) extends EmbeddingProvider {
 
 final case class EmbedConfig(
     inputType: String = "textContent",
-    preferNormalized: Boolean = false,
+    // reference default is TRUE (input.ts:14 via pipeline.ts:61 passing
+    // undefined) — must match selectInput's own default or the scalar
+    // replay path diverges on documents that carry normalizedText
+    preferNormalized: Boolean = true,
     minTextLength: Int = 10,
     piiRedaction: Boolean = true,
     chunkSize: Int = Embed.DefaultChunkSize,
@@ -122,9 +125,14 @@ object EmbedPipeline {
       if (chunks.isEmpty)
         return EmbedRow(p.doc_id, "skipped", "No content after chunking",
           p.cache_key, p.checksum, 0, 0, p.pii_redacted, cached = false, Array.empty)
+      // breaker OUTSIDE retry (resilience.ts:570-590 withResilience: open
+      // check first, then the full retry sequence, then ONE recordSuccess/
+      // recordFailure) — retry inside the breaker would count every
+      // transient attempt as a breaker failure and open ~maxAttempts×
+      // too early
       val vectors = chunks.grouped(cfg.batchSize).flatMap { b =>
-        graft.util.Resilience.withRetry(cfg.retry)(
-          breaker.execute(provider.embed(b.map(_.text))))._1
+        breaker.execute(
+          graft.util.Resilience.withRetry(cfg.retry)(provider.embed(b.map(_.text)))._1)
       }.toSeq
       val agg = VectorOps.aggregate(vectors, cfg.aggregation)
       val tokens = chunks.iterator.map(_.tokens).sum
@@ -252,54 +260,54 @@ object EmbedPipeline {
         prepare(id, Embed.InputData(textContent = Option(text)), cfg)
       })
 
-    val skipped = prepped.filter(!_.valid).map { p =>
-      counters.foreach(_.skipped.add(1))
-      EmbedRow(p.doc_id, "skipped", p.reason, "", "", 0, 0, pii_redacted = false,
-        cached = false, Array.empty)
-    }
-
-    val valid = prepped.filter(_.valid)
-
-    val (hits, misses) = cache match {
+    // ONE pass over the prepared rows: the cache hit (if any) is attached by
+    // a single left join on the sha256 key, then one mapPartitions routes
+    // each row to skip / hit / provider. The former three-branch union
+    // (skipped ∪ hits ∪ computed) re-scanned `docs` and re-ran prepare's
+    // five-regex redaction + sha256 once per branch — a second-and-third
+    // full pass over the corpus at scale. Equi-join on the sha256 key:
+    // uniformly distributed, skew-free; AQE broadcasts the cache side when
+    // small and shuffle-hash-joins otherwise — no hint needed. Invalid rows
+    // ride the join with cache_key = "" and can never match (the cache
+    // stores success rows only, whose keys are non-empty) — and the !valid
+    // route wins regardless.
+    val withHit: Dataset[(EmbedPrep, Option[(Array[Float], Int, Int)])] = cache match {
       case Some(c) =>
-        // Step 4b: cache join — hits never reach the provider. Left join on
-        // the sha256 key, split on match (one shuffle, both halves reuse it).
-        // Equi-join on the sha256 key: uniformly distributed, skew-free; AQE
-        // broadcasts the cache side when it is small and shuffle-hash-joins
-        // otherwise — no hint needed at either scale.
-        val joined = valid.toDF().join(
+        prepped.toDF().join(
           c.select(col("cache_key"),
             col("vector").as("c_vector"), col("n_chunks").as("c_chunks"),
             col("tokens").as("c_tokens")),
           Seq("cache_key"), "left")
-        val hitRows = joined.filter(col("c_vector").isNotNull)
-          .select(col("doc_id"), col("cache_key"), col("checksum"),
-            col("pii_redacted"), col("c_vector"), col("c_chunks"), col("c_tokens"))
-          .as[(Long, String, String, Boolean, Array[Float], Int, Int)]
-          .map { case (id, key, sum, pii, vec, nch, tok) =>
-            counters.foreach(_.cacheHits.add(1))
-            EmbedRow(id, "success", "", key, sum, nch, tok, pii, cached = true, vec)
-          }
-        val missRows = joined.filter(col("c_vector").isNull)
           .select(col("doc_id"), col("valid"), col("reason"), col("inputText"),
-            col("cache_key"), col("checksum"), col("pii_redacted"))
-          .as[EmbedPrep]
-        (hitRows, missRows)
-      case None =>
-        (spark.emptyDataset[EmbedRow], valid)
+            col("cache_key"), col("checksum"), col("pii_redacted"),
+            col("c_vector"), col("c_chunks"), col("c_tokens"))
+          .as[(Long, Boolean, String, String, String, String, Boolean,
+               Option[Array[Float]], Option[Int], Option[Int])]
+          .map { case (id, valid, reason, inputText, key, sum, pii, v, nch, tok) =>
+            (EmbedPrep(id, valid, reason, inputText, key, sum, pii),
+             v.flatMap(vec => nch.flatMap(n => tok.map(t => (vec, n, t)))))
+          }
+      case None => prepped.map(p => (p, Option.empty[(Array[Float], Int, Int)]))
     }
 
     // Steps 5-10: chunk → batched provider calls → aggregate, per partition.
     // The breaker is partition-local: once a provider melts down, the rest of
     // the partition's rows skip fast instead of hammering it.
-    val computed = misses.mapPartitions { it =>
+    withHit.mapPartitions { it =>
       val breaker = new graft.util.CircuitBreaker(cfg.breakerThreshold, cfg.breakerResetMs)
-      it.map { p =>
-        counters.foreach(_.cacheMisses.add(1))
-        embedOne(p, provider, cfg, breaker)
+      it.map {
+        case (p, _) if !p.valid =>
+          counters.foreach(_.skipped.add(1))
+          EmbedRow(p.doc_id, "skipped", p.reason, "", "", 0, 0, pii_redacted = false,
+            cached = false, Array.empty)
+        case (p, Some((vec, nch, tok))) =>
+          counters.foreach(_.cacheHits.add(1))
+          EmbedRow(p.doc_id, "success", "", p.cache_key, p.checksum, nch, tok,
+            p.pii_redacted, cached = true, vec)
+        case (p, None) =>
+          counters.foreach(_.cacheMisses.add(1))
+          embedOne(p, provider, cfg, breaker)
       }
     }
-
-    computed.union(hits).union(skipped)
   }
 }

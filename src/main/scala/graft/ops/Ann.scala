@@ -55,15 +55,20 @@ object Ann {
     * at Hamming distance 1 obtained by flipping the `probes` least-confident
     * bits (ascending |projection| onto each hyperplane). */
   def multiProbeBuckets(v: Array[Float], nBits: Int, table: Int, probes: Int): Array[Int] = {
-    val base = VectorOps.cosineLshBucket(v, nBits, table)
-    if (probes <= 0) return Array(base)
-    // recompute per-bit projections exactly as cosineLshBucket derives them
+    // ONE projection pass: the base bucket is the sign bits of the same
+    // projections whose magnitudes rank the flips (cosineLshBucket's
+    // `proj >= 0 → bit set` convention) — recomputing them separately would
+    // double the per-query hashing cost (nBits × dim mixes)
     val margins = new Array[(Double, Int)](nBits)
+    var base = 0
     var bit = 0
     while (bit < nBits) {
-      margins(bit) = (math.abs(VectorOps.hyperplaneProjection(v, bit, table)), bit)
+      val proj = VectorOps.hyperplaneProjection(v, bit, table)
+      if (proj >= 0) base |= (1 << bit)
+      margins(bit) = (math.abs(proj), bit)
       bit += 1
     }
+    if (probes <= 0) return Array(base)
     val flipOrder = margins.sortBy { case (m, i) => (m, i) }
     val out = new Array[Int](1 + math.min(probes, nBits))
     out(0) = base

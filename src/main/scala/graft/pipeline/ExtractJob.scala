@@ -379,10 +379,15 @@ object ExtractJob {
    */
   def runResumable(spark: SparkSession, pages: Dataset[PageRow], outDir: String, numPartitions: Int, runId: String): ManifestSummary = {
     import spark.implicits._
-    val fs = new java.io.File(outDir)
+    // checkpoint detection through the SAME filesystem abstraction the
+    // reads/writes use — a java.io.File check is false for scheme-qualified
+    // paths (file:/, hdfs://, s3a://), which would silently skip the resume
+    // join and append duplicate rows
+    val dataPath = new org.apache.hadoop.fs.Path(outDir, "data")
+    val hfs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val todo: Dataset[PageRow] =
-      if (fs.exists() && new java.io.File(outDir + "/data").exists()) {
-        val done = spark.read.parquet(outDir + "/data").select("url")
+      if (hfs.exists(dataPath)) {
+        val done = spark.read.parquet(dataPath.toString).select("url")
         pages.join(done, Seq("url"), "left_anti").as[PageRow]
       } else pages
 

@@ -52,7 +52,9 @@ object StreamingExtract {
     spark.readStream
       .schema(pageSchema)
       .parquet(inputDir)
-      .withColumn("host", regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", ""))
+      // the ONE host definition (ExtractJob.hostCol): the streaming monitors
+      // must count/partition hosts exactly like the batch exchange
+      .withColumn("host", ExtractJob.hostCol)
       .withWatermark("warc_ts", "5 minutes")
       .groupBy(window(col("warc_ts"), "1 minute"), col("host"))
       .agg(count("*").as("pages"), sum(length(col("html"))).as("bytes"))
@@ -74,17 +76,25 @@ object StreamingExtract {
       .schema(pageSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
-      .select(col("url"),
-        regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "").as("host"))
-      .as[(String, String)]
+      .select(col("url"), ExtractJob.hostCol.as("host"), col("warc_ts"))
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (host: String, rows: Iterator[(String, String)], state: GroupState[Long]) =>
+        (host: String, rows: Iterator[(String, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
           var seen = state.getOption.getOrElse(0L)
-          val out = rows.map { case (url, _) =>
+          // order within the micro-batch by (event time, url): the group
+          // iterator arrives in shuffle-fetch order, which is
+          // nondeterministic — without the sort, WHICH urls exceed the
+          // budget would differ run to run. Bounded: one group holds one
+          // micro-batch of a single host's rows.
+          val ordered = rows.toVector.sortBy { case (url, _, ts) =>
+            (if (ts == null) Long.MinValue else ts.getTime, url)
+          }
+          val out = ordered.map { case (url, _, _) =>
             seen += 1
             HostBudgetRow(url, host, seen, seen <= budgetPerHost)
-          }.toVector // materialize before the state update
+          }
           state.update(seen)
           out.iterator
       }
@@ -132,8 +142,12 @@ object StreamingExtract {
       .parquet(inputDir)
       .as[PageRow]
       .flatMap { p =>
+        // null event time cannot enter the stateful operator (ts.getTime
+        // below would kill the query); a row without a timestamp has no
+        // place in an event-time-TTL'd store — contained here, mirroring
+        // the extraction path's row-level totality
         val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
-        if (r.status != "ok" || r.normalized_text.isEmpty) Iterator.empty
+        if (p.warc_ts == null || r.status != "ok" || r.normalized_text.isEmpty) Iterator.empty
         else {
           val sig = TextOps.minHash(TextOps.shingles(r.normalized_text, 3), 64)
           TextOps.lshBands(sig, 4).iterator.zipWithIndex.map { case (key, idx) =>

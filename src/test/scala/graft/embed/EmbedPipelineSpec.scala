@@ -165,6 +165,32 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.count(_.reason.contains("Circuit breaker is open")) == 17)
   }
 
+  test("breaker counts exhausted retry SEQUENCES, not individual attempts (resilience.ts:570-590)") {
+    // provider always 503s (retryable): with maxAttempts=2 and threshold=3,
+    // the breaker must open after 3 fully-exhausted sequences = 6 provider
+    // calls — retry-inside-breaker semantics; counting every attempt would
+    // open it after 3 calls (1.5 documents)
+    val flaky = new EmbeddingProvider {
+      def name = "always503"
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        FlakyState.calls.incrementAndGet()
+        throw new graft.util.HttpStatusException(503, "unavailable")
+      }
+    }
+    FlakyState.calls.set(0)
+    val s = spark
+    import s.implicits._
+    val docsDf = (1L to 10L).map(i => (i, s"document number $i with plenty of words in it"))
+      .toDF("doc_id", "text").repartition(1)
+    val cfg = EmbedConfig(breakerThreshold = 3,
+      retry = graft.util.Resilience.RetryConfig(maxAttempts = 2, backoffMs = 1))
+    val res = EmbedPipeline.embedDocuments(spark, docsDf, None, flaky, cfg).collect()
+    assert(res.forall(_.status == "skipped"))
+    assert(FlakyState.calls.get() == 6,
+      s"3 sequences x 2 attempts = 6 calls before the breaker opens (got ${FlakyState.calls.get()})")
+    assert(res.count(_.reason.contains("Circuit breaker is open")) == 7)
+  }
+
   test("never-throws: a provider failure becomes a skipped row, not a task failure") {
     val bad = new EmbeddingProvider {
       def name = "boom"

@@ -15,6 +15,20 @@ class EmbedSpec extends AnyFunSuite {
     assert(heuristicTokenCount("") == 0)
   }
 
+  test("chunkText: stale break point behind startIndex yields empty slice, not a crash (JS slice parity)") {
+    // a sentence boundary at ~8900 followed by a punctuation/space-free
+    // stretch: once startIndex creeps past the boundary, findBreakPoint's
+    // ±20% window still returns it — chunking.ts:146 slice() gives "" and
+    // continues; substring() threw StringIndexOutOfBoundsException and the
+    // never-throws pipeline silently dropped the whole document
+    val doc = "x" * 8899 + ". " + "y" * 5000
+    val chunks = chunkText(doc)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.text.nonEmpty), "emitted chunks are non-empty")
+    assert(chunks.last.endIndex == doc.length, "chunking covers the full document")
+    assert(chunks.map(_.tokens).sum > 0)
+  }
+
   test("chunkText: empty input → empty") {
     assert(chunkText("").isEmpty)
     assert(chunkText("   ").isEmpty)

@@ -62,6 +62,19 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.max < counts.sum, "salt failed to split the mega-host")
   }
 
+  test("resumable run detects the checkpoint through a scheme-qualified outDir") {
+    // java.io.File cannot see "file:/..." paths — the resume check must go
+    // through the Hadoop FileSystem the writes use, or a URI-style outDir
+    // silently re-extracts and appends duplicates
+    val out = "file:" + java.nio.file.Files.createTempDirectory("graft_ckpt_uri").toString
+    val pages = PagesGen.generate(spark, 30)
+    val s1 = ExtractJob.runResumable(spark, pages, out, 4, "run1")
+    assert(s1.pagesParsed == 30)
+    val s2 = ExtractJob.runResumable(spark, pages, out, 4, "run2")
+    assert(s2.pagesParsed == 0, "resume must skip completed urls for file: paths too")
+    assert(spark.read.parquet(out + "/data").count() == 30)
+  }
+
   test("resumable run: second invocation extracts zero new rows; manifest written") {
     val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val pages = PagesGen.generate(spark, 60)
