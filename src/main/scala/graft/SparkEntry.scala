@@ -179,8 +179,11 @@ object SparkEntry {
   private def jaccardVerified(s: SparkSession, dir: String): DataFrame =
     verifiedFrom(signatures(s, dir), nearDupCandidates(s, dir))
 
+  private val embedPairCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
   /** Embedding-cosine near-dup pairs, LSH scale path (shared by
-    * `dedup_embed_lsh` and `dedup_embed_survivors`): multi-table
+    * `dedup_embed_lsh` and `dedup_embed_survivors` through the same
+    * one-entry persist cache as the text-side relations): multi-table
     * random-hyperplane bucketing → payload-free candidate self-join →
     * exact cosine verify on candidates only (native codegen `cosine_sim5`).
     * The bucket relation carries only (table, bucket, vec_id); the 256 B
@@ -191,7 +194,18 @@ object SparkEntry {
     * buckets are coarse BY DESIGN and occupancy is already pinned — a count
     * cap would suppress every bucket in a degenerate all-dup corpus
     * (exactly the rows a dedup query must surface). */
-  private def embedLshVerified(s: SparkSession, dir: String): DataFrame = {
+  private def embedLshVerified(s: SparkSession, dir: String): DataFrame = synchronized {
+    val hit = embedPairCache.get(dir)
+    if (hit != null && (hit._1 eq s)) hit._2
+    else {
+      evictAll(embedPairCache)(_.unpersist())
+      val pairs = embedLshVerifiedUncached(s, dir).persist()
+      embedPairCache.put(dir, (s, pairs))
+      pairs
+    }
+  }
+
+  private def embedLshVerifiedUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
@@ -224,7 +238,8 @@ object SparkEntry {
     Seq(
       timed("extracted")(extracted(spark, sfDir).count()),
       timed("signatures")(signatures(spark, sfDir).count()),
-      timed("candidates")(nearDupCandidates(spark, sfDir).count()))
+      timed("candidates")(nearDupCandidates(spark, sfDir).count()),
+      timed("embed_lsh_pairs")(embedLshVerified(spark, sfDir).count()))
   }
 
   /** Input for the E8 queries: the documents table plus three planted rows

@@ -191,6 +191,29 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.count(_.reason.contains("Circuit breaker is open")) == 7)
   }
 
+  test("embedDocuments scans its input once (single-pass plan, no per-branch rescan)") {
+    // the former skipped ∪ hits ∪ computed union re-scanned the docs
+    // relation (and re-ran the regex+sha256 prepare) once per branch; the
+    // single-pass restructure must leave exactly one scan of the input in
+    // the analyzed plan — at 100 TB a second scan is a second pass over
+    // the corpus
+    val s = spark
+    import s.implicits._
+    val docsDf = (1L to 50L).map(i => (i, s"document number $i with plenty of words in it"))
+      .toDF("doc_id", "text")
+    for (cache <- Seq(None, Some(EmbedPipeline.emptyCache(spark)))) {
+      val res = EmbedPipeline.embedDocuments(spark, docsDf, cache, new HashStubProvider(4))
+      val scans = res.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        case r if r.getClass.getSimpleName == "LogicalRDD" => r
+      }
+      // the docs LocalRelation appears once; a cache table adds its own
+      // (empty) relation but must not duplicate the docs side
+      assert(scans.size <= (if (cache.isDefined) 2 else 1),
+        s"input scanned more than once:\n${res.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("never-throws: a provider failure becomes a skipped row, not a task failure") {
     val bad = new EmbeddingProvider {
       def name = "boom"
