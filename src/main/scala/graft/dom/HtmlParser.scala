@@ -53,6 +53,31 @@ object HtmlParser {
 
   private val buttonScopeBoundary: Set[String] = Set("table", "td", "th", "button", "caption")
 
+  /** Open-element depth cap (browsers bound tree depth around 512): past it,
+    * start tags still insert their element but are treated as immediately
+    * closed, so pathological nesting flattens into siblings at the cap.
+    * Real pages sit far below this; without the cap, adversarial input
+    * (200k nested divs) (a) overflows the recursive DOM walks downstream
+    * with StackOverflowError — an Error, which escapes every per-row
+    * Exception containment and kills the Spark task — and (b) turns the
+    * per-tag open-stack scans (implied-close rules) quadratic. */
+  private val MaxTreeDepth = 512
+
+  /** Attributes kept per start tag: a 50k-attribute tag is markup-bomb
+    * input (measured 49 s in the duplicate-name check alone); keep the
+    * first `MaxAttrsPerTag` — orders of magnitude above any real page. */
+  private val MaxAttrsPerTag = 512
+
+  /** Children kept per element: with the arena's ArrayBuffer children,
+    * Readability's remove-and-get-next sweep over a run of k removable
+    * siblings costs O(k²) element moves (each head removal shifts the
+    * tail), so a flat 64k-sibling markup bomb turns a sub-second page into
+    * minutes. Capping fan-out at parse time bounds that sweep at
+    * O(n · cap); 8192 direct children is far beyond any real article
+    * (extraction caps at 2000 blocks / 100 links regardless). Children
+    * past the cap are dropped, like attrs past MaxAttrsPerTag. */
+  private val MaxChildrenPerElement = 8192
+
   /** Reusable start-tag parse result — one instance per parse() call, so the
     * tokenizer allocates nothing per tag (the Tuple4 + Vector[(k,v)] per start
     * tag was a measured allocation hotspot). */
@@ -64,6 +89,7 @@ object HtmlParser {
     private var kv = new Array[String](8)
     def clear(): Unit = { n = 0; selfClosing = false }
     def add(k: String, v: String): Unit = {
+      if (n >= MaxAttrsPerTag) return
       if (2 * n == kv.length) kv = java.util.Arrays.copyOf(kv, kv.length * 2)
       kv(2 * n) = k; kv(2 * n + 1) = v; n += 1
     }
@@ -96,7 +122,9 @@ object HtmlParser {
       val tgt = current
       tgt.children.lastOption match {
         case Some(t: TextNode) => t.data += text
-        case _ => tgt.appendChild(new TextNode(text))
+        case _ =>
+          if (tgt.children.length < MaxChildrenPerElement)
+            tgt.appendChild(new TextNode(text))
       }
     }
 
@@ -187,10 +215,12 @@ object HtmlParser {
       }
       if (!inBody && stack.isEmpty && !headTags.contains(tag)) switchToBody()
       closeImplied(tag)
+      if (current.children.length >= MaxChildrenPerElement) return // fan-out bomb: drop
       val el = new Element(tag)
       setAttrsFrom(el, t)
       current.appendChild(el)
-      if (!voidElements.contains(tag) && !selfClosing) stack += el
+      if (!voidElements.contains(tag) && !selfClosing && stack.length < MaxTreeDepth)
+        stack += el
       // foreign content self-closing (<svg/>) respected via selfClosing flag
     }
 
@@ -226,7 +256,8 @@ object HtmlParser {
             val end = html.indexOf("-->", i + 4)
             val stop = if (end < 0) n else end
             val data = html.substring(i + 4, stop)
-            current.appendChild(new CommentNode(data))
+            if (current.children.length < MaxChildrenPerElement)
+              current.appendChild(new CommentNode(data))
             i = if (end < 0) n else end + 3
           } else if (html.regionMatches(true, i, "<![CDATA[", 0, 9)) {
             val end = html.indexOf("]]>", i + 9)
@@ -259,7 +290,7 @@ object HtmlParser {
             val endIdx = findEndTag(html, i, tag)
             val content = html.substring(i, endIdx)
             startTag(scratch, selfClosing = false)
-            if (content.nonEmpty) {
+            if (content.nonEmpty && current.children.length < MaxChildrenPerElement) {
               val data = if (rcdataTags.contains(tag)) Entities.decode(content) else content
               current.appendChild(new TextNode(data))
             }

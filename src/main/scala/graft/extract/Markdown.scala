@@ -42,6 +42,18 @@ object Markdown {
     fromElement(doc.body)
   }
 
+  /** Per-node markdown content cap. Turndown's list/blockquote rules
+    * re-process nested content once per nesting level (`replaceAll("\n",
+    * "\n    ")` per <li>) — O(depth × size) BY DESIGN, which an adversarial
+    * 512-deep list bomb turns into minutes of string churn for output every
+    * caller truncates to ≤ 50k chars anyway (content.ts maxContentLength).
+    * Capping each node's accumulated content (tail-only truncation) bounds
+    * every level's string work at O(cap): a node whose markdown exceeds
+    * 128k can only lose tail material that lies beyond the 50k document
+    * cap, so the first 50k of the final output — all a caller ever keeps —
+    * is unchanged for any input. */
+  private val MaxNodeChars = 128 * 1024
+
   /** Convert a DOM element's children to markdown. */
   def fromElement(rootInput: Element): String = {
     val root = rootInput.cloneElement()
@@ -197,6 +209,7 @@ object Markdown {
   private def processChildren(e: Element): String = {
     val sb = new java.lang.StringBuilder
     e.children.foreach { child =>
+      if (sb.length >= MaxNodeChars) return sb.toString // adversarial-size stop
       val r = child match {
         case t: TextNode =>
           if (t.parent != null && (isPre(t.parent) || isCodeContext(t.parent))) t.data
@@ -211,7 +224,9 @@ object Markdown {
       val nls = math.min(2, math.max(sb.length - e1, s2))
       sb.setLength(e1)
       sb.append("\n\n", 0, nls)
-      sb.append(r, s2, r.length)
+      // tail-truncate each appended replacement at the cap too: without
+      // this the per-level bound compounds geometrically up a deep chain
+      sb.append(r, s2, math.min(r.length, s2 + MaxNodeChars))
     }
     sb.toString
   }
