@@ -160,8 +160,10 @@ object Normalizer {
 
     val originalBlocksTotal = blocksIn.length
     var blocksTruncated = false
+    // JS falsy-zero (normalizer.ts:161 `maxBlocks && …`): maxBlocks = 0
+    // DISABLES the cap rather than truncating to nothing
     val blocks = options.maxBlocks match {
-      case Some(mb) if blocksIn.length > mb => blocksTruncated = true; blocksIn.take(mb)
+      case Some(mb) if mb > 0 && blocksIn.length > mb => blocksTruncated = true; blocksIn.take(mb)
       case _ => blocksIn
     }
 
@@ -206,7 +208,8 @@ object Normalizer {
     }
     var truncated = false
     options.maxChars.foreach { mc =>
-      if (normalizedText.length > mc) {
+      // normalizer.ts:212 `maxChars && …` — 0 disables, like maxBlocks
+      if (mc > 0 && normalizedText.length > mc) {
         val (t, tr) = truncateText(normalizedText, mc, options.truncate)
         normalizedText = t
         truncated = tr

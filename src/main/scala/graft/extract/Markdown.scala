@@ -346,7 +346,9 @@ object Markdown {
         e.attr("href") match {
           case Some(href) if href.nonEmpty =>
             val escapedHref = parenRe.matcher(href).replaceAll("\\\\$1")
-            val title = e.attr("title").map(t => " \"" + dquoteRe.matcher(t).replaceAll("\\\\\"") + "\"").getOrElse("")
+            // turndown's `if (title)` — an EMPTY title attr is falsy and omitted
+            val title = e.attr("title").filter(_.nonEmpty)
+              .map(t => " \"" + dquoteRe.matcher(t).replaceAll("\\\\\"") + "\"").getOrElse("")
             "[" + content + "](" + escapedHref + title + ")"
           case _ => content
         }
@@ -361,7 +363,7 @@ object Markdown {
         val src = e.attr("src").getOrElse("")
         if (src.isEmpty) ""
         else {
-          val title = e.attr("title").map(t => " \"" + t + "\"").getOrElse("")
+          val title = e.attr("title").filter(_.nonEmpty).map(t => " \"" + t + "\"").getOrElse("")
           "![" + alt + "](" + src + title + ")"
         }
       case _ =>

@@ -53,6 +53,12 @@ object Readability {
     "-ad-|hidden|^hid$| hid$| hid |^hid |banner|combx|comment|com-|contact|footer|gdpr|masthead|media|meta|outbrain|promo|related|scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|widget")
   private[extract] val bylineRe = ci("byline|author|dateline|writtenby|p-author")
   private val videosRe = ci("//(www\\.)?((dailymotion|youtube|youtube-nocookie|player\\.vimeo|v\\.qq)\\.com|(archive|upload\\.wikimedia)\\.org|player\\.twitch\\.tv)")
+  // lazy-image / noscript-image regexes (readability.js REGEXPS)
+  private val b64DataUrlRe = ci("^data:\\s*([^\\s;,]+)\\s*;\\s*base64\\s*,")
+  private val base64MarkerRe = ci("base64\\s*")
+  private val imgExtRe = ci("\\.(jpg|jpeg|png|webp)")
+  private val srcsetLikeRe = Pattern.compile("\\.(jpg|jpeg|png|webp)\\s+\\d")
+  private val srcLikeRe = Pattern.compile("^\\s*\\S+\\.(jpg|jpeg|png|webp)\\S*\\s*$")
   private val shareElementsRe = ci("(\\b|_)(share|sharedaddy)(\\b|_)")
   private[extract] val commasRe = Pattern.compile("\\u002C|\\u060C|\\uFE50|\\uFE10|\\uFE11|\\u2E41|\\u2E34|\\u2E32|\\uFF0C")
   private val normalizeRe = Pattern.compile("[" + Js.wsClass + "]{2,}")
@@ -299,7 +305,10 @@ object Readability {
       while (it.hasNext) {
         val a = it.next()
         if (a.tag == "a") {
-          val coeff = if (a.attr("href").exists(_.startsWith("#"))) 0.3 else 1.0
+          // hashUrl = /^#.+/ (readability.js): a bare href="#" does NOT
+          // qualify for the 0.3 coefficient — at least one char after '#'
+          val coeff =
+            if (a.attr("href").exists(h => h.length > 1 && h.startsWith("#"))) 0.3 else 1.0
           linkLength += innerTextLength(a) * coeff
         }
       }
@@ -359,10 +368,21 @@ object Readability {
     }
 
     private def isProbablyVisible(e: Element): Boolean = {
-      val style = e.attr("style").getOrElse("")
-      val hiddenByStyle = style.replace(" ", "").toLowerCase(java.util.Locale.ROOT) match {
-        case s => s.contains("display:none") || s.contains("visibility:hidden")
+      // the reference reads node.style.display / node.style.visibility via
+      // CSSOM — a substring check would false-positive on properties that
+      // merely END with the name (backface-visibility:hidden), so match the
+      // property NAME at a declaration boundary
+      val style = e.attr("style").getOrElse("").replace(" ", "").toLowerCase(java.util.Locale.ROOT)
+      def hasDecl(prop: String, value: String): Boolean = {
+        val needle = prop + ":" + value
+        var from = style.indexOf(needle)
+        while (from >= 0) {
+          if (from == 0 || style.charAt(from - 1) == ';') return true
+          from = style.indexOf(needle, from + 1)
+        }
+        false
       }
+      val hiddenByStyle = hasDecl("display", "none") || hasDecl("visibility", "hidden")
       !hiddenByStyle && !e.attrs.contains("hidden") &&
         !(e.attr("aria-hidden").contains("true") && !e.attr("class").exists(_.contains("fallback-image")))
     }
@@ -615,8 +635,15 @@ object Readability {
       var last = 0
       while (m.find()) {
         sb.append(r, last, m.start())
-        val num = if (m.group(1) != null) Integer.parseInt(m.group(1), 16) else Integer.parseInt(m.group(2))
-        sb.append(Js.fromCharCode(num.toLong))
+        // JS parseInt never throws; overflow wraps through fromCharCode's
+        // ToUint16 — parse as Long with a clamp (Normalizer.safeParseLong
+        // pattern) so &#4294967296; cannot abort Readability for the row
+        val digits = if (m.group(1) != null) m.group(1) else m.group(2)
+        val radix = if (m.group(1) != null) 16 else 10
+        val num =
+          try java.lang.Long.parseLong(digits.take(15), radix)
+          catch { case _: NumberFormatException => 0xfffdL }
+        sb.append(Js.fromCharCode(num))
         last = m.end()
       }
       sb.append(r, last, r.length)
@@ -627,6 +654,123 @@ object Readability {
 
     private def removeScripts(): Unit =
       allTags(doc.html, Set("script", "noscript")).foreach(_.remove())
+
+    /** `_isSingleImage` (readability.js): the node is an <img>, or a chain
+      * of single-element-child wrappers with whitespace-only text ending in
+      * an <img>. */
+    private def isSingleImage(e0: Element): Boolean = {
+      var node = e0
+      while (node != null) {
+        if (node.tag == "img") return true
+        val elems = node.children.iterator.collect { case e: Element => e }.take(2).toList
+        if (elems.length != 1 || !textIsAllWs(node)) return false
+        node = elems.head
+      }
+      false
+    }
+
+    /** `_unwrapNoscriptImages` (readability.js, called before
+      * `removeScripts` deletes every <noscript>): drop <img> elements with
+      * no image-bearing attribute at all, then replace a lazy-load
+      * placeholder image with its <noscript> fallback image, preserving the
+      * placeholder's image-bearing attributes as `data-old-*`. Our parser
+      * builds noscript children as regular DOM (scripting-disabled
+      * semantics, same as the reference's jsdom), so the reference's
+      * innerHTML re-parse into a temp <div> is the identity here. */
+    private def unwrapNoscriptImages(): Unit = {
+      allTags(doc.html, Set("img")).foreach { img =>
+        var keep = false
+        img.attrs.foreach { case (k, v) =>
+          if (k == "src" || k == "srcset" || k == "data-src" || k == "data-srcset") keep = true
+          else if (imgExtRe.matcher(v).find()) keep = true
+        }
+        if (!keep) img.remove()
+      }
+      allTags(doc.html, Set("noscript")).foreach { noscript =>
+        val inner = noscript.children.iterator.collect { case e: Element => e }.take(2).toList
+        if (inner.length == 1 && textIsAllWs(noscript) && isSingleImage(inner.head)) {
+          val prevElement = {
+            val sibs = noscript.parent
+            if (sibs == null) null
+            else {
+              var prev: Element = null
+              var i = 0
+              val cs = sibs.children
+              var found = false
+              while (!found && i < cs.length) {
+                cs(i) match {
+                  case e2 if e2 eq noscript => found = true
+                  case e2: Element => prev = e2
+                  case _ =>
+                }
+                i += 1
+              }
+              prev
+            }
+          }
+          if (prevElement != null && isSingleImage(prevElement)) {
+            val prevImg =
+              if (prevElement.tag == "img") prevElement
+              else allTags(prevElement, Set("img")).head
+            val newImg = if (inner.head.tag == "img") inner.head else allTags(inner.head, Set("img")).head
+            prevImg.attrs.foreach { case (k, v) =>
+              if (v.nonEmpty &&
+                  (k == "src" || k == "srcset" || imgExtRe.matcher(v).find()) &&
+                  !newImg.attr(k).contains(v)) {
+                val attrName = if (newImg.attrs.contains(k)) "data-old-" + k else k
+                newImg.attrs(attrName) = v
+              }
+            }
+            prevElement.replaceWith(inner.head)
+          }
+        }
+      }
+    }
+
+    /** `_fixLazyImages` (readability.js, called from prepArticle): strip
+      * tiny base64 placeholder src values, then copy lazy-load attributes
+      * (data-src and friends) into src/srcset for img/picture, or synthesize
+      * an <img> inside an imageless <figure>. */
+    private def fixLazyImages(root: Element): Unit = {
+      allTags(root, Set("img", "picture", "figure")).foreach { elem =>
+        val src0 = elem.attr("src").getOrElse("")
+        val b64m = b64DataUrlRe.matcher(src0)
+        if (src0.nonEmpty && b64m.find() && b64m.group(1) != "image/svg+xml") {
+          var srcCouldBeRemoved = false
+          elem.attrs.foreach { case (k, v) =>
+            if (k != "src" && imgExtRe.matcher(v).find()) srcCouldBeRemoved = true
+          }
+          if (srcCouldBeRemoved) {
+            val mm = base64MarkerRe.matcher(src0)
+            if (mm.find() && src0.length - (mm.start() + 7) < 133) elem.attrs.remove("src")
+          }
+        }
+        val hasSrc = elem.attr("src").exists(_.nonEmpty)
+        val hasSrcset = elem.attr("srcset").exists(s => s.nonEmpty && s != "null")
+        val lazyClass = elem.attr("class").exists(_.toLowerCase(java.util.Locale.ROOT).contains("lazy"))
+        if (!((hasSrc || hasSrcset) && !lazyClass)) {
+          // snapshot first — the loop writes into the same attr list
+          val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          elem.attrs.foreach(entries += _)
+          entries.foreach { case (k, v) =>
+            if (k != "src" && k != "srcset" && k != "alt") {
+              val copyTo =
+                if (srcsetLikeRe.matcher(v).find()) "srcset"
+                else if (srcLikeRe.matcher(v).matches()) "src"
+                else null
+              if (copyTo != null) {
+                if (elem.tag == "img" || elem.tag == "picture") elem.attrs(copyTo) = v
+                else if (elem.tag == "figure" && allTags(elem, Set("img", "picture")).isEmpty) {
+                  val img = new Element("img")
+                  img.attrs(copyTo) = v
+                  elem.appendChild(img)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
 
     private def nextNodeSkippingWs(n: Node): Node = {
       var cur = n
@@ -789,7 +933,11 @@ object Readability {
                 contentScore += charCount(el)
                 contentScore += math.min(math.floor(textLen / 100.0), 3.0)
                 ancestors.zipWithIndex.foreach { case (ancestor, level) =>
-                  if (ancestor.parent != null || ancestor.tag == "body" || ancestor.tag == "html") {
+                  // readability.js guard: ancestor.parentNode.tagName must be
+                  // defined — <html>'s parent is the Document, so <html> is
+                  // NOT scored as a candidate (<body>'s parent is <html>,
+                  // which qualifies); in this DOM that is exactly parent != null
+                  if (ancestor.parent != null) {
                     if (!scores.containsKey(ancestor)) {
                       initializeNode(ancestor)
                       candidates += ancestor
@@ -980,19 +1128,21 @@ object Readability {
           dataTables.put(table, true)
         else if (Selector("table").firstIn(table).isDefined) dataTables.put(table, false)
         else {
-          val rows = Selector("tr").findIn(table)
+          // _getRowAndColumnCount: rows SUM the rowspans (a 5-tr table with
+          // rowspan=2 each counts 10 rows and is protected as a data table)
+          val trs = Selector("tr").findIn(table)
+          var rowCount = 0
           var columns = 0
-          rows.foreach { tr =>
-            val rowspan = tr.attr("rowspan").flatMap(v => v.toIntOption).getOrElse(1)
+          trs.foreach { tr =>
+            rowCount += tr.attr("rowspan").flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
             var colsInRow = 0
             Selector("td").findIn(tr).foreach { td =>
               colsInRow += td.attr("colspan").flatMap(_.toIntOption).getOrElse(1)
             }
             columns = math.max(columns, colsInRow)
-            val _ = rowspan
           }
-          if (rows.length >= 10 || columns > 4) dataTables.put(table, true)
-          else dataTables.put(table, rows.length * columns > 10)
+          if (rowCount >= 10 || columns > 4) dataTables.put(table, true)
+          else dataTables.put(table, rowCount * columns > 10)
         }
       }
     }
@@ -1051,8 +1201,10 @@ object Readability {
       allTags(root, Set(tag)).foreach { node =>
         if (node.parent != null) {
           var isList = isList0
-          if (!isList0 && tag == "div") {
-            // treat div as list when most of its text is inside lists
+          if (!isList0) {
+            // readability.js: EVERY non-ul/ol tag (div, table, form,
+            // fieldset) is treated as a list when >90% of its text lives
+            // inside lists — not just div
             var listLength = 0.0
             allTags(node, Set("ul", "ol")).foreach(l => listLength += innerTextLength(l))
             val total = innerTextLength(node)
@@ -1082,7 +1234,7 @@ object Readability {
                 val headingDensity = getTextDensity(node, Set("h1", "h2", "h3", "h4", "h5", "h6"))
                 val linkDensity = getLinkDensity(node)
                 val contentLength = innerTextLength(node)
-                val haveToRemove =
+                var haveToRemove =
                   (img > 1 && p.toDouble / img < 0.5 && !hasAncestorTag(node, "figure")) ||
                   (!isList && li > p) ||
                   (input > math.floor(p / 3.0)) ||
@@ -1090,6 +1242,14 @@ object Readability {
                   (!isList && weight < 25 && linkDensity > 0.2) ||
                   (weight >= 25 && linkDensity > 0.5) ||
                   ((embedCount == 1 && contentLength < 75) || embedCount > 1)
+                // readability.js "Allow simple lists of images to remain":
+                // a list whose every li holds a single child and whose img
+                // count equals its li count is an image gallery — keep it
+                if (isList && haveToRemove) {
+                  val simple = node.childElements.forall(_.childElements.size <= 1)
+                  if (simple && img == allTags(node, Set("li")).length)
+                    haveToRemove = false
+                }
                 if (haveToRemove) node.remove()
               }
             }
@@ -1101,6 +1261,7 @@ object Readability {
     private def prepArticle(articleContent: Element, topCandidate: Element): Unit = {
       cleanStyles(articleContent)
       markDataTables(articleContent)
+      fixLazyImages(articleContent)
       cleanConditionally(articleContent, "form")
       cleanConditionally(articleContent, "fieldset")
       clean(articleContent, "object")
@@ -1233,6 +1394,7 @@ object Readability {
     // ---- parse ----
 
     def parse(): Option[Article] = {
+      unwrapNoscriptImages() // before removeScripts deletes every <noscript>
       val jsonLd = getJsonLd()
       removeScripts()
       prepDocument()

@@ -143,6 +143,12 @@ object MarkdownParser {
           val links = extractLinks(itemText, if (inSection) Some(curTitle) else None)
           allLinks ++= links
           if (inSection) curLinks ++= links
+          // mdast wraps each listItem's text in a paragraph node, and the
+          // section-content visitor appends EVERY paragraph — including
+          // those inside list items (markdown.ts:59-109), so list-only
+          // sections carry their items' text as content
+          paraBuf.append(itemText)
+          flushParagraph()
         case l =>
           val links = extractLinks(l, if (inSection) Some(curTitle) else None)
           allLinks ++= links

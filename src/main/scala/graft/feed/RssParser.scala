@@ -94,10 +94,13 @@ final class RssParser(customFields: Map[String, String] = Map.empty) {
   // ---- Atom 1.0 (rss.ts:133-195) ----
   private def parseAtom(root: Element, baseUrl: Option[String]): FeedParserResult = {
     val feed = XmlParser.findFirst(root, "feed").getOrElse(root)
+    // cheerio `.attr('href')` on 'link[rel="alternate"], link:not([rel])'
+    // returns the FIRST matching element in DOCUMENT ORDER (selector-list
+    // order does not rank matches) — a no-rel link before the alternate
+    // link wins (rss.ts:131,138)
     def linkHref(el: Element): String = {
       val links = XmlParser.children(el, "link")
-      links.find(_.attr("rel").contains("alternate"))
-        .orElse(links.find(l => !l.attrs.contains("rel")))
+      links.find(l => l.attr("rel").contains("alternate") || !l.attrs.contains("rel"))
         .flatMap(_.attr("href")).getOrElse("")
     }
     val feedLink = linkHref(feed)
@@ -106,8 +109,8 @@ final class RssParser(customFields: Map[String, String] = Map.empty) {
 
     val items = XmlParser.find(root, "entry").map { entry =>
       val links = XmlParser.find(entry, "link")
-      val entryLink = links.find(_.attr("rel").contains("alternate"))
-        .orElse(links.find(l => !l.attrs.contains("rel")))
+      // document order, same as linkHref above (rss.ts:138)
+      val entryLink = links.find(l => l.attr("rel").contains("alternate") || !l.attrs.contains("rel"))
         .flatMap(_.attr("href")).getOrElse("")
       val entryId = XmlParser.findText(entry, "id")
       val published = XmlParser.findText(entry, "published")
@@ -329,7 +332,10 @@ object JsDate {
           case Some(z) if z.startsWith("+") || z.startsWith("-") =>
             val sign = if (z.startsWith("-")) -1 else 1
             sign * (z.substring(1, 3).toInt * 60 + z.substring(3, 5).toInt)
-          case Some(z) => zones.getOrElse(z.toUpperCase(java.util.Locale.ROOT), 0)
+          // V8's Date parser rejects non-RFC-2822 zone names (CEST, AEST…)
+          // as Invalid Date → the reference emits undefined; silently
+          // assuming UTC would fabricate a timestamp the reference never has
+          case Some(z) => zones.getOrElse(z.toUpperCase(java.util.Locale.ROOT), return None)
           case None => 0
         }
         return Some(LocalDateTime.of(year, mon, day, h, min, sec)
@@ -404,7 +410,8 @@ object FeedOps {
   def feedToMarkdown(feed: ParsedFeed, includeContent: Boolean = false, maxItems: Option[Int] = None): String = {
     val lines = scala.collection.mutable.ArrayBuffer(s"# ${feed.title}", "")
     feed.description.foreach { d => lines += d; lines += "" }
-    val items = maxItems.map(feed.items.take).getOrElse(feed.items)
+    // feed.ts:114 `maxItems ? … : items` — JS falsy zero disables the cap
+    val items = maxItems.filter(_ > 0).map(feed.items.take).getOrElse(feed.items)
     items.foreach { item =>
       lines += s"## ${item.title}"
       item.publishedAt.foreach { p => lines += s"*${p.split("T")(0)}*" }
@@ -419,7 +426,7 @@ object FeedOps {
 
   /** K13 — plain-text concatenation. */
   def feedToText(feed: ParsedFeed, maxItems: Option[Int] = None, separator: String = "\n\n---\n\n"): String = {
-    val items = maxItems.map(feed.items.take).getOrElse(feed.items)
+    val items = maxItems.filter(_ > 0).map(feed.items.take).getOrElse(feed.items)
     items.map { item =>
       (Seq(item.title) ++ item.description ++ item.content).mkString("\n\n")
     }.mkString(separator)

@@ -148,8 +148,44 @@ object WUrl {
         if (v > 65535) return None
         if (specialSchemes.get(scheme).contains(v)) None else Some(v)
     }
-    val path = removeDotSegments(rawPath)
+    val path = pathPercentEncode(removeDotSegments(rawPath))
     Some(WUrl(scheme, host, port, path, query, frag))
+  }
+
+  /** WHATWG path percent-encoding: C0 controls, DEL, non-ASCII (as UTF-8
+    * bytes), space, `"`, `#`, `<`, `>`, `?`, `` ` ``, `{`, `}` — the set
+    * `new URL()` applies to path segments, so resolved hrefs like
+    * `/my page.html` or `/wiki/Überläufer` serialize byte-identically to
+    * the reference (`%20`, `%C3%9C…`). `%` itself is NOT in the set:
+    * already-encoded input passes through untouched (idempotent re-parse).
+    * Query/fragment keep raw bytes — their serialization is owned by the
+    * URLSearchParams re-serialization in UrlOps (byte-fidelity note in
+    * README), which would double-encode if the parser encoded them too. */
+  private val pathEncodeExtra: Set[Char] = Set(' ', '"', '#', '<', '>', '?', '`', '{', '}')
+
+  private def pathPercentEncode(s: String): String = {
+    var needs = false
+    var i = 0
+    while (!needs && i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x20 || c > 0x7e || pathEncodeExtra(c)) needs = true
+      i += 1
+    }
+    if (!needs) return s
+    val hex = "0123456789ABCDEF"
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x20 && cp <= 0x7e && !pathEncodeExtra(cp.toChar)) sb.append(cp.toChar)
+      else {
+        new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => sb.append('%').append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)))
+      }
+      i += Character.charCount(cp)
+    }
+    sb.toString
   }
 
   private def splitFragment(s: String): (String, Option[String]) = {
@@ -216,7 +252,9 @@ object WUrl {
         bp.substring(0, bp.lastIndexOf('/') + 1) + rawPath
       }
     val q = if (rawPath.isEmpty && query.isEmpty) base.query else query
-    Some(base.copy(path = removeDotSegments(merged), query = q, fragment = frag))
+    // same WHATWG path encoding as parseSpecial — relative refs must
+    // serialize identically to absolute parses of the resolved url
+    Some(base.copy(path = pathPercentEncode(removeDotSegments(merged)), query = q, fragment = frag))
   }
 
   /** application/x-www-form-urlencoded decode ('+' → ' ', %XX → byte). */

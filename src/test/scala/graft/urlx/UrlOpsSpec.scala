@@ -121,4 +121,20 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(matchesUrlPattern("https://example.com/docs/a", "https://example.com/docs/*"))
     assert(!matchesUrlPattern("https://example.com/blog", "https://example.com/docs/*"))
   }
+
+  test("WHATWG path percent-encoding: spaces and non-ASCII encode, %XX stays (round 4)") {
+    // `new URL("https://e.com/my page.html").href` → %20; UTF-8 bytes for
+    // non-ASCII; existing escapes pass through untouched (idempotent)
+    assert(graft.urlx.WUrl.parse("https://e.com/my page.html").map(_.href)
+      .contains("https://e.com/my%20page.html"))
+    assert(graft.urlx.WUrl.parse("https://e.com/wiki/Überläufer").map(_.href)
+      .contains("https://e.com/wiki/%C3%9Cberl%C3%A4ufer"))
+    assert(graft.urlx.WUrl.parse("https://e.com/a%20b/c").map(_.href)
+      .contains("https://e.com/a%20b/c"))
+    // relative resolution encodes identically to an absolute parse
+    assert(resolveUrl("/my page.html", "https://e.com/x")
+      .contains("https://e.com/my%20page.html"))
+    assert(resolveUrl("/wiki/Überläufer", "https://e.com/x")
+      .contains("https://e.com/wiki/%C3%9Cberl%C3%A4ufer"))
+  }
 }
