@@ -99,6 +99,12 @@ object HttpLlm {
       * Enhancer's mini-schema layer). */
     def completeJson(prompt: String): String = postBody(prompt, CompletionOptions())
 
+    /** Enhance-path override: route through the full completeJSON assembly
+      * (schema prompt + JSON-mode body + validation), like the reference's
+      * provider.completeJSON(prompt, zodSchema). */
+    override def completeJsonWithSchema(prompt: String, schema: Map[String, String]): String =
+      completeJsonSchema(prompt, schema).toString
+
     /** http.ts:136-196 (`completeJSON`): schema-prompt assembly, JSON-mode
       * request, trim-parse with markdown/surrounding-text extraction
       * fallback, then mini-schema validation (the zod-equivalent layer). */

@@ -41,6 +41,15 @@ trait LLMProvider extends Serializable {
   /** JSON-mode completion: must return a JSON object string (validated by
     * the caller against the request schema, zod-equivalently). */
   def completeJson(prompt: String): String
+  /** The reference enhance path is `provider.completeJSON(prompt, zodSchema)`
+    * (enhancer.ts:209-254): providers that can assemble the schema prompt /
+    * JSON-mode request (HttpLlm) override this; deterministic stubs fall
+    * back to the bare JSON completion. `schema` is the repo's mini-schema
+    * language — the zodToJsonSchema byte layout itself is not reproducible
+    * offline, so the HTTP request carries the mini-schema JSON-Schema
+    * equivalent (same fields/types, documented divergence). */
+  def completeJsonWithSchema(prompt: String, schema: Map[String, String]): String =
+    completeJson(prompt)
 }
 
 /**
@@ -113,22 +122,33 @@ object Enhancer {
   def enhance(data: EnhanceInput, provider: LLMProvider, types: Seq[String]): Enhanced = {
     val context = contextOf(data)
     var out = Enhanced()
+    // per-type schemas mirroring types.ts:56-77 (SummarySchema/TagsSchema/
+    // EntitiesSchema/ClassifySchema) in the mini-schema language — routed
+    // through completeJsonWithSchema so HTTP providers assemble the
+    // schema prompt + JSON-mode request exactly like completeJSON
     if (types.contains("summarize")) {
-      val n = mapper.readTree(provider.completeJson(summarizePrompt(context)))
+      val n = mapper.readTree(provider.completeJsonWithSchema(
+        summarizePrompt(context), Map("summary" -> "string")))
       out = out.copy(summary = Option(n.get("summary")).map(_.asText()))
     }
     if (types.contains("tags")) {
-      val n = mapper.readTree(provider.completeJson(tagsPrompt(context)))
+      val n = mapper.readTree(provider.completeJsonWithSchema(
+        tagsPrompt(context), Map("tags" -> "string[]")))
       out = out.copy(suggestedTags = Some(strings(n, "tags")))
     }
     if (types.contains("entities")) {
-      val n = mapper.readTree(provider.completeJson(entitiesPrompt(context)))
+      val n = mapper.readTree(provider.completeJsonWithSchema(
+        entitiesPrompt(context), Map(
+          "people" -> "string[]", "organizations" -> "string[]",
+          "technologies" -> "string[]", "locations" -> "string[]",
+          "concepts" -> "string[]")))
       out = out.copy(entities = Some(Entities(
         strings(n, "people"), strings(n, "organizations"), strings(n, "technologies"),
         strings(n, "locations"), strings(n, "concepts"))))
     }
     if (types.contains("classify")) {
-      val n = mapper.readTree(provider.completeJson(classifyPrompt(context)))
+      val n = mapper.readTree(provider.completeJsonWithSchema(
+        classifyPrompt(context), Map("contentType" -> "string", "confidence" -> "number")))
       val ct = Option(n.get("contentType")).map(_.asText()).filter(ClassifyEnum.contains)
       val conf = Option(n.get("confidence")).map(_.asDouble()).getOrElse(0.0)
       if (conf > 0.7) out = out.copy(contentType = ct) // enhancer.ts:55 gate

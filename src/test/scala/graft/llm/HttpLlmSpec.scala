@@ -226,12 +226,18 @@ class HttpLlmSpec extends AnyFunSuite {
   }
 
   test("HttpLLMProvider plugs into the Enhancer as an LLMProvider") {
-    // the L1 summarize path driven through an OpenAI-shaped canned wire
+    // the L1 summarize path driven through an OpenAI-shaped canned wire —
+    // since the round-4 completeJSON wiring, the request carries the
+    // reference shape (enhancer.ts:209 via http.ts:144): a JSON system
+    // message plus the schema-suffixed user prompt
     val t = new graft.util.HttpBase.CannedTransport((_, body) => {
-      // the enhancer's summarize prompt must ride the wire; answer in the
-      // JSON shape the enhancer parses ({"summary": ...})
-      val prompt = mapper.readTree(body).get("messages").get(0).get("content").asText()
+      val msgs = mapper.readTree(body).get("messages")
+      assert(msgs.get(0).get("content").asText()
+        .contains("responds only with valid JSON"))
+      val prompt = msgs.get(1).get("content").asText()
       assert(prompt.toLowerCase.contains("summar"))
+      assert(prompt.contains("Respond ONLY with valid JSON matching this schema:"))
+      assert(prompt.contains("\"summary\""))
       """{"choices":[{"message":{"content":"{\"summary\":\"hi there\"}"}}]}"""
     })
     val p = new HttpLLMProvider(HttpConfig("https://api.example.com/v1", "m"), t)
