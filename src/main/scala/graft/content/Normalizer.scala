@@ -120,7 +120,10 @@ object Normalizer {
   }
 
   private def safeParseLong(s: String, radix: Int): Long =
-    try java.lang.Long.parseLong(s.take(12), radix)
+    // take(15): JS parseInt is exact up to 2^53, so 13-15 digit character
+    // references must parse in full before fromCharCode's mod-65536 —
+    // truncating at 12 produced a different character than the reference
+    try java.lang.Long.parseLong(s.take(15), radix)
     catch { case _: NumberFormatException => 0xfffdL }
 
   // --- B5 truncateText (normalizer.ts:79-109) ---

@@ -157,7 +157,7 @@ object Selector {
         case '#' => i += 1; preds += IdIs(readName())
         case '.' => i += 1; preds += HasClass(readName())
         case '[' =>
-          val end = s.indexOf(']', i)
+          val end = indexOfOutsideQuotes(s, ']', i + 1)
           val body = s.substring(i + 1, if (end < 0) n else end)
           i = if (end < 0) n else end + 1
           preds += parseAttr(body)
@@ -165,7 +165,7 @@ object Selector {
           i += 1
           val name = readName()
           if (i < n && s.charAt(i) == '(') {
-            val end = s.indexOf(')', i)
+            val end = indexOfOutsideQuotes(s, ')', i + 1)
             var arg = s.substring(i + 1, if (end < 0) n else end)
             i = if (end < 0) n else end + 1
             arg = unquote(arg.trim)
@@ -184,10 +184,33 @@ object Selector {
           // WRONG, so fail loudly in dev: match nothing.
           preds += NeverMatches
           i = n
-        case _ => i += 1
+        case _ =>
+          // any other character — notably the unsupported child/sibling
+          // combinators '>', '~', '+' written without spaces ("div>p") —
+          // must ALSO match nothing: silently skipping it would degrade
+          // "div>p" to TagIs(div) and, via a user dropSelector, delete
+          // every div on the page
+          preds += NeverMatches
+          i = n
       }
     }
     Compound(preds.result())
+  }
+
+  /** First index of `ch` at or after `from` that is not inside a single- or
+    * double-quoted run — `[alt="a]b"]` and `:contains(a(b))` need the scan
+    * to respect quoting like splitTopLevel does. */
+  private def indexOfOutsideQuotes(s: String, ch: Char, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == ch) return i
+      i += 1
+    }
+    -1
   }
 
   private def parseAttr(body: String): Pred = {
@@ -203,7 +226,9 @@ object Selector {
       case '*' => AttrContains(name, value)
       case '^' => AttrStarts(name, value)
       case '$' => AttrEnds(name, value)
-      case _   => AttrEq(name, value)
+      // ~= (word list) and |= (dash prefix) are unsupported: per the file's
+      // design rule they must match NOTHING, not approximate to exact-match
+      case _   => NeverMatches
     }
   }
 

@@ -228,7 +228,12 @@ object Multimodal {
             val feat = luminanceFeature(img)
             MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decode_ok = true)
           case None =>
-            val decoded = decodeStub(m.bytes)
+            // the stub stands in ONLY for kinds without a JDK codec
+            // (audio/video); an IMAGE that failed the real ImageIO decode is
+            // corrupt input and must report decode_ok=false — routing it
+            // through the stub fabricated dims/features and downstream
+            // decode_ok filters kept garbage rows
+            val decoded = if (m.kind == "image") None else decodeStub(m.bytes)
             val feat = featureStub(m.bytes)
             MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decoded.isDefined)
         }

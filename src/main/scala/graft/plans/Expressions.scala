@@ -12,9 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * `size(split(trim(s), '\\s+'))` allocates a regex matcher and an array per
  * row; at 10^12 documents that's pure GC pressure for a number we can compute
- * in a single byte scan. `token_count(s)` stays inside whole-stage codegen
- * (doGenCode emits a tight loop over the UTF8String bytes — no objects, no
- * regex) and returns the count of non-whitespace runs — equal to
+ * in one pass. `token_count(s)` stays inside whole-stage codegen (doGenCode
+ * emits a direct static call — one String materialization, no regex, no
+ * arrays) and returns the count of non-JS-whitespace runs — equal to
  * `size(split(trim(s),'\\s+'))` for non-empty trimmed input (0 for blank).
  *
  * Registered via [[GraftExtensions]] (`SparkSessionExtensions`), the
@@ -42,20 +42,14 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 }
 
 object TokenCount {
-  /** Count runs of non-whitespace bytes/chars (ASCII ws + unicode spaces). */
+  /** Count runs of non-JS-whitespace chars \u2014 delegates to the SAME
+    * whitespace class the extraction path uses (`Js.countTokens` /
+    * `Js.isJsWs`): a second ad-hoc class here made SQL `token_count`
+    * disagree with `word_count` on u202F/u2007/uFEFF and u001C-u001F \u2014
+    * two answers for one text across surfaces. */
   def countTokens(s: UTF8String): Int = {
     if (s == null) return 0
-    val str = s.toString
-    var count = 0
-    var inTok = false
-    var i = 0
-    while (i < str.length) {
-      val ws = Character.isWhitespace(str.charAt(i)) || str.charAt(i) == '\u00a0'
-      if (!ws && !inTok) { count += 1; inTok = true }
-      else if (ws) inTok = false
-      i += 1
-    }
-    count
+    graft.util.Js.countTokens(s.toString)
   }
 }
 

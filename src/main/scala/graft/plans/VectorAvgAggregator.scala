@@ -17,7 +17,10 @@ object VectorAvgAggregator extends Aggregator[Array[Float], (Array[Double], Long
   def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
   def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
-    if (v == null) return b
+    // skip empty vectors like nulls: counting one would halve the group's
+    // average, and a partition holding ONLY empty vectors would otherwise
+    // build a (0-dim, n>0) buffer that crashes the merge dimension check
+    if (v == null || v.isEmpty) return b
     val (acc0, n) = b
     val acc = if (acc0.isEmpty) new Array[Double](v.length) else acc0
     require(acc.length == v.length, s"dimension mismatch: ${acc.length} vs ${v.length}")

@@ -63,8 +63,17 @@ object Robots {
     if (pattern.endsWith("*")) return path.startsWith(pattern.dropRight(1))
     if (pattern.endsWith("$")) return path == pattern.dropRight(1)
     if (pattern.contains("*")) {
-      val regex = ("^" + pattern.replace("*", ".*").replace("?", "\\?") + ".*").r
-      return regex.findFirstIn(path).isDefined
+      // same regex construction as robots.ts:161 (only * and ? rewritten —
+      // '.' passing through unescaped is a reference quirk kept on
+      // purpose), but contained: a malformed pattern ("/foo[*bar") throws
+      // in both engines, and the reference's thrown RegExp error reaches
+      // its fail-open catch — here the per-rule equivalent is "matches
+      // nothing", so neither allow nor disallow fires and the row stays
+      // allowed instead of killing the Spark task
+      return try {
+        val regex = ("^" + pattern.replace("*", ".*").replace("?", "\\?") + ".*").r
+        regex.findFirstIn(path).isDefined
+      } catch { case _: Exception => false }
     }
     path.startsWith(pattern)
   }
