@@ -43,6 +43,12 @@ object Entities {
     "alpha" -> "α", "beta" -> "β", "gamma" -> "γ", "delta" -> "δ",
     "epsilon" -> "ε", "lambda" -> "λ", "mu" -> "μ", "pi" -> "π",
     "sigma" -> "σ", "omega" -> "ω", "Omega" -> "Ω", "Delta" -> "Δ",
+    // HTML5 capital-letter references are DISTINCT entries, not case
+    // variants ("Pi;" → Π while "NBSP;" is not a reference at all)
+    "Alpha" -> "Α", "Beta" -> "Β", "Gamma" -> "Γ", "Epsilon" -> "Ε",
+    "Lambda" -> "Λ", "Mu" -> "Μ", "Pi" -> "Π", "Sigma" -> "Σ",
+    "AMP" -> "&", "GT" -> ">", "LT" -> "<", "QUOT" -> "\"",
+    "COPY" -> "©", "REG" -> "®", "TRADE" -> "™",
     "shy" -> "­", "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
     "zwnj" -> "‌", "zwj" -> "‍", "lrm" -> "‎", "rlm" -> "‏",
     "sbquo" -> "‚", "bdquo" -> "„", "dollar" -> "$", "percnt" -> "%",
@@ -130,14 +136,14 @@ object Entities {
       val name = s.substring(nameStart, i)
       val hasSemi = i < n && s.charAt(i) == ';'
       if (hasSemi) {
+        // CASE-SENSITIVE only: the HTML5 named-reference table distinguishes
+        // case ("Pi;" → Π vs "pi;" → π; "NBSP;" is not a reference and stays
+        // literal) — the former blanket lowercase fallback decoded invalid
+        // casings and collided case-distinct pairs; the valid uppercase
+        // forms (AMP;, COPY;, Greek capitals…) are explicit table entries
         named.get(name) match {
           case Some(v) => sb.append(v); i + 1 - start
-          case None =>
-            // case-insensitive fallback for the classic set
-            named.get(name.toLowerCase) match {
-              case Some(v) => sb.append(v); i + 1 - start
-              case None    => 0
-            }
+          case None    => 0
         }
       } else {
         // legacy semicolon-less: longest matching prefix from the legacy set
