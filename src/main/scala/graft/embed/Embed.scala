@@ -54,7 +54,7 @@ object Embed {
     val willTruncate = inputLength > maxInputLength
     val processedLength = if (willTruncate) maxInputLength else inputLength
     val normalized =
-      Js.trim(text.substring(0, processedLength).replaceAll("[" + Js.wsClass + "]+", " "))
+      Js.trim(Js.collapseWsAll(text.substring(0, processedLength)))
     val estimatedTokens = heuristicTokenCount(normalized)
     val estimatedChunks =
       if (estimatedTokens <= size) 1
@@ -99,7 +99,10 @@ object Embed {
       maxInputLength: Int = DefaultMaxInputLength): Vector[TextChunk] = {
     val overlap = math.min(math.max(0, overlapIn), math.max(0, size - 1))
     val processed = if (text.length > maxInputLength) text.substring(0, maxInputLength) else text
-    val normalized = Js.trim(processed.replaceAll("[" + Js.wsClass + "]+", " "))
+    // Js.collapseWsAll is the precompiled-free equivalent of
+    // replaceAll("[<JS ws>]+", " ") — the per-row Pattern.compile of the
+    // string-concatenated class was a measured hot-path waste
+    val normalized = Js.trim(Js.collapseWsAll(processed))
     if (normalized.isEmpty) return Vector.empty
 
     val totalTokens = heuristicTokenCount(normalized)
@@ -144,10 +147,16 @@ object Embed {
   // ---- E3 PII redaction (safety.ts) ----
 
   private def g(p: String) = Pattern.compile(p)
+  // JS \s (safety.ts separators) includes NBSP and the Unicode space
+  // separators — Java \s is ASCII-only, which let "(212) 555 1234"
+  // style NBSP-separated phone/card numbers escape redaction; the scraped-
+  // HTML path produces exactly that via &nbsp;. (The DuckDB oracle regexes
+  // keep RE2 \s — identical on the ASCII verification corpus.)
+  private val jsWs = "\\s" + Js.wsClass
   val EmailPattern: Pattern = g("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b")
-  val PhonePattern: Pattern = g("(?:\\+?1[-.\\s]?)?\\(?[0-9]{3}\\)?[-.\\s]?[0-9]{3}[-.\\s]?[0-9]{4}\\b")
+  val PhonePattern: Pattern = g(s"(?:\\+?1[-.$jsWs]?)?\\(?[0-9]{3}\\)?[-.$jsWs]?[0-9]{3}[-.$jsWs]?[0-9]{4}\\b")
   val CreditCardPattern: Pattern = g(
-    "\\b(?:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|3[47][0-9]{13}|6(?:011|5[0-9]{2})[0-9]{12}|(?:[0-9]{4}[-\\s]){3}[0-9]{4}|[0-9]{13,19})\\b")
+    s"\\b(?:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|3[47][0-9]{13}|6(?:011|5[0-9]{2})[0-9]{12}|(?:[0-9]{4}[-$jsWs]){3}[0-9]{4}|[0-9]{13,19})\\b")
   val SsnPattern: Pattern = g("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
   val Ipv4Pattern: Pattern = g(
     "\\b(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b")
@@ -206,7 +215,9 @@ object Embed {
       preferNormalized: Boolean = true): Option[String] = {
     if (preferNormalized && data.normalizedText.exists(t => Js.trim(t).nonEmpty))
       return Some(cleanText(data.normalizedText.get))
-    if (inputType == "custom" && customText.isDefined)
+    // input.ts:27 truthy check: custom with an EMPTY string falls through
+    // to the textContent chain (an empty customText must not cause a skip)
+    if (inputType == "custom" && customText.exists(_.nonEmpty))
       return Some(cleanText(customText.get))
     inputType match {
       case "title+summary" => selectTitleSummary(data)
@@ -234,10 +245,9 @@ object Embed {
   /** input.ts:111-133 — control-char strip, whitespace collapse, per-line trim. */
   def cleanText(text: String): String = {
     if (text == null || text.isEmpty) return ""
+    val stripped = text.replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     Js.trim(
-      text
-        .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-        .replaceAll("[ \\t]+", " ")
+      Js.collapseSpaceTab(stripped)
         .replaceAll("\\n{3,}", "\n\n")
         .split("\n", -1).map(Js.trim).mkString("\n"))
   }

@@ -127,7 +127,7 @@ object PagesGen {
   def makePage(i: Long, heavy: Boolean): PageRow = {
     // dedup-realism: every 100th row is an EXACT content dup of its
     // predecessor (same body, different url/host), every other 50th row a
-    // NEAR dup (one extra trailing sentence) — ~2% + ~2% of the corpus,
+    // NEAR dup (one extra trailing sentence) — ~1% + ~1% of the corpus,
     // exercising exact-hash, minhash/simhash and jaccard dedup paths
     val isDup = i > 0 && i % 50 == 0
     val isNearDup = isDup && i % 100 != 0

@@ -49,11 +49,12 @@ object UrlOps {
     }
   }
 
-  /** url.ts:89 — domain(url) != baseDomain; false on parse failure. */
+  /** url.ts:89 — domain(url) != baseDomain; false on parse failure. An
+    * opaque url (mailto:, javascript:) parses fine in `new URL` with
+    * hostname "" — "" != baseDomain ⇒ external, NOT parse-failure false. */
   def isExternalUrl(url: String, baseDomain: String): Boolean =
     WUrl.parse(url) match {
-      case Some(u) if u.opaque.isEmpty =>
-        u.hostname.replaceFirst("^www\\.", "") != baseDomain
+      case Some(u) => u.hostname.replaceFirst("^www\\.", "") != baseDomain
       case _ => false
     }
 
@@ -61,9 +62,10 @@ object UrlOps {
   def getProtocol(url: String): String =
     WUrl.parse(url).map(_.protocol).getOrElse("")
 
-  /** url.ts:111 — pathname; "" on failure. */
+  /** url.ts:111 — pathname; "" on failure. `new URL("mailto:a@b").pathname`
+    * is the opaque body, which `WUrl.pathname` already returns. */
   def getPath(url: String): String =
-    WUrl.parse(url).map(u => if (u.opaque.isDefined) "" else u.pathname).getOrElse("")
+    WUrl.parse(url).map(_.pathname).getOrElse("")
 
   /** url.ts:124 — prefix match, or '*' wildcard → `^escaped.*` regex. */
   def matchesUrlPattern(url: String, pattern: String): Boolean = {

@@ -230,8 +230,14 @@ object WUrl {
   def resolve(ref: String, base: WUrl): Option[WUrl] = {
     val r = ref.trim
     if (r.isEmpty) return Some(base.copy(fragment = None))
-    // absolute?
+    // absolute? WHATWG "special relative or authority" state: a reference
+    // with the SAME special scheme as the base but no authority slashes
+    // ("https:section") is parsed RELATIVE to the base — new URL resolves
+    // it to base-dir/section, not to host "section"
     r match {
+      case schemeRe(rawScheme, rest)
+          if rawScheme.toLowerCase == base.scheme && base.isSpecial && !rest.startsWith("/") =>
+        return resolve(rest, base)
       case schemeRe(_, _) => return parse(r)
       case _ =>
     }

@@ -49,6 +49,35 @@ object HttpBase {
     "(?i)^localhost$".r
   )
 
+  /** Canonicalize the non-dotted-quad IPv4 host forms WHATWG `new URL`
+    * normalizes but java.net.URI passes through raw: pure decimal
+    * (2130706433), hex (0x7f000001), octal (0177.0.0.1), and short dotted
+    * forms (127.1) all become the dotted quad — WITHOUT this, those
+    * loopback spellings bypass every private-range regex and defeat the
+    * SSRF block. Pure parsing, no DNS. Non-numeric hosts pass through. */
+  private[util] def canonicalizeIpv4(host: String): String = {
+    def parsePart(p: String): Option[Long] =
+      try {
+        if (p.isEmpty) None
+        else if ((p.startsWith("0x") || p.startsWith("0X")) && p.length > 2)
+          Some(java.lang.Long.parseLong(p.substring(2), 16))
+        else if (p.startsWith("0") && p.length > 1 && p.forall(c => c >= '0' && c <= '7'))
+          Some(java.lang.Long.parseLong(p, 8))
+        else if (p.forall(_.isDigit)) Some(java.lang.Long.parseLong(p))
+        else None
+      } catch { case _: NumberFormatException => None }
+    val parts = host.split("\\.", -1)
+    if (parts.length > 4) return host
+    val nums = parts.map(parsePart)
+    if (nums.exists(_.isEmpty)) return host
+    val vs = nums.map(_.get)
+    // WHATWG IPv4 parser: last part covers the remaining bytes
+    val n = vs.length
+    if (vs.init.exists(_ > 255) || vs.last >= (1L << (8 * (5 - n)))) return host
+    val ip = vs.init.zipWithIndex.map { case (v, i) => v << (8 * (3 - i)) }.sum + vs.last
+    s"${(ip >> 24) & 0xff}.${(ip >> 16) & 0xff}.${(ip >> 8) & 0xff}.${ip & 0xff}"
+  }
+
   def isPrivateHost(hostname: String): Boolean = {
     // java.net.URI.getHost keeps the RFC 2732 brackets on IPv6 literals
     // ("[::1]"); the patterns above are written against the bare address, so
@@ -56,7 +85,7 @@ object HttpBase {
     val bare =
       if (hostname.startsWith("[") && hostname.endsWith("]"))
         hostname.substring(1, hostname.length - 1)
-      else hostname
+      else canonicalizeIpv4(hostname)
     PrivateIpPatterns.exists(_.findFirstIn(bare).isDefined)
   }
 

@@ -102,6 +102,17 @@ class EmbedSpec extends AnyFunSuite {
     assert(r.redactionCount == 2)
   }
 
+  test("redact NBSP-separated phone/card numbers (JS \\s includes unicode spaces)") {
+    // scraped HTML routinely renders &nbsp; between groups — JS \s matches
+    // U+00A0, Java \s does not; the port must not leak these to providers
+    val r = redactPii("Call (212) 555 1234 now")
+    assert(r.redacted, r.text)
+    assert(!r.text.contains("555"), r.text)
+    val c = redactPii("Card: 4111 1111 1111 1111 ok")
+    assert(c.redacted, c.text)
+    assert(!c.text.contains("4111"), c.text)
+  }
+
   test("redact credit cards") {
     val r = redactPii("Card: 4111-1111-1111-1111 or 5500000000000004")
     assert(r.redacted)

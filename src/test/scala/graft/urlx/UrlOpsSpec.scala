@@ -137,4 +137,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(resolveUrl("/wiki/Überläufer", "https://e.com/x")
       .contains("https://e.com/wiki/%C3%9Cberl%C3%A4ufer"))
   }
+
+  test("same-special-scheme reference without // resolves RELATIVE (WHATWG, round 4)") {
+    // new URL("https:section", "https://example.com/a/b") → .../a/section,
+    // NOT a fabricated host "section"
+    assert(resolveUrl("https:section", "https://example.com/a/b")
+      .contains("https://example.com/a/section"))
+    // different scheme stays absolute
+    assert(resolveUrl("http://other.com/x", "https://example.com/a/b")
+      .contains("http://other.com/x"))
+  }
+
+  test("opaque urls: pathname is the opaque body; mailto is external (url.ts:89,111)") {
+    assert(getPath("mailto:user@example.com") == "user@example.com")
+    assert(isExternalUrl("mailto:a@b.com", "example.com"))
+  }
 }

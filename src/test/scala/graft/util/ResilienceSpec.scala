@@ -6,6 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * (resilience.ts:99-554) under an exact fake clock. */
 class ResilienceSpec extends AnyFunSuite {
 
+  test("SSRF block canonicalizes numeric IPv4 host spellings (round 4)") {
+    import graft.util.HttpBase
+    // WHATWG new URL normalizes these to 127.0.0.1; java.net.URI passes
+    // them through raw, which used to bypass every private-range regex
+    assert(HttpBase.isPrivateHost("2130706433"))    // decimal loopback
+    assert(HttpBase.isPrivateHost("0x7f000001"))    // hex loopback
+    assert(HttpBase.isPrivateHost("0177.0.0.1"))    // octal first octet
+    assert(HttpBase.isPrivateHost("127.1"))         // short dotted form
+    assert(HttpBase.isPrivateHost("0xA9.0xFE.0xA9.0xFE")) // 169.254.x link-local
+    assert(!HttpBase.isPrivateHost("134744072"))    // 8.8.8.8 — public
+    assert(!HttpBase.isPrivateHost("api.example.com"))
+    intercept[graft.sources.ScrapeError](
+      HttpBase.validateUrl("https://2130706433/v1"))
+  }
+
   /** Manually-advanced clock; sleep() advances time instead of blocking. */
   private final class FakeClock(var now: Long = 0L) extends Clock {
     var slept: Vector[Long] = Vector.empty
