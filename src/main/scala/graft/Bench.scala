@@ -120,18 +120,26 @@ object Bench {
     // headline: extraction throughput — median of 3; extract-only (scaling
     // protocol) runs 5 reps — the shared-host CPU noise at 32 threads is
     // large (observed 10s vs 29s for identical work within one JVM)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
-      .getOrElse(if (sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")) 5 else 3)
+    // 5 reps in BOTH modes (was 3 in full mode): the shared host spikes
+    // individual reps 1.5-3×, and a median-of-3 lets one spike drag the
+    // committed headline 30% under the same-window ceiling (the r4 artifact)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(5)
     var extractedCount = 0L
-    val times = (1 to reps).map { i =>
+    val repTimes = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       extractedCount = runVariant(variant)
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] timed run $i ($variant): $dt%.2f s")
       dt
-    }.sorted
+    }
+    val times = repTimes.sorted
+    // headline = protocol median; the per-rep times and the MIN go into the
+    // JSON too (VERDICT r4 #1) so a one-rep noise spike on this shared host
+    // is attributable from the committed artifact alone instead of
+    // contradicting the quiet-window narrative in BASELINE.md.
     val extractSec = times(times.length / 2)
     val docsPerSec = extractedCount / extractSec
+    val docsPerSecBest = extractedCount / times.head
 
     // per-variant plan-cost comparison (full mode only): one warm pass, then
     // MIN of the timed passes for EVERY variant — a plan comparison wants
@@ -161,9 +169,14 @@ object Bench {
     // a plan defect (ratio holds ⇒ the box moved, not the plan).
     val rawDocs = BenchPhases.rawCeilingDocs(math.min(nDocs, 40000), corpusKind == "heavy")
     BenchPhases.rawPoolSec(rawDocs, cpus.toInt) // warm
-    val rawSec = (1 to 3).map(_ => BenchPhases.rawPoolSec(rawDocs, cpus.toInt)).sorted.apply(1)
+    val rawReps = (1 to 3).map(_ => BenchPhases.rawPoolSec(rawDocs, cpus.toInt))
+    val rawSec = rawReps.sorted.apply(1)
     val rawDocsPerSec = rawDocs.length / rawSec
     val sparkVsCeiling = docsPerSec / rawDocsPerSec
+    // best-vs-best: min Spark rep over min raw rep — the noise-floor ratio.
+    // If the median ratio dips but THIS holds ≥0.85, the gap is a transient
+    // spike inside the window, not a plan cost.
+    val sparkVsCeilingBest = docsPerSecBest / (rawDocs.length / rawReps.min)
 
     // SPARK_GRAFT_EXTRACT_ONLY=1 → skip the query suite (scaling-protocol runs
     // time only the extraction job)
@@ -182,12 +195,24 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - q0) / 1e9
       }
+    // raw ANN recalls (VERDICT r4 #6): the query suite already ran
+    // `ann_recall` and stashed the measured values; emit them so a recall
+    // regression INSIDE the floor margin is visible round-over-round.
+    val annRecalls: Map[String, Double] =
+      if (extractOnly) Map.empty
+      else if (SparkEntry.lastAnnRecalls.nonEmpty) SparkEntry.lastAnnRecalls
+      else SparkEntry.annRecalls(spark, sfDir)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val vs = variantTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val ms = materialize.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val rep = repTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val rawRep = rawReps.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val ar = annRecalls.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = extractSec + results.map(_._2).sum + materialize.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"extract_variant":"$variant%s","auto_variant":"$autoChoice%s","variant_sec":$vs%s,"materialize_sec":$ms%s,"raw_pool_docs":${rawDocs.length}%d,"raw_pool_sec":$rawSec%.3f,"raw_pool_docs_per_sec":$rawDocsPerSec%.1f,"spark_vs_ceiling":$sparkVsCeiling%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"corpus":"$corpusKind%s","extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_reps_sec":$rep%s,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"extract_variant":"$variant%s","auto_variant":"$autoChoice%s","variant_sec":$vs%s,"materialize_sec":$ms%s,"ann_recall":$ar%s,"raw_pool_docs":${rawDocs.length}%d,"raw_pool_sec":$rawSec%.3f,"raw_pool_reps_sec":$rawRep%s,"raw_pool_docs_per_sec":$rawDocsPerSec%.1f,"spark_vs_ceiling":$sparkVsCeiling%.3f,"spark_vs_ceiling_best":$sparkVsCeilingBest%.3f}""")
     spark.stop()
   }
 }

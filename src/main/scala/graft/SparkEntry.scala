@@ -52,9 +52,19 @@ object SparkEntry {
       // resident indefinitely
       evictAll(sigCache)(_.unpersist())
       evictAll(candCache)(_.unpersist())
+      evictAll(verifiedCache)(_.unpersist())
       val n = PagesGen.pagesFor(sfDir)
       val parts = spark.sparkContext.defaultParallelism
-      val ds = ExtractJob.extract(PagesGen.generate(spark, n), parts).persist()
+      // SPARK_GRAFT_CORPUS=heavy swaps in the markup-inflated corpus
+      // (real-web ~10:1 markup:text) for the whole *_pages query family —
+      // the per-round byte-ratio probe (VERDICT r4 #7). The driver's
+      // correctness runs never set it, and every oracle-gated fixture query
+      // builds its own corpus explicitly, so the knob can only affect the
+      // rows-only families it exists to probe.
+      val gen =
+        if (sys.env.get("SPARK_GRAFT_CORPUS").contains("heavy")) PagesGen.generateHeavy(spark, n)
+        else PagesGen.generate(spark, n)
+      val ds = ExtractJob.extract(gen, parts).persist()
       cache.put(sfDir, (spark, ds))
       ds
     }
@@ -176,8 +186,23 @@ object SparkEntry {
       .filter(col("jaccard") >= 0.8)
   }
 
-  private def jaccardVerified(s: SparkSession, dir: String): DataFrame =
-    verifiedFrom(signatures(s, dir), nearDupCandidates(s, dir))
+  private val verifiedCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  /** Exact-verified near-dup pairs behind the same one-entry persist cache
+    * as the relations they derive from (VERDICT r4 #2): without it,
+    * `dedup_jaccard_pages` and `dedup_survivors_pages` each re-ran the
+    * shingle-set verify map over the prefiltered candidates — most of the
+    * survivors query's 6.9 s bench line was that recomputation. */
+  private def jaccardVerified(s: SparkSession, dir: String): DataFrame = synchronized {
+    val hit = verifiedCache.get(dir)
+    if (hit != null && (hit._1 eq s)) hit._2
+    else {
+      evictAll(verifiedCache)(_.unpersist())
+      val df = verifiedFrom(signatures(s, dir), nearDupCandidates(s, dir)).persist()
+      verifiedCache.put(dir, (s, df))
+      df
+    }
+  }
 
   private val embedPairCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
@@ -239,6 +264,7 @@ object SparkEntry {
       timed("extracted")(extracted(spark, sfDir).count()),
       timed("signatures")(signatures(spark, sfDir).count()),
       timed("candidates")(nearDupCandidates(spark, sfDir).count()),
+      timed("jaccard_verified")(jaccardVerified(spark, sfDir).count()),
       timed("embed_lsh_pairs")(embedLshVerified(spark, sfDir).count()))
   }
 
@@ -264,6 +290,106 @@ object SparkEntry {
   private def embedPipelineRun(s: SparkSession, dir: String): DataFrame =
     graft.embed.EmbedPipeline.embedDocuments(
       s, embedPipelineDocs(s, dir), None, new graft.embed.HashStubProvider(8)).toDF()
+
+  /** Per-variant floors for the `ann_recall` driver gate — well below the
+    * deterministic measured recalls at both verification SFs (sf0.01 and
+    * sf0.1); the RAW recalls are emitted into the bench JSON (VERDICT r4
+    * #6) so a regression inside the floor margin is still visible. */
+  private val AnnRecallFloors = Seq("ivf" -> 0.6, "lsh" -> 0.4, "multiprobe" -> 0.6)
+
+  /** Measured recall@10 per approximate ANN surface (single-probe LSH,
+    * multi-probe LSH, IVF) against the exact top-10 over planted true
+    * neighbors — the computation behind the `ann_recall` query, shared with
+    * graft.Bench which emits the raw values. Last result is stashed in
+    * [[lastAnnRecalls]] so a bench run that already executed the query
+    * suite does not recompute the chain. */
+  @volatile private[graft] var lastAnnRecalls: Map[String, Double] = Map.empty
+
+  def annRecalls(s: SparkSession, dir: String): Map[String, Double] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.registerNative(s)
+    val raw = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val orig = raw.as[(Long, Array[Float])]
+    val topK = 10
+    val nQueries = 5
+
+    // plant 10 neighbors per query: p = normalize(q̂ + 0.5·û) with û a
+    // deterministic per-(query, j) unit noise vector → cos(p, q) ≈ 0.89
+    val qVecs = orig.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val planted: Seq[(Long, Array[Float])] = qVecs.toSeq.flatMap { case (qid, qv) =>
+      val qn = VectorOps.normalize(qv)
+      (0 until topK).map { j =>
+        val noise = Array.tabulate(qv.length) { d =>
+          (TextOps.mix64(0x616e6eL ^ (qid * 1000 + j * 100 + d)) >>> 11).toFloat / (1L << 53).toFloat - 0.5f
+        }
+        val un = VectorOps.normalize(noise)
+        val p = VectorOps.normalize(Array.tabulate(qv.length)(d => qn(d) + 0.5f * un(d)))
+        (-(qid * topK + j + 1), p)
+      }
+    }
+    val emb = orig.union(s.createDataset(planted))
+    val corpus = emb.toDF("vec_id", "embedding")
+    val n = corpus.count()
+
+    val q = corpus.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val exactTop = corpus.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), expr("cosine_sim5(q_emb, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select("query_id", "vec_id")
+      .persist()
+
+    def recallOf(approx: DataFrame): Double =
+      approx.join(exactTop, Seq("query_id", "vec_id")).count().toDouble / (nQueries.toDouble * topK)
+
+    // single-probe LSH (embed_knn_lsh shape); the bucketed relation is
+    // persisted — single-probe and multi-probe score against the same
+    // index, and without the persist each scoreProbes action re-hashes
+    // the whole corpus
+    val nBits = graft.ops.Ann.adaptiveNBits(n, targetBucket = 128)
+    val indexed = emb.map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, nBits)) }
+      .toDF("vec_id", "embedding", "cell")
+      .persist()
+    val lshProbes = indexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val lshTop = graft.ops.AnnIndex.scoreProbes(lshProbes, indexed, topK)
+      .select("query_id", "vec_id")
+
+    // multi-probe LSH (embed_knn_multiprobe shape)
+    val mpProbes = indexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, _) =>
+        graft.ops.Ann.multiProbeBuckets(v, nBits, 0, 3).map(b => (id, v, b))
+      }.toDF("query_id", "q_emb", "cell")
+    val mpTop = graft.ops.AnnIndex.scoreProbes(mpProbes, indexed, topK)
+      .select("query_id", "vec_id")
+
+    // IVF (embed_knn_ivf shape); centroids train on the ORIGINAL corpus
+    // sample (lowest non-planted ids), as a real index would
+    val k = graft.ops.Ann.adaptiveIvfK(n)
+    val sample = orig.filter(_._1 < graft.ops.Ann.ivfSampleSize(k)).collect().sortBy(_._1).map(_._2)
+    val cB = s.sparkContext.broadcast(graft.ops.Ann.trainCentroids(sample, k))
+    val ivfIndexed = emb.map { case (id, v) => (id, v, graft.ops.Ann.nearestCentroid(v, cB.value)) }
+      .toDF("vec_id", "embedding", "cell")
+    val ivfProbes = ivfIndexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, _) =>
+        graft.ops.Ann.probeCells(v, cB.value, 4).map(c => (id, v, c))
+      }.toDF("query_id", "q_emb", "cell")
+    val ivfTop = graft.ops.AnnIndex.scoreProbes(ivfProbes, ivfIndexed, topK)
+      .select("query_id", "vec_id")
+
+    val recalls = Map("lsh" -> recallOf(lshTop), "multiprobe" -> recallOf(mpTop),
+      "ivf" -> recallOf(ivfTop))
+    System.err.println(s"[ann_recall] n=$n nBits=$nBits k=$k recalls=$recalls")
+    exactTop.unpersist()
+    indexed.unpersist()
+    lastAnnRecalls = recalls
+    recalls
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ======== extraction family (rows-only; DOM semantics not SQL-expressible) ========
@@ -537,6 +663,11 @@ object SparkEntry {
 
     "embed_cache_key" -> ((s, dir) => {
       import s.implicits._
+      // deliberately the NO-safety config (a reference call with `safety`
+      // undefined → key dropped by normalizeObject): this query checks the
+      // standalone E7 derivation over raw text. The redaction-enabled
+      // safety shape the pipeline always emits (EmbedPipeline.cacheConfigFor)
+      // is oracle-checked through embed_pipeline / embed_pipeline_cachehit.
       val cfg = graft.embed.EmbedCache.CacheConfig(providerKey = "stub")
       docs(s, dir).select("doc_id", "text").as[(Long, String)]
         .map { case (id, t) =>
@@ -977,92 +1108,13 @@ object SparkEntry {
     // planted-id convention as embed_pipeline) into the searched corpus;
     // the exact top-10 then IS the planted neighborhood and recall measures
     // exactly what the bucketing must preserve. Floors sit well below the
-    // deterministic measured values at both verification SFs; raw recalls
-    // are deliberately not emitted (they are SF-dependent constants).
+    // deterministic measured values at both verification SFs; the DRIVER row
+    // carries only the booleans (raw recalls are SF-dependent constants) —
+    // the raw values go into the bench JSON instead (VERDICT r4 #6).
     "ann_recall" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      graft.plans.GraftExtensions.registerNative(s)
-      val raw = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
-      val orig = raw.as[(Long, Array[Float])]
-      val topK = 10
-      val nQueries = 5
-
-      // plant 10 neighbors per query: p = normalize(q̂ + 0.5·û) with û a
-      // deterministic per-(query, j) unit noise vector → cos(p, q) ≈ 0.89
-      val qVecs = orig.filter(_._1 < nQueries).collect().sortBy(_._1)
-      val planted: Seq[(Long, Array[Float])] = qVecs.toSeq.flatMap { case (qid, qv) =>
-        val qn = VectorOps.normalize(qv)
-        (0 until topK).map { j =>
-          val noise = Array.tabulate(qv.length) { d =>
-            (TextOps.mix64(0x616e6eL ^ (qid * 1000 + j * 100 + d)) >>> 11).toFloat / (1L << 53).toFloat - 0.5f
-          }
-          val un = VectorOps.normalize(noise)
-          val p = VectorOps.normalize(Array.tabulate(qv.length)(d => qn(d) + 0.5f * un(d)))
-          (-(qid * topK + j + 1), p)
-        }
-      }
-      val emb = orig.union(s.createDataset(planted))
-      val corpus = emb.toDF("vec_id", "embedding")
-      val n = corpus.count()
-
-      val q = corpus.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      val exactTop = corpus.crossJoin(broadcast(q))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"), expr("cosine_sim5(q_emb, embedding)").as("cos"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-        .select("query_id", "vec_id")
-        .persist()
-
-      def recallOf(approx: DataFrame): Double =
-        approx.join(exactTop, Seq("query_id", "vec_id")).count().toDouble / (nQueries.toDouble * topK)
-
-      // single-probe LSH (embed_knn_lsh shape); the bucketed relation is
-      // persisted — single-probe and multi-probe score against the same
-      // index, and without the persist each scoreProbes action re-hashes
-      // the whole corpus
-      val nBits = graft.ops.Ann.adaptiveNBits(n, targetBucket = 128)
-      val indexed = emb.map { case (id, v) => (id, v, VectorOps.cosineLshBucket(v, nBits)) }
-        .toDF("vec_id", "embedding", "cell")
-        .persist()
-      val lshProbes = indexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
-      val lshTop = graft.ops.AnnIndex.scoreProbes(lshProbes, indexed, topK)
-        .select("query_id", "vec_id")
-
-      // multi-probe LSH (embed_knn_multiprobe shape)
-      val mpProbes = indexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
-        .as[(Long, Array[Float], Int)]
-        .flatMap { case (id, v, _) =>
-          graft.ops.Ann.multiProbeBuckets(v, nBits, 0, 3).map(b => (id, v, b))
-        }.toDF("query_id", "q_emb", "cell")
-      val mpTop = graft.ops.AnnIndex.scoreProbes(mpProbes, indexed, topK)
-        .select("query_id", "vec_id")
-
-      // IVF (embed_knn_ivf shape); centroids train on the ORIGINAL corpus
-      // sample (lowest non-planted ids), as a real index would
-      val k = graft.ops.Ann.adaptiveIvfK(n)
-      val sample = orig.filter(_._1 < graft.ops.Ann.ivfSampleSize(k)).collect().sortBy(_._1).map(_._2)
-      val cB = s.sparkContext.broadcast(graft.ops.Ann.trainCentroids(sample, k))
-      val ivfIndexed = emb.map { case (id, v) => (id, v, graft.ops.Ann.nearestCentroid(v, cB.value)) }
-        .toDF("vec_id", "embedding", "cell")
-      val ivfProbes = ivfIndexed.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
-        .as[(Long, Array[Float], Int)]
-        .flatMap { case (id, v, _) =>
-          graft.ops.Ann.probeCells(v, cB.value, 4).map(c => (id, v, c))
-        }.toDF("query_id", "q_emb", "cell")
-      val ivfTop = graft.ops.AnnIndex.scoreProbes(ivfProbes, ivfIndexed, topK)
-        .select("query_id", "vec_id")
-
-      val floors = Seq("ivf" -> 0.6, "lsh" -> 0.4, "multiprobe" -> 0.6)
-      val recalls = Map("lsh" -> recallOf(lshTop), "multiprobe" -> recallOf(mpTop),
-        "ivf" -> recallOf(ivfTop))
-      System.err.println(s"[ann_recall] n=$n nBits=$nBits k=$k recalls=$recalls")
-      exactTop.unpersist()
-      indexed.unpersist()
-      floors.map { case (v, f) => (v, f, recalls(v) >= f) }
+      val recalls = annRecalls(s, dir)
+      AnnRecallFloors.map { case (v, f) => (v, f, recalls(v) >= f) }
         .toDF("variant", "recall_floor", "meets_floor")
         .orderBy("variant")
     }),
@@ -1165,7 +1217,8 @@ object SparkEntry {
     "vector_fixture" -> FixtureQueries.vectorOracle,
 
     "embed_pipeline" -> {
-      val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
+      val fp = graft.embed.EmbedCache.fingerprint(
+        graft.embed.EmbedPipeline.cacheConfigFor(graft.embed.EmbedConfig(providerKey = "stub")))
         .replace("'", "''")
       embedPipelineCte +
       "SELECT doc_id, CASE WHEN reason = '' THEN 'success' ELSE 'skipped' END AS status, reason, " +
@@ -1203,7 +1256,8 @@ object SparkEntry {
        "GROUP BY doc_id, d ORDER BY doc_id, dim"),
 
     "embed_pipeline_cachehit" -> {
-      val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))
+      val fp = graft.embed.EmbedCache.fingerprint(
+        graft.embed.EmbedPipeline.cacheConfigFor(graft.embed.EmbedConfig(providerKey = "stub")))
         .replace("'", "''")
       embedPipelineCte +
       "SELECT doc_id, CASE WHEN reason = '' THEN 'success' ELSE 'skipped' END AS status, " +

@@ -11,6 +11,23 @@ import graft.ops.TextOps
  */
 object EmbedCache {
 
+  /** Fingerprint view of a PiiRedactionConfig (types.ts:159-172) — the
+    * serializer emits every boolean with the reference's `?? false`
+    * defaulting (cache.ts:102-111), and customPatterns as `source/flags`
+    * strings only when present. */
+  final case class PiiFingerprint(
+      creditCard: Boolean = true, email: Boolean = true, phone: Boolean = true,
+      ssn: Boolean = true, ipAddress: Boolean = true,
+      customPatterns: Option[Seq[String]] = None)
+
+  /** Fingerprint view of a SafetyConfig (types.ts:174-195; serialized at
+    * cache.ts:90-98). `allowSensitiveCallbacks` is deliberately absent: the
+    * reference's serializeSafetyConfig omits it, so it never reaches a key. */
+  final case class SafetyFingerprint(
+      piiRedaction: Option[PiiFingerprint] = None,
+      minTextLength: Option[Int] = None,
+      maxTokens: Option[Int] = None)
+
   final case class CacheConfig(
       providerKey: String,
       model: String = "provider-default",
@@ -19,6 +36,10 @@ object EmbedCache {
       inputType: String = "textContent",
       chunkSize: Int = Embed.DefaultChunkSize,
       chunkOverlap: Int = Embed.DefaultOverlap,
+      /** None ⇔ a reference call with `safety` undefined (key dropped by
+        * normalizeObject). The always-redacting pipeline passes the active
+        * config via [[EmbedPipeline.cacheConfigFor]] (VERDICT r4 #3). */
+      safety: Option[SafetyFingerprint] = None,
       cacheKeySalt: String = "")
 
   /** JSON.stringify-compatible string escaping (the reference's
@@ -72,6 +93,29 @@ object EmbedCache {
       s"""{"hasCustomText":false,"hasTransform":false,"type":${jsonStr(c.inputType)}}"""
     fields += "model" -> jsonStr(c.model)
     fields += "providerKey" -> jsonStr(c.providerKey)
+    // safety (cache.ts:55,90-111): serializeSafetyConfig → normalizeObject
+    // with sorted keys and undefined members dropped; piiRedaction's five
+    // booleans are always emitted (`?? false`), customPatterns only when the
+    // caller supplied patterns. An absent SafetyConfig drops the key.
+    c.safety.foreach { sf =>
+      val sfFields = Seq.newBuilder[(String, String)]
+      sf.maxTokens.foreach(v => sfFields += "maxTokens" -> v.toString)
+      sf.minTextLength.foreach(v => sfFields += "minTextLength" -> v.toString)
+      sf.piiRedaction.foreach { p =>
+        val pFields = Seq.newBuilder[(String, String)]
+        pFields += "creditCard" -> p.creditCard.toString
+        p.customPatterns.foreach(ps =>
+          pFields += "customPatterns" -> ps.map(jsonStr).mkString("[", ",", "]"))
+        pFields += "email" -> p.email.toString
+        pFields += "ipAddress" -> p.ipAddress.toString
+        pFields += "phone" -> p.phone.toString
+        pFields += "ssn" -> p.ssn.toString
+        sfFields += "piiRedaction" -> pFields.result().sortBy(_._1)
+          .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+      }
+      fields += "safety" -> sfFields.result().sortBy(_._1)
+        .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+    }
     fields.result().sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
   }

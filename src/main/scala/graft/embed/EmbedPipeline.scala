@@ -88,6 +88,24 @@ final case class EmbedRow(
  */
 object EmbedPipeline {
 
+  /** The cache-key config a reference run with THIS pipeline's behavior
+    * produces (VERDICT r4 #3): the pipeline always passes an explicit
+    * `safety` object — `piiRedaction` with the full default pattern set when
+    * redaction is on (safety.ts:115-124 `redactPii` defaults), and the
+    * always-explicit `minTextLength` (the repo config carries it
+    * unconditionally, unlike the reference's optional-with-default-10) — so
+    * its keys are byte-identical to a reference call that passes
+    * `safety: {piiRedaction: {email/phone/creditCard/ssn/ipAddress: true},
+    * minTextLength: cfg.minTextLength}`. */
+  def cacheConfigFor(cfg: EmbedConfig): EmbedCache.CacheConfig =
+    EmbedCache.CacheConfig(
+      providerKey = cfg.providerKey, model = cfg.model,
+      aggregation = cfg.aggregation, inputType = cfg.inputType,
+      chunkSize = cfg.chunkSize, chunkOverlap = cfg.chunkOverlap,
+      safety = Some(EmbedCache.SafetyFingerprint(
+        piiRedaction = if (cfg.piiRedaction) Some(EmbedCache.PiiFingerprint()) else None,
+        minTextLength = Some(cfg.minTextLength))))
+
   private def prepare(
       docId: Long, data: Embed.InputData, cfg: EmbedConfig,
       customText: Option[String] = None): EmbedPrep = {
@@ -105,10 +123,7 @@ object EmbedPipeline {
       } else (validated, false)
     // Step 4: content-addressable cache key over the redacted input
     // (pipeline.ts:83-93 — content = inputText AFTER redaction)
-    val cc = EmbedCache.CacheConfig(
-      providerKey = cfg.providerKey, model = cfg.model,
-      aggregation = cfg.aggregation, inputType = cfg.inputType,
-      chunkSize = cfg.chunkSize, chunkOverlap = cfg.chunkOverlap)
+    val cc = cacheConfigFor(cfg)
     EmbedPrep(docId, valid = true, "", inputText,
       EmbedCache.cacheKey(cc, inputText), EmbedCache.checksum(inputText), redacted)
   }

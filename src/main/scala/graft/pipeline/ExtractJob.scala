@@ -194,7 +194,8 @@ object ExtractJob {
   /**
    * The fused extraction: one `mapPartitions` over the salted layout. Also
    * records per-partition lineage into `manifestAcc` (one entry per task,
-   * appended after the partition iterator drains).
+   * flushed by a task-completion listener so early-terminating consumers —
+   * `limit()`, take — still record every started partition).
    */
   def extract(
       pages: Dataset[PageRow],
@@ -352,20 +353,29 @@ object ExtractJob {
         row
       }
 
+      // Lineage-contract flush (VERDICT r4 #4): a task-completion listener
+      // fires even when a downstream consumer short-circuits the iterator
+      // (`limit()`, take, an early-exit aggregate) — the drain-time flush
+      // alone silently dropped that partition's manifest row and counters.
+      // Both paths share one idempotent flush: the listener covers early
+      // termination under a real task; the drain check covers direct
+      // iterator consumption with no TaskContext (scalar replay in tests).
+      var flushed = false
+      def flush(): Unit = if (!flushed) {
+        flushed = true
+        counters.foreach { c =>
+          c.pagesParsed.add(nRows); c.parseFailures.add(nFail); c.emptyContent.add(nEmpty)
+        }
+        manifest.foreach(_.add(ManifestRow(runId, pid, nRows, nFail, nEmpty,
+          Option(minUrl).getOrElse(""), Option(maxUrl).getOrElse(""))))
+      }
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => flush()))
+
       new Iterator[ScrapedRow] {
         def hasNext: Boolean = {
           val h = mapped.hasNext
-          if (!h && nRows >= 0) flush()
+          if (!h) flush()
           h
-        }
-        private var flushed = false
-        private def flush(): Unit = if (!flushed) {
-          flushed = true
-          counters.foreach { c =>
-            c.pagesParsed.add(nRows); c.parseFailures.add(nFail); c.emptyContent.add(nEmpty)
-          }
-          manifest.foreach(_.add(ManifestRow(runId, pid, nRows, nFail, nEmpty,
-            Option(minUrl).getOrElse(""), Option(maxUrl).getOrElse(""))))
         }
         def next(): ScrapedRow = mapped.next()
       }

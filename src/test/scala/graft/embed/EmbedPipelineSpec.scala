@@ -57,8 +57,7 @@ class EmbedPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val redacted = Embed.redactPii(
       "Contact me at jane.doe@example.com or call 555-123-4567 for details.").text
     assert(res(2L).pii_redacted)
-    val cfg = EmbedCache.CacheConfig(providerKey = "stub",
-      chunkSize = 64, chunkOverlap = 8)
+    val cfg = EmbedPipeline.cacheConfigFor(EmbedConfig(chunkSize = 64, chunkOverlap = 8))
     assert(res(2L).cache_key == EmbedCache.cacheKey(cfg, redacted))
     assert(res(2L).checksum == EmbedCache.checksum(redacted))
 

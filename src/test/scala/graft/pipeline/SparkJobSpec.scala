@@ -101,6 +101,25 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counters.emptyContent.value == 0L)
   }
 
+  test("manifest/counter flush survives an early-terminating consumer (limit)") {
+    // VERDICT r4 #4: the flush used to fire only when the partition iterator
+    // drained — a downstream `limit()` silently dropped the started
+    // partition's manifest row. The task-completion listener must record
+    // every STARTED partition even when the consumer short-circuits.
+    val counters = ExtractJob.newCounters(spark)
+    val manifestAcc = spark.sparkContext.collectionAccumulator[ManifestRow]("manifest-limit")
+    val out = ExtractJob.extract(PagesGen.generate(spark, 50), 4, Some(counters), Some(manifestAcc), "limit-run")
+      .limit(1).collect()
+    assert(out.length == 1)
+    import scala.jdk.CollectionConverters._
+    val rows = manifestAcc.value.asScala.toSeq
+    assert(rows.nonEmpty, "limit(1) dropped every manifest row")
+    // every manifest row is a STARTED partition with consistent partial counts
+    assert(rows.forall(_.run_id == "limit-run"))
+    assert(rows.map(_.n_rows).sum == counters.pagesParsed.value)
+    assert(counters.pagesParsed.value >= 1L)
+  }
+
   test("extract-first and on-splits variants are row-identical to shuffle-first") {
     val pages = PagesGen.generate(spark, N)
     def key(r: ScrapedRow) = (r.url, r.text_content, r.normalized_text, r.norm_hash, r.title)
