@@ -204,6 +204,32 @@ object SparkEntry {
     }
   }
 
+  /** SimHash near-dup pairs from a `(url, simhash)` relation — the ONE
+    * definition of the chunk-LSH → hamming-verify chain, shared by
+    * `dedup_simhash_pages` (corpus scale) and `simhash_fixture` (planted
+    * oracle). Runs through the SAME candidate-pair operator as the
+    * minhash/embedding families (DedupOps.candidatePairs: payload-free
+    * self-join + mega-bucket suppression in one definition) — the band key
+    * is one of the 4 16-bit simhash chunks (pigeonhole: pairs within
+    * hamming distance ≤ 3 share at least one chunk), and the 8-byte hashes
+    * are re-attached by url AFTER pair dedup. */
+  private def simhashPairsFrom(hashed: DataFrame): DataFrame = {
+    val bands = hashed.select(col("url"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
+      .select(col("url"), col("ch.i").as("chunk_idx"), col("ch.c").as("chunk_key"))
+    val pairs = graft.ops.DedupOps.candidatePairs(
+      bands, Seq("chunk_idx", "chunk_key"), "url", maxBucket = 64)
+      .withColumnRenamed("id_a", "url_a").withColumnRenamed("id_b", "url_b")
+    pairs
+      .join(hashed.select(col("url").as("url_a"), col("simhash").as("h_a")), "url_a")
+      .join(hashed.select(col("url").as("url_b"), col("simhash").as("h_b")), "url_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= 3)
+      .select("url_a", "url_b", "hamming")
+      .orderBy("url_a", "url_b")
+  }
+
   private val embedPairCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
   /** Embedding-cosine near-dup pairs, LSH scale path (shared by
@@ -529,29 +555,23 @@ object SparkEntry {
 
     "dedup_simhash_pages" -> ((s, dir) => {
       import s.implicits._
-      // SimHash near-dup through the SAME candidate-pair operator as the
-      // minhash/embedding families (DedupOps.candidatePairs: payload-free
-      // self-join + mega-bucket suppression in one definition) — the band
-      // key here is one of the 4 16-bit simhash chunks (pigeonhole: pairs
-      // within hamming distance ≤ 3 share at least one chunk), and the
-      // 8-byte hashes are re-attached by url AFTER pair dedup.
       val hashed = extracted(s, dir).map(r => (r.url, TextOps.simHash(r.normalized_text)))
         .toDF("url", "simhash")
-      val bands = hashed.select(col("url"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("i"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
-        .select(col("url"), col("ch.i").as("chunk_idx"), col("ch.c").as("chunk_key"))
-      val pairs = graft.ops.DedupOps.candidatePairs(
-        bands, Seq("chunk_idx", "chunk_key"), "url", maxBucket = 64)
-        .withColumnRenamed("id_a", "url_a").withColumnRenamed("id_b", "url_b")
-      pairs
-        .join(hashed.select(col("url").as("url_a"), col("simhash").as("h_a")), "url_a")
-        .join(hashed.select(col("url").as("url_b"), col("simhash").as("h_b")), "url_b")
-        .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-        .filter(col("hamming") <= 3)
-        .select("url_a", "url_b", "hamming")
-        .orderBy("url_a", "url_b")
+      simhashPairsFrom(hashed)
     }),
+
+    // The simhash chain END-TO-END behind a driver oracle (VERDICT r4 #5 —
+    // the last dedup family with no oracle anywhere in its chain): the SAME
+    // chunk-LSH → hamming-verify pipeline as dedup_simhash_pages, over a
+    // FIXED 40-doc corpus with 10 planted near-dup pairs (exact dups at
+    // k%3==0, one-token-swap variants otherwise) and 20 distinct singletons.
+    // Expected (pair, hamming) rows are transcribed VALUES, cross-checked
+    // against an independent Python implementation of FNV-1a 64 + the mix64
+    // finalizer + the bit-vote (see SimhashFixture scaladoc). The ≤3-bit
+    // chunk recall is not probabilistic here — pigeonhole over 4 chunks
+    // GUARANTEES a shared chunk at hamming ≤ 3, so any missing planted pair
+    // is a chain bug, not fixture bad luck.
+    "simhash_fixture" -> ((s, dir) => SimhashFixture.query(s, simhashPairsFrom)),
 
     // fixture-anchored oracles for the 3 formerly rows-only text-analysis
     // ops (VERDICT r3 #4) — expected cells independently derived by hand /
@@ -1419,6 +1439,16 @@ object SparkEntry {
     "ann_recall" ->
       ("SELECT * FROM (VALUES ('ivf', 0.6, true), ('lsh', 0.4, true), ('multiprobe', 0.6, true)) " +
        "AS t(variant, recall_floor, meets_floor) ORDER BY variant"),
+
+    // planted pairs + hammings of the frozen SimhashFixture corpus —
+    // cross-checked against an independent Python FNV-1a/splitmix64/bit-vote
+    // implementation (SimhashFixture scaladoc); min non-planted hamming in
+    // the corpus is 19, so the expected set is exactly the planted families
+    "simhash_fixture" ->
+      ("SELECT CAST(idx_a AS BIGINT) AS idx_a, CAST(idx_b AS BIGINT) AS idx_b, " +
+       "CAST(hamming AS BIGINT) AS hamming FROM (VALUES " +
+       "(0,1,0),(2,3,1),(4,5,1),(6,7,0),(8,9,3),(10,11,2),(12,13,0),(14,15,2),(16,17,1),(18,19,0)" +
+       ") AS t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b"),
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
