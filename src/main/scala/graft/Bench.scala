@@ -178,6 +178,25 @@ object Bench {
     // spike inside the window, not a plan cost.
     val sparkVsCeilingBest = docsPerSecBest / (rawDocs.length / rawReps.min)
 
+    // Scan-only pass: parquet read + html decode with NO extraction — the
+    // input-side cost the raw-pool ceiling (pre-decoded, in-memory) never
+    // pays. At the 80k full-suite scale this is a large constant slice of
+    // extract_sec, so `spark_vs_ceiling_net` (extraction time net of the
+    // scan, vs the ceiling) attributes the headline gap from the artifact
+    // alone. Net ratio is an UPPER bound on the plan's pure extraction
+    // throughput (scan and compute partially overlap in the fused
+    // pipeline); the honest end-to-end number stays `spark_vs_ceiling`.
+    import org.apache.spark.sql.functions.{col, length => sqlLength, sum => sqlSum}
+    def scanPass(): Unit = {
+      spark.read.parquet(corpusDir).select(sqlSum(sqlLength(col("html")))).collect(); ()
+    }
+    scanPass() // warm
+    val scanSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); scanPass(); (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+    val netSec = math.max(extractSec - scanSec, 1e-9)
+    val sparkVsCeilingNet = (extractedCount / netSec) / rawDocsPerSec
+
     // SPARK_GRAFT_EXTRACT_ONLY=1 → skip the query suite (scaling-protocol runs
     // time only the extraction job)
     val extractOnly = sys.env.get("SPARK_GRAFT_EXTRACT_ONLY").contains("1")
@@ -212,7 +231,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = extractSec + results.map(_._2).sum + materialize.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"corpus":"$corpusKind%s","extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_reps_sec":$rep%s,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"extract_variant":"$variant%s","auto_variant":"$autoChoice%s","variant_sec":$vs%s,"materialize_sec":$ms%s,"ann_recall":$ar%s,"raw_pool_docs":${rawDocs.length}%d,"raw_pool_sec":$rawSec%.3f,"raw_pool_reps_sec":$rawRep%s,"raw_pool_docs_per_sec":$rawDocsPerSec%.1f,"spark_vs_ceiling":$sparkVsCeiling%.3f,"spark_vs_ceiling_best":$sparkVsCeilingBest%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"corpus":"$corpusKind%s","extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_reps_sec":$rep%s,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"extract_variant":"$variant%s","auto_variant":"$autoChoice%s","variant_sec":$vs%s,"materialize_sec":$ms%s,"ann_recall":$ar%s,"raw_pool_docs":${rawDocs.length}%d,"raw_pool_sec":$rawSec%.3f,"raw_pool_reps_sec":$rawRep%s,"raw_pool_docs_per_sec":$rawDocsPerSec%.1f,"scan_sec":$scanSec%.3f,"spark_vs_ceiling":$sparkVsCeiling%.3f,"spark_vs_ceiling_best":$sparkVsCeilingBest%.3f,"spark_vs_ceiling_net":$sparkVsCeilingNet%.3f}""")
     spark.stop()
   }
 }

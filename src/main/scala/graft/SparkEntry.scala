@@ -317,11 +317,14 @@ object SparkEntry {
     graft.embed.EmbedPipeline.embedDocuments(
       s, embedPipelineDocs(s, dir), None, new graft.embed.HashStubProvider(8)).toDF()
 
-  /** Per-variant floors for the `ann_recall` driver gate — well below the
-    * deterministic measured recalls at both verification SFs (sf0.01 and
-    * sf0.1); the RAW recalls are emitted into the bench JSON (VERDICT r4
-    * #6) so a regression inside the floor margin is still visible. */
-  private val AnnRecallFloors = Seq("ivf" -> 0.6, "lsh" -> 0.4, "multiprobe" -> 0.6)
+  /** Per-variant floors for the `ann_recall` driver gate, set at
+    * measured-minus-margin (VERDICT r4 #6). Measured recall@10 is
+    * deterministic per SF (fixed corpus, fixed hyperplanes/centroids):
+    * sf0.001 → lsh 0.70 / multiprobe 0.94 / ivf 1.00; sf0.01 → 0.56 /
+    * 0.88 / 1.00; sf0.1 → 0.60 / 0.88 / 0.92. Floors sit one recall-step
+    * (0.06+) under the cross-SF minimum; the RAW values additionally go
+    * into the bench JSON so a drift inside the margin is still visible. */
+  private val AnnRecallFloors = Seq("ivf" -> 0.8, "lsh" -> 0.5, "multiprobe" -> 0.75)
 
   /** Measured recall@10 per approximate ANN surface (single-probe LSH,
     * multi-probe LSH, IVF) against the exact top-10 over planted true
@@ -1437,7 +1440,7 @@ object SparkEntry {
     // floors must be below the measured recall at every verification SF
     // (documented alongside the query); the driver checks only the booleans
     "ann_recall" ->
-      ("SELECT * FROM (VALUES ('ivf', 0.6, true), ('lsh', 0.4, true), ('multiprobe', 0.6, true)) " +
+      ("SELECT * FROM (VALUES ('ivf', 0.8, true), ('lsh', 0.5, true), ('multiprobe', 0.75, true)) " +
        "AS t(variant, recall_floor, meets_floor) ORDER BY variant"),
 
     // planted pairs + hammings of the frozen SimhashFixture corpus —
