@@ -117,12 +117,11 @@ object Bench {
     runVariant(variant)
     runVariant(variant)
 
-    // headline: extraction throughput — median of 3; extract-only (scaling
-    // protocol) runs 5 reps — the shared-host CPU noise at 32 threads is
-    // large (observed 10s vs 29s for identical work within one JVM)
-    // 5 reps in BOTH modes (was 3 in full mode): the shared host spikes
-    // individual reps 1.5-3×, and a median-of-3 lets one spike drag the
-    // committed headline 30% under the same-window ceiling (the r4 artifact)
+    // headline: extraction throughput — median of 5 reps in BOTH modes
+    // (was 3 in full mode): the shared host spikes individual reps 1.5-3×
+    // (observed 10s vs 29s for identical work within one JVM), and a
+    // median-of-3 lets one spike drag the committed headline 30% under the
+    // same-window ceiling (the r4 artifact)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(5)
     var extractedCount = 0L
     val repTimes = (1 to reps).map { i =>
@@ -178,17 +177,27 @@ object Bench {
     // spike inside the window, not a plan cost.
     val sparkVsCeilingBest = docsPerSecBest / (rawDocs.length / rawReps.min)
 
-    // Scan-only pass: parquet read + html decode with NO extraction — the
-    // input-side cost the raw-pool ceiling (pre-decoded, in-memory) never
-    // pays. At the 80k full-suite scale this is a large constant slice of
-    // extract_sec, so `spark_vs_ceiling_net` (extraction time net of the
+    // Scan-only pass: parquet read + charset-sniffing html decode with NO
+    // extraction — the input-side cost the raw-pool ceiling (pre-decoded,
+    // in-memory) never pays. `spark_vs_ceiling_net` (throughput net of the
     // scan, vs the ceiling) attributes the headline gap from the artifact
-    // alone. Net ratio is an UPPER bound on the plan's pure extraction
-    // throughput (scan and compute partially overlap in the fused
-    // pipeline); the honest end-to-end number stays `spark_vs_ceiling`.
-    import org.apache.spark.sql.functions.{col, length => sqlLength, sum => sqlSum}
+    // alone: a net ratio ≥ 1 means the ENTIRE gap between spark_vs_ceiling
+    // and 1.0 is explained by input-side work (scan and compute overlap in
+    // the fused pipeline, so subtracting the full scan overshoots — the net
+    // is an upper bound). The honest end-to-end number stays
+    // `spark_vs_ceiling`.
+    // Reads the SAME source the benched variant reads (the bucketed table
+    // for bucketed_scan, the corpus parquet otherwise), prunes to the same
+    // (url, html) columns, and runs the real charset-sniffing decode — so
+    // the subtrahend is the actual input-side work of the timed job.
     def scanPass(): Unit = {
-      spark.read.parquet(corpusDir).select(sqlSum(sqlLength(col("html")))).collect(); ()
+      val src = if (variant == "bucketed_scan") bucketedPages.toDF()
+                else spark.read.parquet(corpusDir)
+      src.select("url", "html").as[(String, Array[Byte])]
+        .mapPartitions(it =>
+          Iterator.single(it.map { case (_, h) => ExtractJob.decodeHtml(h).length.toLong }.sum))
+        .reduce(_ + _)
+      ()
     }
     scanPass() // warm
     val scanSec = (1 to 3).map { _ =>
@@ -217,10 +226,12 @@ object Bench {
     // raw ANN recalls (VERDICT r4 #6): the query suite already ran
     // `ann_recall` and stashed the measured values; emit them so a recall
     // regression INSIDE the floor margin is visible round-over-round.
+    // fallback compute is best-effort: a failing ANN chain must degrade to
+    // an empty map, not abort the artifact after every other measurement ran
     val annRecalls: Map[String, Double] =
       if (extractOnly) Map.empty
       else if (SparkEntry.lastAnnRecalls.nonEmpty) SparkEntry.lastAnnRecalls
-      else SparkEntry.annRecalls(spark, sfDir)
+      else try SparkEntry.annRecalls(spark, sfDir) catch { case _: Throwable => Map.empty }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val vs = variantTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

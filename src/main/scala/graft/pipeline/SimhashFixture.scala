@@ -17,7 +17,7 @@ import graft.ops.TextOps
  *    simhash bit-votes the swap flips across the 150-word majority.
  *  - 20 singletons `sim-020..sim-039` from disjoint seed ranges: unrelated
  *    150-word docs sit near hamming ≈ 32; the measured cross-family
- *    minimum for THIS corpus is 17, far above the ≤3 output threshold.
+ *    minimum for THIS corpus is 19, far above the ≤3 output threshold.
  *
  * Expected rows were computed once from the frozen corpus and
  * cross-checked against an independent Python reimplementation of the
