@@ -576,6 +576,32 @@ object SparkEntry {
     // is a chain bug, not fixture bad luck.
     "simhash_fixture" -> ((s, dir) => SimhashFixture.query(s, simhashPairsFrom)),
 
+    // PDF/layout parse (north-rule stage, round 5: real from-scratch
+    // implementation replacing the declared stub — graft.sources.PdfParser):
+    // the frozen PdfGen corpus exercises uncompressed + FlateDecode content
+    // streams, literal-string escapes, hex strings, TJ kerning spaces,
+    // multi-page /Contents arrays with inherited resources, Type0 fonts
+    // through their ToUnicode CMap, PDF 1.5 object streams, and the
+    // never-throws corrupt/not-PDF gates. Parsing runs INSIDE mapPartitions
+    // (the executor-side shape of the real pipeline); expected rows are a
+    // transcribed VALUES oracle — the generator and parser share no code
+    // beyond the PDF spec itself, so agreement pins both.
+    "pdf_fixture" -> ((s, dir) => {
+      import s.implicits._
+      s.createDataset(graft.sources.PdfGen.fixtureDocs.map(_._1)).repartition(2)
+        .mapPartitions { it =>
+          val docs = graft.sources.PdfGen.fixtureDocs.toMap
+          it.flatMap { name =>
+            val blocks = graft.sources.PdfParser.parse(docs(name), "application/pdf")
+            if (blocks.isEmpty) Iterator.single((name, -1L, -1L, "none", ""))
+            else blocks.iterator.zipWithIndex.map { case (b, i) =>
+              (name, b.page.toLong, i.toLong, b.kind, b.text.replace("\n", " | "))
+            }
+          }
+        }.toDF("test_case", "page", "blk", "kind", "text")
+        .orderBy("test_case", "page", "blk")
+    }),
+
     // fixture-anchored oracles for the 3 formerly rows-only text-analysis
     // ops (VERDICT r3 #4) — expected cells independently derived by hand /
     // cross-checked in Python (see TextFixtureQueries scaladoc)
@@ -1452,6 +1478,26 @@ object SparkEntry {
        "CAST(hamming AS BIGINT) AS hamming FROM (VALUES " +
        "(0,1,0),(2,3,1),(4,5,1),(6,7,0),(8,9,3),(10,11,2),(12,13,0),(14,15,2),(16,17,1),(18,19,0)" +
        ") AS t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b"),
+
+    // transcribed from the frozen PdfGen corpus (PdfParser scaladoc
+    // documents the supported subset; blocks ordered page-major, top-down)
+    "pdf_fixture" ->
+      ("SELECT test_case, CAST(page AS BIGINT) AS page, CAST(blk AS BIGINT) AS blk, kind, text " +
+       "FROM (VALUES " +
+       "('plain', 0, 0, 'heading', 'Annual Report'), " +
+       "('plain', 0, 1, 'text', 'The first body line. | The second body line.'), " +
+       "('plain', 0, 2, 'text', 'A separate paragraph block.'), " +
+       "('flate', 0, 0, 'text', 'Compressed content stream works.'), " +
+       "('escapes', 0, 0, 'text', 'Parens (nested) and a backslash \\ and octal A | Hello hex!'), " +
+       "('kerning', 0, 0, 'text', 'Kerned words here'), " +
+       "('twopage', 0, 0, 'text', 'Page one text.'), " +
+       "('twopage', 1, 1, 'text', 'Page two part A.'), " +
+       "('twopage', 1, 2, 'text', 'Page two part B.'), " +
+       "('tounicode', 0, 0, 'text', 'PDF map!'), " +
+       "('objstm', 0, 0, 'text', 'Object stream page.'), " +
+       "('corrupt', -1, -1, 'none', ''), " +
+       "('notpdf', -1, -1, 'none', '')" +
+       ") AS t(test_case, page, blk, kind, text) ORDER BY test_case, page, blk"),
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +

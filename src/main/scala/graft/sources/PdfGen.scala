@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.Deflater
+
+/**
+ * Deterministic minimal-PDF writer — the test/fixture counterpart of
+ * [[PdfParser]]. Emits standards-shaped PDFs (header, numbered objects,
+ * xref table, trailer) so the fixtures exercise the parser against real
+ * file structure, not hand-fed object soup. No library, no randomness:
+ * byte-identical output for identical inputs, which is what lets the
+ * `pdf_fixture` driver query carry a transcribed VALUES oracle.
+ */
+object PdfGen {
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  /** Assemble numbered objects into a full PDF with xref + trailer. */
+  private def assemble(objs: Seq[(Int, Array[Byte])], rootNum: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.4\n%âãÏÓ\n"))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    objs.foreach { case (num, body) =>
+      offsets(num) = out.size()
+      out.write(bytes(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(bytes("\nendobj\n"))
+    }
+    val xrefPos = out.size()
+    val maxNum = objs.map(_._1).max
+    out.write(bytes(s"xref\n0 ${maxNum + 1}\n"))
+    out.write(bytes("0000000000 65535 f \n"))
+    (1 to maxNum).foreach { n =>
+      val off = offsets.getOrElse(n, 0)
+      out.write(bytes(f"$off%010d 00000 n \n"))
+    }
+    out.write(bytes(
+      s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  private def streamObj(dict: String, data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(bytes(s"<< $dict /Length ${data.length} >>\nstream\n"))
+    out.write(data)
+    out.write(bytes("\nendstream"))
+    out.toByteArray
+  }
+
+  /** One-page PDF, uncompressed content stream. `contentOps` is the raw
+    * content-stream text (BT/Tf/Td/Tj...). */
+  def onePage(contentOps: String): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", bytes(contentOps)),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    ), rootNum = 1)
+  }
+
+  /** Same page shape with a FlateDecode content stream. */
+  def onePageFlate(contentOps: String): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("/Filter /FlateDecode", deflate(bytes(contentOps))),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    ), rootNum = 1)
+  }
+
+  /** Two pages, the second with a /Contents ARRAY of two Flate streams. */
+  def twoPages(ops1: String, ops2a: String, ops2b: String): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      // Resources inherited from the Pages node (tests inheritance)
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 " +
+        "/Resources << /Font << /F1 8 0 R >> >> >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+      4 -> bytes("<< /Type /Page /Parent 2 0 R /Contents [6 0 R 7 0 R] >>"),
+      5 -> streamObj("", bytes(ops1)),
+      6 -> streamObj("/Filter /FlateDecode", deflate(bytes(ops2a))),
+      7 -> streamObj("/Filter /FlateDecode", deflate(bytes(ops2b))),
+      8 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>")
+    ), rootNum = 1)
+  }
+
+  /** Composite (Type0) font whose text is only reachable through its
+    * /ToUnicode CMap: 2-byte codes 0x0001.. map to "Unicode!" chars. */
+  def type0WithToUnicode(codesToText: Seq[(Int, String)], tjHex: String): Array[Byte] = {
+    val bf = codesToText.map { case (c, t) =>
+      val dst = t.map(ch => f"${ch.toInt}%04X").mkString
+      f"<$c%04X> <$dst>"
+    }.mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |${codesToText.length} beginbfchar
+         |$bf
+         |endbfchar
+         |endcmap
+         |end end""".stripMargin
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /C1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", bytes(s"BT /C1 12 Tf 72 700 Td <$tjHex> Tj ET")),
+      5 -> bytes("<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+      6 -> streamObj("", bytes(cmap))
+    ), rootNum = 1)
+  }
+
+  /** PDF 1.5 shape: page + font dicts live INSIDE a Flate object stream. */
+  def objectStreamPdf(contentOps: String): Array[Byte] = {
+    val inner3 = "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    val inner5 = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val body = inner3 + "\n" + inner5
+    val header = s"3 0 5 ${inner3.length + 1} "
+    val stmData = bytes(header + body)
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      4 -> streamObj("", bytes(contentOps)),
+      6 -> streamObj(s"/Type /ObjStm /N 2 /First ${header.length} /Filter /FlateDecode",
+        deflate(stmData))
+    ), rootNum = 1)
+  }
+
+  /** The frozen fixture corpus for the `pdf_fixture` driver query. */
+  def fixtureDocs: Seq[(String, Array[Byte])] = Seq(
+    "plain" -> onePage(
+      """BT /F2 24 Tf 72 720 Td (Annual Report) Tj ET
+        |BT /F1 12 Tf 72 680 Td (The first body line.) Tj 0 -16 Td (The second body line.) Tj ET
+        |BT /F1 12 Tf 72 600 Td (A separate paragraph block.) Tj ET""".stripMargin),
+    "flate" -> onePageFlate(
+      """BT /F1 12 Tf 72 700 Td (Compressed content stream works.) Tj ET"""),
+    "escapes" -> onePage(
+      """BT /F1 12 Tf 72 700 Td (Parens \(nested\) and a backslash \\ and octal \101) Tj ET
+        |BT /F1 12 Tf 72 680 Td <48656C6C6F2068657821> Tj ET""".stripMargin),
+    "kerning" -> onePage(
+      """BT /F1 12 Tf 72 700 Td [(Ker) 20 (ned) -250 (words) -300 (here)] TJ ET"""),
+    "twopage" -> twoPages(
+      "BT /F1 12 Tf 72 700 Td (Page one text.) Tj ET",
+      "BT /F1 12 Tf 72 700 Td (Page two part A.) Tj ET",
+      "BT /F1 12 Tf 72 660 Td (Page two part B.) Tj ET"),
+    "tounicode" -> type0WithToUnicode(
+      Seq(1 -> "P", 2 -> "D", 3 -> "F", 4 -> "!", 5 -> " ", 6 -> "map"),
+      tjHex = "000100020003000500060004"),
+    "objstm" -> objectStreamPdf(
+      "BT /F1 12 Tf 72 700 Td (Object stream page.) Tj ET"),
+    "corrupt" -> bytes("%PDF-1.4\nthis is not a valid body"),
+    "notpdf" -> bytes("plain text, not a PDF at all"))
+}

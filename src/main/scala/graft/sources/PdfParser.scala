@@ -1,0 +1,718 @@
+package graft.sources
+
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/**
+ * From-scratch minimal PDF text/layout extractor — upgrades the
+ * north-rule's "PDF/layout parse" stage from a declared stub to a working
+ * subset, with ZERO external libraries (the sandbox has no pdfbox/tika;
+ * `java.util.zip.Inflater` is JDK-built-in).
+ *
+ * Supported (the "simple text PDF" subset that covers machine-generated
+ * report/article PDFs):
+ *  - classic cross-reference PDFs AND PDF 1.5+ object streams
+ *    (`/Type /ObjStm`, FlateDecode, PNG predictors 10-15);
+ *  - content-stream filters: none, FlateDecode (+ /DecodeParms predictor);
+ *  - page tree walk (`/Catalog` → `/Pages` → `/Kids`, inherited
+ *    `/Resources`), multi-stream `/Contents` arrays;
+ *  - text operators BT, ET, Td, TD, Tm, T-star, TL, Tf, Tj, quote,
+ *    double-quote, TJ (kerning-aware space insertion), q/Q + cm CTM
+ *    tracking for positioned text;
+ *  - string decode: literal strings with all escape forms, hex strings;
+ *    simple fonts via windows-1252, composite/Type0 fonts via their
+ *    `/ToUnicode` CMap (`bfchar` + `bfrange`, 1- and 2-byte codes).
+ *
+ * Documented limits (skip, never throw): encrypted PDFs, non-Flate
+ * filters (DCT/CCITT images are not text anyway), Type0 fonts WITHOUT a
+ * ToUnicode map (no glyph→char mapping exists in-file), annotation/form
+ * text. Malformed input degrades to the recoverable subset: object
+ * scanning is lexical (every `N G obj` span), so a broken xref table or
+ * truncated tail costs only the unreachable objects.
+ *
+ * Layout assembly re-expresses the reference pipeline's block contract
+ * (`LayoutBlock(page, kind, text, bbox)`): shows are grouped into lines by
+ * baseline proximity, lines into blocks by vertical gap, and a block whose
+ * font size is ≥1.3× the page median is classified `heading`.
+ */
+object PdfParser extends LayoutParser {
+
+  // ---------- COS object model ----------
+
+  sealed trait Cos
+  case object CosNull extends Cos
+  final case class CosBool(v: Boolean) extends Cos
+  final case class CosNum(v: Double) extends Cos { def int: Int = v.toInt }
+  final case class CosStr(bytes: Array[Byte]) extends Cos
+  final case class CosName(v: String) extends Cos
+  final case class CosArr(v: Vector[Cos]) extends Cos
+  final case class CosDict(v: Map[String, Cos]) extends Cos {
+    def get(k: String): Option[Cos] = v.get(k)
+  }
+  final case class CosRef(num: Int, gen: Int) extends Cos
+  final case class CosStream(dict: CosDict, raw: Array[Byte]) extends Cos
+
+  /** Container-nesting cap — far above any real document (Acrobat's own
+    * implementation limit is 28 for dicts), low enough that bomb inputs
+    * stay in cheap iteration instead of stack frames. */
+  private val MaxNestingDepth = 256
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0
+  private def isDelim(b: Byte): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+  /** Byte-level lexer/parser for COS syntax. `pos` is mutable; every parse
+    * method leaves it one past the consumed object. */
+  private final class Lexer(val in: Array[Byte], var pos: Int) {
+    def eof: Boolean = pos >= in.length
+    def skipWs(): Unit = {
+      while (!eof && (isWs(in(pos)) || in(pos) == '%')) {
+        if (in(pos) == '%') { while (!eof && in(pos) != '\n' && in(pos) != '\r') pos += 1 }
+        else pos += 1
+      }
+    }
+    def peekKeyword(): String = { // letters at pos, not consumed
+      var i = pos; val sb = new StringBuilder
+      while (i < in.length && !isWs(in(i)) && !isDelim(in(i))) { sb.append(in(i).toChar); i += 1 }
+      sb.toString
+    }
+    def readKeyword(): String = { val k = peekKeyword(); pos += k.length; k }
+
+    /** `depth` caps container recursion: a markup-bomb PDF nesting
+      * thousands of arrays/dicts would otherwise StackOverflowError —
+      * an Error, which ESCAPES the per-row Exception containment and kills
+      * Spark tasks (the exact failure class the round-4 HTML caps closed).
+      * Past the cap the lexer still advances byte-wise, so parsing always
+      * terminates. */
+    def parseObj(depth: Int = 0): Cos = {
+      skipWs()
+      if (eof) return CosNull
+      if (depth > MaxNestingDepth) { pos += 1; return CosNull }
+      (in(pos): @annotation.switch) match {
+        case '/' => parseName()
+        case '(' => parseLiteralString()
+        case '[' =>
+          pos += 1
+          val buf = Vector.newBuilder[Cos]
+          skipWs()
+          while (!eof && in(pos) != ']') { buf += parseObj(depth + 1); skipWs() }
+          if (!eof) pos += 1
+          CosArr(buf.result())
+        case '<' =>
+          if (pos + 1 < in.length && in(pos + 1) == '<') parseDictOrStream(depth)
+          else parseHexString()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          parseNumberOrRef()
+        case _ =>
+          readKeyword() match {
+            case "true" => CosBool(true)
+            case "false" => CosBool(false)
+            case "null" => CosNull
+            case "" => pos += 1; CosNull // unknown delimiter: skip a byte
+            case _ => CosNull // bare keyword (operator context handles these)
+          }
+      }
+    }
+
+    private def parseName(): CosName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (!eof && !isWs(in(pos)) && !isDelim(in(pos))) {
+        if (in(pos) == '#' && pos + 2 < in.length) {
+          val h = Character.digit(in(pos + 1), 16); val l = Character.digit(in(pos + 2), 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+          else { sb.append(in(pos).toChar); pos += 1 }
+        } else { sb.append(in(pos).toChar); pos += 1 }
+      }
+      CosName(sb.toString)
+    }
+
+    private def parseLiteralString(): CosStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (!eof && depth > 0) {
+        val b = in(pos)
+        if (b == '\\' && pos + 1 < in.length) {
+          pos += 1
+          val e = in(pos)
+          e match {
+            case 'n' => out.write('\n'); pos += 1
+            case 'r' => out.write('\r'); pos += 1
+            case 't' => out.write('\t'); pos += 1
+            case 'b' => out.write('\b'); pos += 1
+            case 'f' => out.write('\f'); pos += 1
+            case '(' => out.write('('); pos += 1
+            case ')' => out.write(')'); pos += 1
+            case '\\' => out.write('\\'); pos += 1
+            case '\r' => pos += 1; if (!eof && in(pos) == '\n') pos += 1 // line continuation
+            case '\n' => pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var n = 0
+              while (n < 3 && pos < in.length && in(pos) >= '0' && in(pos) <= '7') {
+                v = v * 8 + (in(pos) - '0'); pos += 1; n += 1
+              }
+              out.write(v & 0xff)
+            case other => out.write(other); pos += 1
+          }
+        } else {
+          if (b == '(') depth += 1
+          else if (b == ')') depth -= 1
+          if (depth > 0) out.write(b)
+          pos += 1
+        }
+      }
+      CosStr(out.toByteArray)
+    }
+
+    private def parseHexString(): CosStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (!eof && in(pos) != '>') {
+        val d = Character.digit(in(pos), 16)
+        if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+        pos += 1
+      }
+      if (hi >= 0) out.write(hi << 4) // odd digit: low nibble 0
+      if (!eof) pos += 1
+      CosStr(out.toByteArray)
+    }
+
+    private def parseDictOrStream(depth: Int): Cos = {
+      pos += 2 // '<<'
+      val m = Map.newBuilder[String, Cos]
+      skipWs()
+      while (!eof && !(in(pos) == '>' && pos + 1 < in.length && in(pos + 1) == '>')) {
+        parseObj(depth + 1) match {
+          case CosName(k) => m += k -> parseObj(depth + 1)
+          case _ => // stray token inside dict: skip
+        }
+        skipWs()
+      }
+      if (!eof) pos += 2
+      val dict = CosDict(m.result())
+      skipWs()
+      if (peekKeyword() == "stream") {
+        pos += "stream".length
+        if (pos < in.length && in(pos) == '\r') pos += 1
+        if (pos < in.length && in(pos) == '\n') pos += 1
+        val start = pos
+        // /Length when direct; otherwise lexical search for endstream
+        val end = dict.get("Length") match {
+          case Some(CosNum(n)) if start + n.toInt <= in.length &&
+              endstreamNear(start + n.toInt) => start + n.toInt
+          case _ => findEndstream(start)
+        }
+        pos = math.min(end, in.length)
+        skipWs()
+        if (peekKeyword() == "endstream") pos += "endstream".length
+        CosStream(dict, java.util.Arrays.copyOfRange(in, start, math.min(end, in.length)))
+      } else dict
+    }
+
+    private def endstreamNear(at: Int): Boolean = {
+      var i = at
+      while (i < in.length && i < at + 4 && isWs(in(i))) i += 1
+      i + 9 <= in.length && new String(in, i, 9, "ISO-8859-1") == "endstream"
+    }
+
+    private def findEndstream(from: Int): Int = {
+      val needle = "endstream".getBytes("ISO-8859-1")
+      var i = from
+      while (i + needle.length <= in.length) {
+        var j = 0
+        while (j < needle.length && in(i + j) == needle(j)) j += 1
+        if (j == needle.length) {
+          var e = i // trim one trailing EOL
+          if (e > from && in(e - 1) == '\n') e -= 1
+          if (e > from && in(e - 1) == '\r') e -= 1
+          return e
+        }
+        i += 1
+      }
+      in.length
+    }
+
+    private def parseNumberOrRef(): Cos = {
+      val startPos = pos
+      val sb = new StringBuilder
+      while (!eof && (in(pos) == '+' || in(pos) == '-' || in(pos) == '.' ||
+          (in(pos) >= '0' && in(pos) <= '9'))) { sb.append(in(pos).toChar); pos += 1 }
+      val n = try sb.toString.toDouble catch { case _: NumberFormatException => 0.0 }
+      // `num gen R` lookahead
+      if (n >= 0 && n == math.floor(n) && !sb.toString.contains('.')) {
+        val save = pos
+        skipWs()
+        val gSb = new StringBuilder
+        while (!eof && in(pos) >= '0' && in(pos) <= '9') { gSb.append(in(pos).toChar); pos += 1 }
+        if (gSb.nonEmpty) {
+          skipWs()
+          if (!eof && in(pos) == 'R' &&
+              (pos + 1 >= in.length || isWs(in(pos + 1)) || isDelim(in(pos + 1)))) {
+            pos += 1
+            return CosRef(n.toInt, gSb.toString.toInt)
+          }
+        }
+        pos = save
+      }
+      if (startPos == pos) pos += 1 // safety: never stall
+      CosNum(n)
+    }
+  }
+
+  // ---------- filters ----------
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return out.toByteArray // truncated: salvage
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** PNG predictors 10-15 (per-row filter byte), colors=1 assumed for the
+    * ObjStm/XRef streams this parser decodes. */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    if (columns <= 0) return data
+    val rowLen = columns
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val prev = new Array[Byte](rowLen)
+    var i = 0
+    while (i + 1 + rowLen <= data.length) {
+      val ft = data(i) & 0xff
+      val row = java.util.Arrays.copyOfRange(data, i + 1, i + 1 + rowLen)
+      var j = 0
+      while (j < rowLen) {
+        val left = if (j > 0) row(j - 1) & 0xff else 0
+        val up = prev(j) & 0xff
+        val v = ft match {
+          case 0 => row(j) & 0xff
+          case 1 => (row(j) & 0xff) + left
+          case 2 => (row(j) & 0xff) + up
+          case 3 => (row(j) & 0xff) + ((left + up) / 2)
+          case 4 => // Paeth
+            val ul = if (j > 0) prev(j - 1) & 0xff else 0
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            (row(j) & 0xff) + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => row(j) & 0xff
+        }
+        row(j) = (v & 0xff).toByte
+        j += 1
+      }
+      out.write(row)
+      System.arraycopy(row, 0, prev, 0, rowLen)
+      i += 1 + rowLen
+    }
+    out.toByteArray
+  }
+
+  // ---------- document ----------
+
+  private final class Doc(bytes: Array[Byte]) {
+    /** num → (gen, offset of the value just past `obj`). Lexical scan —
+      * robust to broken xref tables; latest (num, highest offset) wins,
+      * matching incremental-update semantics closely enough for text. */
+    private val index: Map[Int, Int] = {
+      val m = mutable.Map[Int, Int]()
+      val s = new String(bytes, "ISO-8859-1")
+      val re = java.util.regex.Pattern.compile("(?m)^\\s*(\\d+)\\s+(\\d+)\\s+obj\\b")
+      val matcher = re.matcher(s)
+      while (matcher.find()) m(matcher.group(1).toInt) = matcher.end()
+      m.toMap
+    }
+    private val cache = mutable.Map[Int, Cos]()
+    private var objStmLoaded = false
+    private val objStmObjects = mutable.Map[Int, Cos]()
+
+    def obj(num: Int): Cos = cache.getOrElseUpdate(num, {
+      index.get(num) match {
+        case Some(off) => new Lexer(bytes, off).parseObj()
+        case None =>
+          loadObjStms()
+          objStmObjects.getOrElse(num, CosNull)
+      }
+    })
+
+    /** PDF 1.5 object streams: decompress every /Type /ObjStm once and
+      * index the contained objects. */
+    private def loadObjStms(): Unit = if (!objStmLoaded) {
+      objStmLoaded = true
+      index.keys.foreach { n =>
+        obj(n) match {
+          case st @ CosStream(d, _) if d.get("Type").contains(CosName("ObjStm")) =>
+            val data = decode(st)
+            val nObjs = resolve(d.get("N").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 0 }
+            val first = resolve(d.get("First").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 0 }
+            val hdr = new Lexer(data, 0)
+            var i = 0
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var ok = true
+            while (i < nObjs && ok) {
+              (hdr.parseObj(), hdr.parseObj()) match {
+                case (CosNum(on), CosNum(ofs)) => pairs += ((on.toInt, ofs.toInt))
+                case _ => ok = false
+              }
+              i += 1
+            }
+            pairs.result().foreach { case (on, ofs) =>
+              if (first + ofs < data.length && !index.contains(on))
+                objStmObjects(on) = new Lexer(data, first + ofs).parseObj()
+            }
+          case _ =>
+        }
+      }
+    }
+
+    /** Depth-capped: a reference cycle (`1 0 obj 2 0 R` / `2 0 obj 1 0 R`)
+      * must dead-end at CosNull, not recurse forever. */
+    def resolve(c: Cos, depth: Int = 0): Cos = c match {
+      case CosRef(n, _) => if (depth > 32) CosNull else resolve(obj(n), depth + 1)
+      case other => other
+    }
+
+    def resolveDict(c: Cos): Option[CosDict] = resolve(c) match {
+      case d: CosDict => Some(d)
+      case CosStream(d, _) => Some(d)
+      case _ => None
+    }
+
+    /** Apply the stream's filter chain. Unsupported filter → None. */
+    def decode(st: CosStream): Array[Byte] = {
+      val filters: Vector[String] = resolve(st.dict.get("Filter").getOrElse(CosNull)) match {
+        case CosName(f) => Vector(f)
+        case CosArr(fs) => fs.collect { case CosName(f) => f }
+        case _ => Vector.empty
+      }
+      var data = st.raw
+      filters.foreach {
+        case "FlateDecode" | "Fl" =>
+          data = inflate(data)
+          resolveDict(st.dict.get("DecodeParms").getOrElse(st.dict.get("DP").getOrElse(CosNull))).foreach { dp =>
+            val pred = resolve(dp.get("Predictor").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 1 }
+            val cols = resolve(dp.get("Columns").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 1 }
+            if (pred >= 10) data = pngUnpredict(data, cols)
+          }
+        case "ASCIIHexDecode" | "AHx" =>
+          val out = new java.io.ByteArrayOutputStream()
+          var hi = -1
+          data.foreach { b =>
+            val d = Character.digit(b, 16)
+            if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+          }
+          if (hi >= 0) out.write(hi << 4)
+          data = out.toByteArray
+        case _ => data = Array.emptyByteArray // unsupported (DCT etc.) — not text
+      }
+      data
+    }
+
+    def catalog: Option[CosDict] =
+      index.keys.iterator.map(obj).collectFirst {
+        case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
+      }.orElse {
+        loadObjStms()
+        objStmObjects.values.collectFirst {
+          case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
+        }
+      }
+
+    def encrypted: Boolean = {
+      val tail = new String(bytes, math.max(0, bytes.length - 2048),
+        math.min(2048, bytes.length), "ISO-8859-1")
+      tail.contains("/Encrypt")
+    }
+
+    /** Page dicts in document order, each with inherited resources merged. */
+    def pages: Vector[CosDict] = {
+      val out = Vector.newBuilder[CosDict]
+      def walk(node: CosDict, inheritedRes: Option[Cos], depth: Int): Unit = {
+        if (depth > 64) return
+        val res = node.get("Resources").orElse(inheritedRes)
+        node.get("Type") match {
+          case Some(CosName("Page")) =>
+            out += CosDict(res.map(r => node.v + ("Resources" -> r)).getOrElse(node.v))
+          case _ =>
+            resolve(node.get("Kids").getOrElse(CosNull)) match {
+              case CosArr(kids) => kids.foreach(k => resolveDict(k).foreach(walk(_, res, depth + 1)))
+              case _ =>
+            }
+        }
+      }
+      for {
+        cat <- catalog
+        pagesRoot <- resolveDict(cat.get("Pages").getOrElse(CosNull))
+      } walk(pagesRoot, None, 0)
+      out.result()
+    }
+  }
+
+  // ---------- fonts ----------
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Per-font decode: simple fonts map bytes through windows-1252 (a close
+    * superset of StandardEncoding's printable range); any font carrying a
+    * /ToUnicode CMap uses it (bfchar + bfrange, 1- or 2-byte codes). Type0
+    * without ToUnicode has no in-file glyph→char mapping → yields "". */
+  private final case class Font(toUnicode: Option[Map[Int, String]], twoByte: Boolean) {
+    def decode(bytes: Array[Byte]): String = toUnicode match {
+      case Some(map) =>
+        val sb = new StringBuilder
+        if (twoByte) {
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+            sb.append(map.getOrElse(code, ""))
+            i += 2
+          }
+        } else bytes.foreach(b => sb.append(map.getOrElse(b & 0xff, "")))
+        sb.toString
+      case None =>
+        if (twoByte) "" else new String(bytes, Cp1252)
+    }
+  }
+  private val SimpleFont = Font(None, twoByte = false)
+
+  private def parseToUnicode(cmap: Array[Byte]): Map[Int, String] = {
+    val s = new String(cmap, "ISO-8859-1")
+    val out = mutable.Map[Int, String]()
+    def hexToInt(h: String): Int = java.lang.Integer.parseInt(h, 16)
+    def hexToStr(h: String): String = {
+      // UTF-16BE code units
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) { sb.append(hexToInt(h.substring(i, i + 4)).toChar); i += 4 }
+      if (sb.isEmpty && h.length >= 2) sb.append(hexToInt(h).toChar)
+      sb.toString
+    }
+    val bfchar = java.util.regex.Pattern.compile(
+      "beginbfchar(.*?)endbfchar", java.util.regex.Pattern.DOTALL)
+    val pair = java.util.regex.Pattern.compile("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>")
+    val m1 = bfchar.matcher(s)
+    while (m1.find()) {
+      val mm = pair.matcher(m1.group(1))
+      while (mm.find()) out(hexToInt(mm.group(1))) = hexToStr(mm.group(2))
+    }
+    val bfrange = java.util.regex.Pattern.compile(
+      "beginbfrange(.*?)endbfrange", java.util.regex.Pattern.DOTALL)
+    val triple = java.util.regex.Pattern.compile(
+      "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>")
+    val m2 = bfrange.matcher(s)
+    while (m2.find()) {
+      val mm = triple.matcher(m2.group(1))
+      while (mm.find()) {
+        val lo = hexToInt(mm.group(1)); val hi = hexToInt(mm.group(2))
+        val dstHex = mm.group(3)
+        var c = lo
+        while (c <= hi && c - lo < 65536) {
+          val base = hexToStr(dstHex)
+          val mapped =
+            if (base.length == 1) (base.charAt(0) + (c - lo)).toChar.toString
+            else if (base.nonEmpty)
+              base.substring(0, base.length - 1) + (base.last + (c - lo)).toChar
+            else ""
+          out(c) = mapped
+          c += 1
+        }
+      }
+    }
+    out.toMap
+  }
+
+  // ---------- content interpreter ----------
+
+  private final case class Show(x: Double, y: Double, size: Double, text: String)
+
+  private final case class Mat(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double) {
+    def *(o: Mat): Mat = Mat(
+      a * o.a + b * o.c, a * o.b + b * o.d,
+      c * o.a + d * o.c, c * o.b + d * o.d,
+      e * o.a + f * o.c + o.e, e * o.b + f * o.d + o.f)
+  }
+  private val Identity = Mat(1, 0, 0, 1, 0, 0)
+
+  private def interpret(content: Array[Byte], fonts: Map[String, Font]): Vector[Show] = {
+    val lex = new Lexer(content, 0)
+    val stack = mutable.ArrayBuffer[Cos]()
+    val shows = Vector.newBuilder[Show]
+    var ctm = Identity
+    val ctmStack = mutable.ArrayBuffer[Mat]()
+    var tm = Identity; var tlm = Identity
+    var leading = 0.0; var fontSize = 1.0
+    var font: Font = SimpleFont
+
+    def num(i: Int): Double = // operand i from the END (0 = top)
+      if (stack.length > i) stack(stack.length - 1 - i) match {
+        case CosNum(v) => v; case _ => 0.0
+      } else 0.0
+
+    def emit(bytes: Array[Byte]): Unit = {
+      val dev = tm * ctm
+      val t = font.decode(bytes)
+      if (t.nonEmpty) shows += Show(dev.e, dev.f, fontSize * math.sqrt(math.abs(tm.a * tm.d - tm.b * tm.c)).max(0.01), t)
+    }
+    def nextLine(): Unit = { tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm }
+
+    var guard = 0
+    while (!lex.eof && guard < 4000000) {
+      guard += 1
+      lex.skipWs()
+      if (!lex.eof) {
+        val b = lex.in(lex.pos)
+        if (b == '/' || b == '(' || b == '<' || b == '[' ||
+            b == '+' || b == '-' || b == '.' || (b >= '0' && b <= '9')) {
+          stack += lex.parseObj()
+        } else {
+          val op = lex.readKeyword()
+          if (op.isEmpty) lex.pos += 1
+          op match {
+            case "BT" => tm = Identity; tlm = Identity
+            case "ET" =>
+            case "Td" => tlm = Mat(1, 0, 0, 1, num(1), num(0)) * tlm; tm = tlm
+            case "TD" => leading = -num(0); tlm = Mat(1, 0, 0, 1, num(1), num(0)) * tlm; tm = tlm
+            case "Tm" => tm = Mat(num(5), num(4), num(3), num(2), num(1), num(0)); tlm = tm
+            case "T*" => nextLine()
+            case "TL" => leading = num(0)
+            case "Tf" =>
+              fontSize = num(0)
+              if (stack.length >= 2) stack(stack.length - 2) match {
+                case CosName(fn) => font = fonts.getOrElse(fn, SimpleFont)
+                case _ =>
+              }
+            case "Tj" => stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
+            case "'" => nextLine(); stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
+            case "\"" => nextLine(); stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
+            case "TJ" => stack.lastOption.foreach {
+              case CosArr(items) =>
+                val sb = new StringBuilder
+                items.foreach {
+                  case CosStr(s) => sb.append(font.decode(s))
+                  // kerning adjustment in -1/1000 em: a large negative shift
+                  // is an inter-word gap the producer encoded positionally
+                  case CosNum(adj) if adj < -150 => sb.append(' ')
+                  case _ =>
+                }
+                if (sb.nonEmpty) {
+                  val dev = tm * ctm
+                  shows += Show(dev.e, dev.f, fontSize, sb.toString)
+                }
+              case _ =>
+            }
+            case "cm" => ctm = Mat(num(5), num(4), num(3), num(2), num(1), num(0)) * ctm
+            case "q" => ctmStack += ctm
+            case "Q" => if (ctmStack.nonEmpty) { ctm = ctmStack.last; ctmStack.dropRightInPlace(1) }
+            case _ => // every other operator: drawing/color/state — irrelevant to text
+          }
+          stack.clear()
+        }
+      }
+    }
+    shows.result()
+  }
+
+  // ---------- layout assembly ----------
+
+  private def assemble(shows: Vector[Show], page: Int): Vector[LayoutBlock] = {
+    if (shows.isEmpty) return Vector.empty
+    // group into lines by baseline proximity
+    val sorted = shows.sortBy(s => (-s.y, s.x))
+    val lines = mutable.ArrayBuffer[mutable.ArrayBuffer[Show]]()
+    sorted.foreach { s =>
+      lines.lastOption match {
+        case Some(line) if math.abs(line.head.y - s.y) <= math.max(2.0, line.head.size * 0.35) =>
+          line += s
+        case _ => lines += mutable.ArrayBuffer(s)
+      }
+    }
+    val lineRows = lines.map { l =>
+      val xs = l.sortBy(_.x)
+      val text = xs.map(_.text.trim).filter(_.nonEmpty).mkString(" ")
+      (xs.head.x, l.head.y, xs.map(_.size).max, text)
+    }.filter(_._4.nonEmpty)
+    if (lineRows.isEmpty) return Vector.empty
+
+    val medianSize = lineRows.map(_._3).sorted.apply(lineRows.length / 2)
+    // group lines into blocks by vertical gap
+    val blocks = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double, Double, String)]]()
+    lineRows.foreach { row =>
+      blocks.lastOption match {
+        case Some(blk) if blk.last._2 - row._2 <= math.max(blk.last._3, row._3) * 1.8 &&
+            // a font-size step (heading → body) starts a new block even
+            // without a vertical gap
+            math.max(blk.last._3, row._3) <= math.min(blk.last._3, row._3) * 1.25 =>
+          blk += row
+        case _ => blocks += mutable.ArrayBuffer(row)
+      }
+    }
+    blocks.map { blk =>
+      val text = blk.map(_._4).mkString("\n")
+      val maxSize = blk.map(_._3).max
+      val kind = if (maxSize >= medianSize * 1.3) "heading" else "text"
+      val x0 = blk.map(_._1).min
+      val yTop = blk.head._2 + blk.head._3
+      val yBot = blk.last._2
+      // x1 approximated from character count (widths are font-metric data
+      // this parser deliberately does not model)
+      val x1 = x0 + blk.map(r => r._4.length * r._3 * 0.5).max
+      LayoutBlock(page, kind, text, x0.toFloat, yBot.toFloat, x1.toFloat, yTop.toFloat)
+    }.toVector
+  }
+
+  // ---------- public API ----------
+
+  def parse(bytes: Array[Byte], mime: String): Vector[LayoutBlock] = {
+    if (bytes == null || bytes.length < 8) return Vector.empty
+    val isPdf = bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+    if (!isPdf) return StubLayoutParser.parse(bytes, mime)
+    try {
+      val doc = new Doc(bytes)
+      if (doc.encrypted) return Vector.empty // no decryption support, by design
+      doc.pages.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
+        val fonts: Map[String, Font] = (for {
+          res <- doc.resolveDict(pageDict.get("Resources").getOrElse(CosNull)).toSeq
+          fd <- doc.resolveDict(res.get("Font").getOrElse(CosNull)).toSeq
+          (name, fref) <- fd.v
+          fdict <- doc.resolveDict(fref)
+        } yield {
+          val twoByte = fdict.get("Subtype").contains(CosName("Type0"))
+          val toUni = doc.resolve(fdict.get("ToUnicode").getOrElse(CosNull)) match {
+            case st: CosStream => Some(parseToUnicode(doc.decode(st)))
+            case _ => None
+          }
+          name -> Font(toUni, twoByte)
+        }).toMap
+        val content: Array[Byte] = doc.resolve(pageDict.get("Contents").getOrElse(CosNull)) match {
+          case st: CosStream => doc.decode(st)
+          case CosArr(parts) =>
+            val out = new java.io.ByteArrayOutputStream()
+            parts.foreach { p =>
+              doc.resolve(p) match {
+                case st: CosStream => out.write(doc.decode(st)); out.write('\n')
+                case _ =>
+              }
+            }
+            out.toByteArray
+          case _ => Array.emptyByteArray
+        }
+        assemble(interpret(content, fonts), pageIdx)
+      }
+    } catch {
+      case _: Exception => Vector.empty // never-throws pipeline contract
+    }
+  }
+
+  /** Concatenated plain text (blocks in reading order, pages in order). */
+  def extractText(bytes: Array[Byte]): String =
+    parse(bytes, "application/pdf").map(_.text).mkString("\n\n")
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch PDF text/layout extractor (round 5 — replaces the declared
+  * stub for the north-rule's PDF/layout stage). Each test pins one feature
+  * of the supported subset against PDFs built by the independent PdfGen
+  * writer; adversarial cases pin the never-throws contract. */
+class PdfSpec extends AnyFunSuite {
+
+  private def texts(pdf: Array[Byte]): Vector[String] =
+    PdfParser.parse(pdf, "application/pdf").map(_.text)
+
+  test("uncompressed content stream: lines, blocks, heading classification") {
+    val blocks = PdfParser.parse(PdfGen.fixtureDocs.toMap.apply("plain"), "application/pdf")
+    assert(blocks.map(_.kind) == Vector("heading", "text", "text"))
+    assert(blocks(0).text == "Annual Report")
+    assert(blocks(1).text == "The first body line.\nThe second body line.")
+    assert(blocks(2).text == "A separate paragraph block.")
+    // geometry: heading sits above the body, blocks carry plausible bboxes
+    assert(blocks(0).y0 > blocks(1).y0)
+    assert(blocks.forall(b => b.x1 > b.x0))
+  }
+
+  test("FlateDecode content stream inflates and parses") {
+    assert(texts(PdfGen.fixtureDocs.toMap.apply("flate")) ==
+      Vector("Compressed content stream works."))
+  }
+
+  test("literal-string escapes (parens, backslash, octal) and hex strings") {
+    assert(texts(PdfGen.fixtureDocs.toMap.apply("escapes")) ==
+      Vector("Parens (nested) and a backslash \\ and octal A\nHello hex!"))
+  }
+
+  test("TJ kerning: large negative adjustments become spaces, small ones do not") {
+    assert(texts(PdfGen.fixtureDocs.toMap.apply("kerning")) == Vector("Kerned words here"))
+  }
+
+  test("two pages, /Contents array, resources inherited from the Pages node") {
+    val blocks = PdfParser.parse(PdfGen.fixtureDocs.toMap.apply("twopage"), "application/pdf")
+    assert(blocks.map(b => (b.page, b.text)) == Vector(
+      (0, "Page one text."), (1, "Page two part A."), (1, "Page two part B.")))
+  }
+
+  test("Type0 font decodes through its ToUnicode CMap (2-byte codes)") {
+    assert(texts(PdfGen.fixtureDocs.toMap.apply("tounicode")) == Vector("PDF map!"))
+  }
+
+  test("Type0 font WITHOUT ToUnicode yields no text (documented limit, no crash)") {
+    val pdf = PdfGen.type0WithToUnicode(Seq(1 -> "X"), "0001")
+    // strip the ToUnicode entry to simulate the unmappable case
+    val s = new String(pdf, "ISO-8859-1").replace("/ToUnicode 6 0 R", "")
+    assert(texts(s.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("PDF 1.5 object streams: page + font dicts inside a Flate ObjStm") {
+    assert(texts(PdfGen.fixtureDocs.toMap.apply("objstm")) == Vector("Object stream page."))
+  }
+
+  test("never throws: corrupt body, truncated stream, binary junk, empty") {
+    assert(PdfParser.parse(PdfGen.fixtureDocs.toMap.apply("corrupt"), "application/pdf").isEmpty)
+    val valid = PdfGen.fixtureDocs.toMap.apply("flate")
+    // truncate inside the Flate data: salvage what inflates, never throw
+    val truncated = java.util.Arrays.copyOfRange(valid, 0, valid.length / 2)
+    PdfParser.parse(truncated, "application/pdf") // must not throw
+    val junk = Array.tabulate[Byte](4096)(i => (i * 37 + 11).toByte)
+    junk(0) = '%'; junk(1) = 'P'; junk(2) = 'D'; junk(3) = 'F'
+    assert(PdfParser.parse(junk, "application/pdf").isEmpty)
+    assert(PdfParser.parse(Array.emptyByteArray, "application/pdf").isEmpty)
+    assert(PdfParser.parse(null, "application/pdf").isEmpty)
+  }
+
+  test("encrypted PDFs are skipped by design") {
+    val pdf = PdfGen.onePage("BT /F1 12 Tf 72 700 Td (secret) Tj ET")
+    val s = new String(pdf, "ISO-8859-1")
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    assert(texts(s.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("non-PDF bytes fall through to the text passthrough parser") {
+    val blocks = PdfParser.parse("para one\n\npara two".getBytes("UTF-8"), "text/plain")
+    assert(blocks.map(_.text) == Vector("para one", "para two"))
+  }
+
+  test("extractText concatenates blocks in reading order") {
+    assert(PdfParser.extractText(PdfGen.fixtureDocs.toMap.apply("plain")) ==
+      "Annual Report\n\nThe first body line.\nThe second body line.\n\nA separate paragraph block.")
+  }
+
+  test("determinism: identical bytes parse to identical blocks") {
+    val pdf = PdfGen.fixtureDocs.toMap.apply("plain")
+    assert(PdfParser.parse(pdf, "application/pdf") == PdfParser.parse(pdf, "application/pdf"))
+  }
+
+  test("adversarial: reference cycles dead-end instead of recursing forever") {
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n3 0 R\nendobj\n" + // Pages resolves into a ref cycle
+      "3 0 obj\n2 0 R\nendobj\n" +
+      "trailer\n<< /Size 4 /Root 1 0 R >>\n%%EOF\n"
+    assert(PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf").isEmpty)
+  }
+
+  test("adversarial: deeply nested arrays/dicts in content do not recurse unboundedly") {
+    val nested = "[" * 10000 + "]" * 10000
+    val pdf = PdfGen.onePage(s"BT /F1 12 Tf 72 700 Td (ok) Tj ET $nested")
+    // nested garbage after the text ops must not break the extracted text
+    assert(texts(pdf).headOption.contains("ok"))
+  }
+}
