@@ -344,7 +344,14 @@ object ExtractJob {
       var maxUrl: String = null
 
       val mapped = it.map { case (url, html) =>
-        val row = ScrapePipeline.scrapeHtml(decodeHtml(html), url)
+        // content-type routing on magic bytes: Common-Crawl-style corpora
+        // mix HTML and PDF under one binary column; both routes emit the
+        // same ScrapedRow shape (round 5 — PdfParser)
+        val row =
+          if (html != null && html.length >= 4 && html(0) == '%' &&
+              html(1) == 'P' && html(2) == 'D' && html(3) == 'F')
+            ScrapePipeline.scrapePdf(html, url)
+          else ScrapePipeline.scrapeHtml(decodeHtml(html), url)
         nRows += 1
         if (row.status != "ok" || row.error.isDefined) nFail += 1
         if (row.text_content.isEmpty) nEmpty += 1

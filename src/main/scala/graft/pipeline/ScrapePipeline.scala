@@ -159,6 +159,61 @@ object ScrapePipeline {
     )
   }
 
+  /** PDF route of the fused extraction (round 5): a Common-Crawl-style
+    * corpus mixes content types, so `%PDF` blobs flow through
+    * [[graft.sources.PdfParser]] instead of the HTML chain, emitting the
+    * SAME ScrapedRow shape — downstream dedup/quality/langid/embedding
+    * stages are content-type-agnostic by construction. Title = first
+    * heading block; markdown renders headings as `#`; normalized text runs
+    * the B4 string normalizer per block and hashes with the B6 generator,
+    * so exact dedup keys are comparable across HTML and PDF routes. */
+  def scrapePdf(bytes: Array[Byte], url: String): ScrapedRow = {
+    if (!UrlOps.isValidUrl(url))
+      return errorRow(url, "invalid_url", Some("Invalid URL provided"))
+    val normalizedUrl = UrlOps.normalizeUrl(url)
+    val blocks = graft.sources.PdfParser.parse(bytes, "application/pdf")
+    if (blocks.isEmpty)
+      return errorRow(normalizedUrl, "empty_html", Some("PDF yielded no text blocks"))
+        .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "pdf")
+    val textContent = blocks.map(_.text).mkString("\n\n")
+    val markdown = blocks.map { b =>
+      if (b.kind == "heading") "# " + b.text.replace("\n", " ") else b.text
+    }.mkString("\n\n")
+    val title = blocks.find(_.kind == "heading")
+      .map(_.text.linesIterator.next()).getOrElse("")
+    val normalizedText = blocks.map(b => Normalizer.normalizeString(b.text))
+      .filter(_.nonEmpty).mkString("\n\n")
+    val normHash = Normalizer.generateHash(normalizedText)
+    ScrapedRow(
+      url = normalizedUrl,
+      canonical_url = normalizedUrl,
+      domain = UrlOps.extractDomain(normalizedUrl),
+      title = title,
+      description = "",
+      image = None,
+      favicon = None,
+      content = markdown,
+      text_content = textContent,
+      excerpt = graft.extract.ContentExtractor.createExcerpt(textContent),
+      word_count = graft.util.Js.countTokens(textContent),
+      author = None, published_at = None, modified_at = None,
+      site_name = None, language = None,
+      content_type = "pdf",
+      keywords = Nil, json_ld = None, links = Nil,
+      normalized_text = normalizedText,
+      norm_hash = normHash,
+      norm_meta = NormMetaRow(
+        char_count = normalizedText.length,
+        token_estimate = (normalizedText.length + 3) / 4,
+        language = "unknown",
+        boilerplate_removed = false, classifier_used = false,
+        hash = normHash,
+        blocks_total = blocks.length, blocks_accepted = blocks.length,
+        truncated = false),
+      status = "ok",
+      error = None)
+  }
+
   private def errorRow(url: String, status: String, error: Option[String]): ScrapedRow =
     ScrapedRow(url, url, "", "", "", None, None, "", "", "", 0, None, None, None,
       None, None, "unknown", Nil, None, Nil, "", "",

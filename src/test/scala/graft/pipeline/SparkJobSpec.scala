@@ -120,6 +120,28 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counters.pagesParsed.value >= 1L)
   }
 
+  test("mixed-content routing: PDF blobs flow through the layout parser in the same job") {
+    val sp = spark
+    import sp.implicits._
+    val htmlPages = PagesGen.generate(spark, 10)
+    val pdfBytes = graft.sources.PdfGen.fixtureDocs.toMap.apply("plain")
+    val pdfRow = PageRow("https://docs.example.com/report.pdf",
+      htmlPages.head().warc_ts, pdfBytes, "", "en")
+    val mixed = htmlPages.union(spark.createDataset(Seq(pdfRow)))
+    val rows = ExtractJob.extract(mixed, 4).collect().map(r => r.url -> r).toMap
+    val pdf = rows("https://docs.example.com/report.pdf")
+    assert(pdf.status == "ok" && pdf.content_type == "pdf")
+    assert(pdf.title == "Annual Report")
+    assert(pdf.text_content.contains("The first body line."))
+    assert(pdf.content.startsWith("# Annual Report"))
+    assert(pdf.norm_hash.nonEmpty && pdf.word_count > 0)
+    assert(pdf.domain == "docs.example.com")
+    // the HTML rows are byte-identical to an HTML-only run (no cross-route
+    // interference)
+    val htmlOnly = ExtractJob.extract(htmlPages, 4).collect().map(r => r.url -> r).toMap
+    htmlOnly.foreach { case (u, r) => assert(rows(u) == r) }
+  }
+
   test("extract-first and on-splits variants are row-identical to shuffle-first") {
     val pages = PagesGen.generate(spark, N)
     def key(r: ScrapedRow) = (r.url, r.text_content, r.normalized_text, r.norm_hash, r.title)
