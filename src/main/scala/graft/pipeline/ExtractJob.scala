@@ -283,6 +283,17 @@ object ExtractJob {
     * text corpora where the extracted row (content md + text + normalized)
     * outweighs its html pick shuffle_first. The sample is one
     * `limit(sampleN)` read — O(one partition) at any corpus size. */
+  /** Content-type routing on magic bytes (round 5): Common-Crawl-style
+    * corpora mix HTML and PDF under one binary column; both routes emit
+    * the same ScrapedRow shape, so every downstream stage is
+    * content-type-agnostic. The ONE routing definition is shared by the
+    * fused extraction and the byte-ratio plan sampler. */
+  def scrapeAny(url: String, html: Array[Byte]): ScrapedRow =
+    if (html != null && html.length >= 4 && html(0) == '%' &&
+        html(1) == 'P' && html(2) == 'D' && html(3) == 'F')
+      ScrapePipeline.scrapePdf(html, url)
+    else ScrapePipeline.scrapeHtml(decodeHtml(html), url)
+
   def chooseVariant(pages: Dataset[PageRow], sampleN: Int = 256): String = {
     // UTF-8 byte length without allocating the encoded array — the shuffle
     // moves UTF8String bytes, so comparing UTF-16 char counts against html
@@ -304,7 +315,7 @@ object ExtractJob {
       val url = r.getString(0)
       val html = r.getAs[Array[Byte]](1)
       htmlBytes += (if (html == null) 0 else html.length)
-      val row = ScrapePipeline.scrapeHtml(decodeHtml(html), url)
+      val row = scrapeAny(url, html)
       // the fields that dominate a shuffled ScrapedRow's serialized size
       extractedBytes += utf8Len(row.content) + utf8Len(row.text_content) +
         utf8Len(row.normalized_text) + utf8Len(row.excerpt) + utf8Len(row.description) +
@@ -344,14 +355,7 @@ object ExtractJob {
       var maxUrl: String = null
 
       val mapped = it.map { case (url, html) =>
-        // content-type routing on magic bytes: Common-Crawl-style corpora
-        // mix HTML and PDF under one binary column; both routes emit the
-        // same ScrapedRow shape (round 5 — PdfParser)
-        val row =
-          if (html != null && html.length >= 4 && html(0) == '%' &&
-              html(1) == 'P' && html(2) == 'D' && html(3) == 'F')
-            ScrapePipeline.scrapePdf(html, url)
-          else ScrapePipeline.scrapeHtml(decodeHtml(html), url)
+        val row = scrapeAny(url, html)
         nRows += 1
         if (row.status != "ok" || row.error.isDefined) nFail += 1
         if (row.text_content.isEmpty) nEmpty += 1

@@ -92,6 +92,27 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(pdf, "application/pdf") == PdfParser.parse(pdf, "application/pdf"))
   }
 
+  test("fuzz: deterministic byte mutations of valid PDFs never throw") {
+    // mutation fuzz over every fixture doc: flip / zero / truncate at
+    // mix64-derived positions. Pins the never-throws contract against the
+    // whole parser surface (lexer, inflater, page walk, interpreter).
+    val docs = PdfGen.fixtureDocs.filter(_._2.length > 16)
+    docs.foreach { case (name, orig) =>
+      (0 until 60).foreach { seed =>
+        val b = orig.clone()
+        val p1 = math.floorMod(graft.ops.TextOps.mix64(seed * 31L + name.hashCode), b.length.toLong).toInt
+        val p2 = math.floorMod(graft.ops.TextOps.mix64(seed * 131L + 7), b.length.toLong).toInt
+        seed % 3 match {
+          case 0 => b(p1) = (b(p1) ^ 0x5a).toByte
+          case 1 => b(p1) = 0; b(p2) = (b(p2) ^ 0xff).toByte
+          case _ => // truncation
+        }
+        val bytes = if (seed % 3 == 2) java.util.Arrays.copyOfRange(b, 0, math.max(8, p1)) else b
+        PdfParser.parse(bytes, "application/pdf") // must not throw
+      }
+    }
+  }
+
   test("adversarial: reference cycles dead-end instead of recursing forever") {
     val body = "%PDF-1.4\n" +
       "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
