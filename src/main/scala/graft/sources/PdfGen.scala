@@ -147,6 +147,28 @@ object PdfGen {
     ), rootNum = 1)
   }
 
+  /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
+    * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
+    * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
+    * seed-derived tokens. Pure function of `i`. */
+  def syntheticDoc(i: Long): Array[Byte] = {
+    def word(seed: Long): String =
+      "w" + java.lang.Math.floorMod(graft.ops.TextOps.mix64(seed), 9000L)
+    def line(page: Int, ln: Int): String =
+      (0 until 9).map(k => word(i * 10007L + page * 131L + ln * 17L + k)).mkString(" ")
+    def pageOps(page: Int): String = {
+      val sb = new StringBuilder
+      sb.append(s"BT /F1 18 Tf 72 740 Td (Document $i page $page) Tj ET\n")
+      sb.append("BT /F1 11 Tf 72 700 Td\n")
+      (0 until 18).foreach { ln =>
+        sb.append(s"(${line(page, ln)}) Tj 0 -14 Td\n")
+      }
+      sb.append("ET")
+      sb.toString
+    }
+    twoPages(pageOps(0), pageOps(1), "BT /F1 11 Tf 72 120 Td (-- end --) Tj ET")
+  }
+
   /** The frozen fixture corpus for the `pdf_fixture` driver query. */
   def fixtureDocs: Seq[(String, Array[Byte])] = Seq(
     "plain" -> onePage(
