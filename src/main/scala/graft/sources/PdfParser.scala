@@ -320,15 +320,43 @@ object PdfParser extends LayoutParser {
   // ---------- document ----------
 
   private final class Doc(bytes: Array[Byte]) {
-    /** num → (gen, offset of the value just past `obj`). Lexical scan —
-      * robust to broken xref tables; latest (num, highest offset) wins,
-      * matching incremental-update semantics closely enough for text. */
+    /** num → offset of the value just past `obj`. Lexical LINE-ANCHORED
+      * byte scan (`^\s*N G obj`) — robust to broken xref tables; latest
+      * occurrence wins, matching incremental-update semantics closely
+      * enough for text. A direct byte walk, not regex-over-String: the
+      * ISO-8859-1 round-trip would copy every PDF into 2-byte chars —
+      * a gratuitous 2× allocation per document at corpus scale. */
     private val index: Map[Int, Int] = {
       val m = mutable.Map[Int, Int]()
-      val s = new String(bytes, "ISO-8859-1")
-      val re = java.util.regex.Pattern.compile("(?m)^\\s*(\\d+)\\s+(\\d+)\\s+obj\\b")
-      val matcher = re.matcher(s)
-      while (matcher.find()) m(matcher.group(1).toInt) = matcher.end()
+      val n = bytes.length
+      var i = 0
+      while (i + 2 < n) {
+        if (bytes(i) == 'o' && bytes(i + 1) == 'b' && bytes(i + 2) == 'j' &&
+            (i + 3 >= n || isWs(bytes(i + 3)) || isDelim(bytes(i + 3)))) {
+          // walk back across: ws, gen digits, ws, obj-number digits,
+          // then require line start (the regex this replaces was ^-anchored)
+          var j = i - 1
+          while (j >= 0 && (bytes(j) == ' ' || bytes(j) == '\t')) j -= 1
+          val genEnd = j
+          while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
+          if (genEnd > j) {
+            val afterNum = j
+            while (j >= 0 && (bytes(j) == ' ' || bytes(j) == '\t')) j -= 1
+            val numEnd = j
+            while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
+            val numStart = j + 1
+            while (j >= 0 && (bytes(j) == ' ' || bytes(j) == '\t')) j -= 1
+            val lineStart = j < 0 || bytes(j) == '\n' || bytes(j) == '\r'
+            if (numEnd >= numStart && numEnd - numStart < 9 && afterNum > numEnd && lineStart) {
+              var num = 0
+              var k = numStart
+              while (k <= numEnd) { num = num * 10 + (bytes(k) - '0'); k += 1 }
+              m(num) = i + 3
+            }
+          }
+        }
+        i += 1
+      }
       m.toMap
     }
     private val cache = mutable.Map[Int, Cos]()
