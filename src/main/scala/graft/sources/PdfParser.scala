@@ -265,13 +265,21 @@ object PdfParser extends LayoutParser {
 
   // ---------- filters ----------
 
+  /** Decompression-bomb cap: a chained `/Filter [/Fl /Fl ...]` around a
+    * nested deflate bomb would otherwise allocate unboundedly —
+    * OutOfMemoryError is an Error, which ESCAPES parse()'s Exception
+    * containment and kills the Spark task (the same failure class the
+    * nesting caps close). 64 MiB of decoded text per stream is far beyond
+    * any real content stream; past it we truncate and salvage. */
+  private val MaxInflatedBytes = 64 << 20
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(data.length * 4, 1 << 20)))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsDictionary()) {
+      while (!inf.finished() && !inf.needsDictionary() && out.size() < MaxInflatedBytes) {
         val n = inf.inflate(buf)
         if (n == 0 && inf.needsInput()) return out.toByteArray // truncated: salvage
         out.write(buf, 0, n)
@@ -445,34 +453,75 @@ object PdfParser extends LayoutParser {
       data
     }
 
-    def catalog: Option[CosDict] =
-      index.keys.iterator.map(obj).collectFirst {
-        case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
-      }.orElse {
-        loadObjStms()
-        objStmObjects.values.collectFirst {
-          case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
+    /** The LAST `trailer` dict in the file (incremental updates append a
+      * new one); for xref-stream PDFs (no `trailer` keyword) the /Type
+      * /XRef stream dict carries the same /Root//Encrypt keys. */
+    lazy val trailer: Option[CosDict] = {
+      val needle = "trailer".getBytes("ISO-8859-1")
+      var last = -1
+      var i = 0
+      while (i + needle.length <= bytes.length) {
+        var j = 0
+        while (j < needle.length && bytes(i + j) == needle(j)) j += 1
+        if (j == needle.length) last = i + needle.length
+        i += 1
+      }
+      val fromKeyword = if (last < 0) None else new Lexer(bytes, last).parseObj() match {
+        case d: CosDict => Some(d)
+        case _ => None
+      }
+      fromKeyword.orElse {
+        index.keys.toSeq.sorted.reverseIterator.map(obj).collectFirst {
+          case CosStream(d, _) if d.get("Type").contains(CosName("XRef")) => d
         }
       }
-
-    def encrypted: Boolean = {
-      val tail = new String(bytes, math.max(0, bytes.length - 2048),
-        math.min(2048, bytes.length), "ISO-8859-1")
-      tail.contains("/Encrypt")
     }
 
-    /** Page dicts in document order, each with inherited resources merged. */
+    /** /Root-designated catalog; lexical scan only as the salvage path for
+      * a missing/broken trailer (deterministic: highest object number
+      * wins, matching append-update recency better than map order). */
+    def catalog: Option[CosDict] =
+      trailer.flatMap(t => resolveDict(t.get("Root").getOrElse(CosNull)))
+        .filter(_.get("Type").contains(CosName("Catalog")))
+        .orElse {
+          index.keys.toSeq.sorted.reverseIterator.map(obj).collectFirst {
+            case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
+          }
+        }.orElse {
+          loadObjStms()
+          objStmObjects.keys.toSeq.sorted.reverseIterator.map(objStmObjects).collectFirst {
+            case d: CosDict if d.get("Type").contains(CosName("Catalog")) => d
+          }
+        }
+
+    /** Encryption = an /Encrypt KEY in the trailer dict — not a substring
+      * scan, which would drop any honest document whose trailing content
+      * merely mentions "/Encrypt". */
+    def encrypted: Boolean = trailer.exists(_.get("Encrypt").isDefined)
+
+    /** Page dicts in document order, each with inherited resources merged.
+      * A visited set over kid OBJECT NUMBERS kills self/ancestor-referencing
+      * /Kids cycles — a depth cap alone leaves `[2 0 R 2 0 R]` free to fan
+      * out 2^depth times (an unkillable spin, not an exception); the page
+      * cap bounds honest-looking but absurd trees. */
     def pages: Vector[CosDict] = {
       val out = Vector.newBuilder[CosDict]
+      var nPages = 0
+      val visited = mutable.Set[Int]()
       def walk(node: CosDict, inheritedRes: Option[Cos], depth: Int): Unit = {
-        if (depth > 64) return
+        if (depth > 64 || nPages >= 10000) return
         val res = node.get("Resources").orElse(inheritedRes)
         node.get("Type") match {
           case Some(CosName("Page")) =>
+            nPages += 1
             out += CosDict(res.map(r => node.v + ("Resources" -> r)).getOrElse(node.v))
           case _ =>
             resolve(node.get("Kids").getOrElse(CosNull)) match {
-              case CosArr(kids) => kids.foreach(k => resolveDict(k).foreach(walk(_, res, depth + 1)))
+              case CosArr(kids) => kids.foreach {
+                case ref @ CosRef(num, _) =>
+                  if (visited.add(num)) resolveDict(ref).foreach(walk(_, res, depth + 1))
+                case inline => resolveDict(inline).foreach(walk(_, res, depth + 1))
+              }
               case _ =>
             }
         }
@@ -585,11 +634,15 @@ object PdfParser extends LayoutParser {
         case CosNum(v) => v; case _ => 0.0
       } else 0.0
 
-    def emit(bytes: Array[Byte]): Unit = {
+    // effective size folds the text-matrix scale in, so `/F1 1 Tf` +
+    // `24 0 0 24 x y Tm` (scale-via-Tm, a common generator pattern) grades
+    // the same as `/F1 24 Tf` — for EVERY show operator, Tj and TJ alike
+    def emitText(t: String): Unit = if (t.nonEmpty) {
       val dev = tm * ctm
-      val t = font.decode(bytes)
-      if (t.nonEmpty) shows += Show(dev.e, dev.f, fontSize * math.sqrt(math.abs(tm.a * tm.d - tm.b * tm.c)).max(0.01), t)
+      val effSize = fontSize * math.sqrt(math.abs(tm.a * tm.d - tm.b * tm.c)).max(0.01)
+      shows += Show(dev.e, dev.f, effSize, t)
     }
+    def emit(bytes: Array[Byte]): Unit = emitText(font.decode(bytes))
     def nextLine(): Unit = { tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm }
 
     var guard = 0
@@ -631,10 +684,7 @@ object PdfParser extends LayoutParser {
                   case CosNum(adj) if adj < -150 => sb.append(' ')
                   case _ =>
                 }
-                if (sb.nonEmpty) {
-                  val dev = tm * ctm
-                  shows += Show(dev.e, dev.f, fontSize, sb.toString)
-                }
+                emitText(sb.toString)
               case _ =>
             }
             case "cm" => ctm = Mat(num(5), num(4), num(3), num(2), num(1), num(0)) * ctm

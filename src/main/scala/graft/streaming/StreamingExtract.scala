@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.pipeline.{ExtractJob, PageRow, ScrapePipeline, ScrapedRow}
+import graft.pipeline.{ExtractJob, PageRow, ScrapedRow}
 
 /**
  * Structured Streaming surface: continuous extraction over newly-arriving
@@ -43,7 +43,7 @@ object StreamingExtract {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
       .as[PageRow]
-      .mapPartitions(_.map(p => ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)))
+      .mapPartitions(_.map(p => ExtractJob.scrapeAny(p.url, p.html)))
   }
 
   /** Stateful monitor: pages per host per 1-minute window, watermarked so
@@ -146,7 +146,7 @@ object StreamingExtract {
         // below would kill the query); a row without a timestamp has no
         // place in an event-time-TTL'd store — contained here, mirroring
         // the extraction path's row-level totality
-        val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
+        val r = ExtractJob.scrapeAny(p.url, p.html)
         if (p.warc_ts == null || r.status != "ok" || r.normalized_text.isEmpty) Iterator.empty
         else {
           val sig = TextOps.minHash(TextOps.shingles(r.normalized_text, 3), 64)
@@ -200,7 +200,7 @@ object StreamingExtract {
       .parquet(inputDir)
       .as[PageRow]
       .map { p =>
-        val r = ScrapePipeline.scrapeHtml(ExtractJob.decodeHtml(p.html), p.url)
+        val r = ExtractJob.scrapeAny(p.url, p.html)
         // a hash is only a dedup key when extraction actually produced
         // normalized content: failed rows carry "", and empty-content rows
         // all hash the empty string — deduping either would silently collapse

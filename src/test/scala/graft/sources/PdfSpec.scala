@@ -92,6 +92,55 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(pdf, "application/pdf") == PdfParser.parse(pdf, "application/pdf"))
   }
 
+  test("adversarial: chained-Flate decompression bomb is capped, not an OOM task kill") {
+    // ~100 MB of zeros double-deflated into a few hundred bytes; /Filter
+    // [/Fl /Fl] makes decode() re-inflate multiplicatively. The 64 MiB cap
+    // must truncate-and-salvage (OutOfMemoryError is an Error — it would
+    // escape Exception containment and kill the task).
+    def deflate(d: Array[Byte]): Array[Byte] = {
+      val df = new java.util.zip.Deflater(); df.setInput(d); df.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+      while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+      df.end(); out.toByteArray
+    }
+    val bomb = deflate(deflate(new Array[Byte](100 << 20)))
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes("ISO-8859-1"))
+    body.write("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n".getBytes("ISO-8859-1"))
+    body.write("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n".getBytes("ISO-8859-1"))
+    body.write(s"4 0 obj\n<< /Filter [/Fl /Fl] /Length ${bomb.length} >>\nstream\n".getBytes("ISO-8859-1"))
+    body.write(bomb)
+    body.write("\nendstream\nendobj\ntrailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n".getBytes("ISO-8859-1"))
+    val t0 = System.nanoTime()
+    PdfParser.parse(body.toByteArray, "application/pdf") // must not throw / OOM
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
+
+  test("adversarial: self-referencing /Kids does not fan out exponentially") {
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [2 0 R 2 0 R] /Count 1 >>\nendobj\n" +
+      "trailer\n<< /Size 3 /Root 1 0 R >>\n%%EOF\n"
+    val t0 = System.nanoTime()
+    assert(PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf").isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0) // 2^64 walk would never return
+  }
+
+  test("scale-via-Tm headings classify like Tf-sized ones (Tj and TJ)") {
+    val pdf = PdfGen.onePage(
+      """BT /F1 1 Tf 24 0 0 24 72 720 Tm [(Scaled Title)] TJ ET
+        |BT /F1 12 Tf 72 680 Td (Body line one.) Tj 0 -16 Td (Body line two.) Tj ET""".stripMargin)
+    val blocks = PdfParser.parse(pdf, "application/pdf")
+    assert(blocks.map(b => (b.kind, b.text)) == Vector(
+      ("heading", "Scaled Title"), ("text", "Body line one.\nBody line two.")))
+  }
+
+  test("a document that merely MENTIONS /Encrypt in content is not dropped") {
+    val pdf = PdfGen.onePage(
+      """BT /F1 12 Tf 72 700 Td (see the /Encrypt entry for details) Tj ET""")
+    assert(texts(pdf) == Vector("see the /Encrypt entry for details"))
+  }
+
   test("fuzz: deterministic byte mutations of valid PDFs never throw") {
     // mutation fuzz over every fixture doc: flip / zero / truncate at
     // mix64-derived positions. Pins the never-throws contract against the
