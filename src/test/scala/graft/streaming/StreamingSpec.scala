@@ -27,7 +27,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("streaming extraction equals batch extraction over the same landing dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    PagesGen.generate(spark, 40).repartition(4).write.mode("overwrite").parquet(dir)
+    val sp0 = spark
+    import sp0.implicits._
+    // 40 HTML pages + 1 PDF blob: streaming shares batch's scrapeAny
+    // content-type routing, so the PDF row must come out byte-identical too
+    val pdfRow = graft.pipeline.PageRow("https://docs.example.com/r.pdf",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      graft.sources.PdfGen.fixtureDocs.toMap.apply("plain"), "", "en")
+    PagesGen.generate(spark, 40).union(spark.createDataset(Seq(pdfRow)))
+      .repartition(4).write.mode("overwrite").parquet(dir)
 
     val q = StreamingExtract.extractStream(spark, dir, maxFilesPerTrigger = 2)
       .toDF()
@@ -47,11 +55,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       import sp.implicits._
       spark.read.parquet(dir).as[graft.pipeline.PageRow]
         .collect()
-        .map(p => graft.pipeline.ScrapePipeline.scrapeHtml(graft.pipeline.ExtractJob.decodeHtml(p.html), p.url))
+        .map(p => graft.pipeline.ExtractJob.scrapeAny(p.url, p.html))
         .map(r => (r.url, r.title, r.norm_hash)).toSet
     }
-    assert(streamed.size == 40)
+    assert(streamed.size == 41)
     assert(streamed == batch)
+    assert(streamed.exists { case (u, t, _) =>
+      u == "https://docs.example.com/r.pdf" && t == "Annual Report" })
   }
 
   test("host-rate stream: windowed watermarked counts complete") {
