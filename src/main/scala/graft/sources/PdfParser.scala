@@ -556,7 +556,13 @@ object PdfParser extends LayoutParser {
         } else bytes.foreach(b => sb.append(map.getOrElse(b & 0xff, "")))
         sb.toString
       case None =>
-        if (twoByte) "" else new String(bytes, Cp1252)
+        if (twoByte) ""
+        // BOM-prefixed UTF-16BE text strings (PDF 32000 §7.9.2.2): some
+        // producers emit them even in content shows; the FE FF guard makes
+        // false positives on windows-1252 glyph bytes ("þÿ" lead) negligible
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+          new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+        else new String(bytes, Cp1252)
     }
   }
   private val SimpleFont = Font(None, twoByte = false)

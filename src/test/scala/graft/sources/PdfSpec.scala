@@ -42,6 +42,13 @@ class PdfSpec extends AnyFunSuite {
       (0, "Page one text."), (1, "Page two part A."), (1, "Page two part B.")))
   }
 
+  test("BOM-prefixed UTF-16BE literal strings decode (PDF 32000 7.9.2.2)") {
+    // "Héllo" as UTF-16BE with BOM, via octal escapes inside a literal string
+    val utf16 = "\\376\\377\\000H\\000\\351\\000l\\000l\\000o"
+    val pdf = PdfGen.onePage(s"BT /F1 12 Tf 72 700 Td ($utf16) Tj ET")
+    assert(texts(pdf) == Vector("Héllo"))
+  }
+
   test("Type0 font decodes through its ToUnicode CMap (2-byte codes)") {
     assert(texts(PdfGen.fixtureDocs.toMap.apply("tounicode")) == Vector("PDF map!"))
   }
