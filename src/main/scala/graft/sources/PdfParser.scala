@@ -13,7 +13,8 @@ import scala.collection.mutable
  * report/article PDFs):
  *  - classic cross-reference PDFs AND PDF 1.5+ object streams
  *    (`/Type /ObjStm`, FlateDecode, PNG predictors 10-15);
- *  - content-stream filters: none, FlateDecode (+ /DecodeParms predictor);
+ *  - content-stream filters: none, FlateDecode (+ /DecodeParms
+ *    predictor), ASCIIHexDecode, ASCII85Decode, and chains thereof;
  *  - page tree walk (`/Catalog` → `/Pages` → `/Kids`, inherited
  *    `/Resources`), multi-stream `/Contents` arrays;
  *  - text operators BT, ET, Td, TD, Tm, T-star, TL, Tf, Tj, quote,
@@ -439,6 +440,34 @@ object PdfParser extends LayoutParser {
             val cols = resolve(dp.get("Columns").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 1 }
             if (pred >= 10) data = pngUnpredict(data, cols)
           }
+        case "ASCII85Decode" | "A85" =>
+          val out = new java.io.ByteArrayOutputStream()
+          var tuple = 0L
+          var count = 0
+          var done = false
+          var idx = 0
+          while (idx < data.length && !done) {
+            val c = data(idx).toChar
+            if (c == '~') done = true // '~>' terminator
+            else if (c == 'z' && count == 0) out.write(Array[Byte](0, 0, 0, 0))
+            else if (c >= '!' && c <= 'u') {
+              tuple = tuple * 85 + (c - '!')
+              count += 1
+              if (count == 5) {
+                out.write((tuple >> 24).toInt); out.write((tuple >> 16).toInt)
+                out.write((tuple >> 8).toInt); out.write(tuple.toInt)
+                tuple = 0; count = 0
+              }
+            } // whitespace and junk: skip
+            idx += 1
+          }
+          if (count > 1) { // partial final group: pad with 'u', emit count-1 bytes
+            var k = count
+            while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+            val b = Array((tuple >> 24).toInt, (tuple >> 16).toInt, (tuple >> 8).toInt)
+            (0 until count - 1).foreach(j => out.write(b(j)))
+          }
+          data = out.toByteArray
         case "ASCIIHexDecode" | "AHx" =>
           val out = new java.io.ByteArrayOutputStream()
           var hi = -1

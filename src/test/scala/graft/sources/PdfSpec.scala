@@ -60,6 +60,36 @@ class PdfSpec extends AnyFunSuite {
     assert(texts(s.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("ASCII85Decode content streams (independent encoder in the test)") {
+    // independent Ascii85 encoder — shares nothing with the parser
+    def a85(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      data.grouped(4).foreach { g =>
+        var t = 0L
+        g.foreach(b => t = (t << 8) | (b & 0xff))
+        t <<= 8 * (4 - g.length)
+        if (t == 0 && g.length == 4) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85)).toChar; v /= 85 }
+          (0 until g.length + 1).foreach(i => sb.append(cs(i)))
+        }
+      }
+      sb.append("~>").toString
+    }
+    val ops = "BT /F1 12 Tf 72 700 Td (Ascii85 stream works.) Tj ET"
+    val enc = a85(ops.getBytes("ISO-8859-1"))
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Filter /ASCII85Decode /Length ${enc.length} >>\nstream\n$enc\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n" +
+      "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    assert(texts(body.getBytes("ISO-8859-1")) == Vector("Ascii85 stream works."))
+  }
+
   test("PDF 1.5 object streams: page + font dicts inside a Flate ObjStm") {
     assert(texts(PdfGen.fixtureDocs.toMap.apply("objstm")) == Vector("Object stream page."))
   }
