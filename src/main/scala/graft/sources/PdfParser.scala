@@ -14,7 +14,8 @@ import scala.collection.mutable
  *  - classic cross-reference PDFs AND PDF 1.5+ object streams
  *    (`/Type /ObjStm`, FlateDecode, PNG predictors 10-15);
  *  - content-stream filters: none, FlateDecode (+ /DecodeParms
- *    predictor), ASCIIHexDecode, ASCII85Decode, and chains thereof;
+ *    predictor), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and
+ *    chains thereof;
  *  - page tree walk (`/Catalog` → `/Pages` → `/Kids`, inherited
  *    `/Resources`), multi-stream `/Contents` arrays;
  *  - text operators BT, ET, Td, TD, Tm, T-star, TL, Tf, Tj, quote,
@@ -440,6 +441,27 @@ object PdfParser extends LayoutParser {
             val cols = resolve(dp.get("Columns").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 1 }
             if (pred >= 10) data = pngUnpredict(data, cols)
           }
+        case "RunLengthDecode" | "RL" =>
+          val out = new java.io.ByteArrayOutputStream()
+          var i = 0
+          var stop = false
+          while (i < data.length && !stop) {
+            val len = data(i) & 0xff
+            if (len == 128) stop = true // EOD
+            else if (len < 128) { // literal run of len+1 bytes
+              val n = math.min(len + 1, data.length - i - 1)
+              out.write(data, i + 1, n)
+              i += 1 + n
+            } else { // next byte repeated 257-len times
+              if (i + 1 < data.length) {
+                val b = data(i + 1)
+                var k = 0
+                while (k < 257 - len) { out.write(b); k += 1 }
+              }
+              i += 2
+            }
+          }
+          data = out.toByteArray
         case "ASCII85Decode" | "A85" =>
           val out = new java.io.ByteArrayOutputStream()
           var tuple = 0L

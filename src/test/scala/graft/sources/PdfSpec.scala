@@ -90,6 +90,33 @@ class PdfSpec extends AnyFunSuite {
     assert(texts(body.getBytes("ISO-8859-1")) == Vector("Ascii85 stream works."))
   }
 
+  test("RunLengthDecode content streams (independent encoder in the test)") {
+    def rle(data: Array[Byte]): Array[Byte] = {
+      // naive independent encoder: literal runs of ≤8 plus one repeat run
+      val out = new java.io.ByteArrayOutputStream()
+      data.grouped(8).foreach { g =>
+        out.write(g.length - 1); out.write(g, 0, g.length)
+      }
+      out.write(257 - 4); out.write(' ') // 4 repeated spaces
+      out.write(128) // EOD
+      out.toByteArray
+    }
+    val ops = "BT /F1 12 Tf 72 700 Td (RLE stream works.) Tj ET"
+    // the 4 trailing spaces land OUTSIDE the ops (after ET) — harmless ws
+    val enc = rle(ops.getBytes("ISO-8859-1"))
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Filter /RunLengthDecode /Length ${enc.length} >>\nstream\n").getBytes("ISO-8859-1"))
+    body.write(enc)
+    body.write(("\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n" +
+      "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1"))
+    assert(texts(body.toByteArray) == Vector("RLE stream works."))
+  }
+
   test("PDF 1.5 object streams: page + font dicts inside a Flate ObjStm") {
     assert(texts(PdfGen.fixtureDocs.toMap.apply("objstm")) == Vector("Object stream page."))
   }
