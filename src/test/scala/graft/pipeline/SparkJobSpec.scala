@@ -99,6 +99,27 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counters.pagesParsed.value == 50L)
     assert(counters.parseFailures.value == 0L)
     assert(counters.emptyContent.value == 0L)
+    assert(counters.encryptedPdf.value == 0L)
+  }
+
+  test("encrypted_pdf counter and manifest column distinguish encryption from empty text (round 6)") {
+    val sp = spark
+    import sp.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val mixed = sp.createDataset(Seq(
+      PageRow("https://enc.example.com/locked.pdf", ts, graft.sources.PdfGen.encryptedPdf(), "", "en"),
+      PageRow("https://ok.example.com/doc.pdf", ts, graft.sources.PdfGen.crossRoutePdf(), "", "en"),
+      PageRow("https://html.example.com/page", ts,
+        graft.sources.PdfGen.crossRouteHtml.getBytes("UTF-8"), "", "en")))
+    val counters = ExtractJob.newCounters(spark)
+    val manifestAcc = spark.sparkContext.collectionAccumulator[ManifestRow]("manifest-enc")
+    val rows = ExtractJob.extract(mixed, 2, Some(counters), Some(manifestAcc), "enc-run").collect()
+    assert(rows.count(_.status == "encrypted_pdf") == 1)
+    assert(counters.pagesParsed.value == 3L)
+    assert(counters.encryptedPdf.value == 1L, "encrypted PDF must be counted apart")
+    assert(counters.parseFailures.value == 1L, "encrypted also counts as a failure overall")
+    import scala.jdk.CollectionConverters._
+    assert(manifestAcc.value.asScala.map(_.n_encrypted_pdf).sum == 1L)
   }
 
   test("manifest/counter flush survives an early-terminating consumer (limit)") {
