@@ -323,8 +323,17 @@ object SparkEntry {
     * sf0.001 → lsh 0.70 / multiprobe 0.94 / ivf 1.00; sf0.01 → 0.56 /
     * 0.88 / 1.00; sf0.1 → 0.60 / 0.88 / 0.92. Floors sit one recall-step
     * (0.06+) under the cross-SF minimum; the RAW values additionally go
-    * into the bench JSON so a drift inside the margin is still visible. */
-  private val AnnRecallFloors = Seq("ivf" -> 0.8, "lsh" -> 0.5, "multiprobe" -> 0.75)
+    * into the bench JSON so a drift inside the margin is still visible.
+    *
+    * Tier decision (VERDICT r5 #7): **multi-probe is the recommended LSH
+    * tier** — 0.88 recall at near-identical suite cost to single-probe's
+    * 0.60 (0.48 s vs 0.53 s measured), because probing Hamming-1 buckets
+    * buys the recall that extra tables would, without extra index memory.
+    * Its floor is accordingly held to the IVF-grade 0.8. Single-probe
+    * `lsh` stays available as the explicit cheap opt-in (one bucket per
+    * query — the minimum-candidate path for latency-first callers) with a
+    * floor that gates catastrophic regression only, not production recall. */
+  private val AnnRecallFloors = Seq("ivf" -> 0.8, "lsh" -> 0.5, "multiprobe" -> 0.8)
 
   /** Measured recall@10 per approximate ANN surface (single-probe LSH,
     * multi-probe LSH, IVF) against the exact top-10 over planted true
@@ -1519,7 +1528,7 @@ object SparkEntry {
     // floors must be below the measured recall at every verification SF
     // (documented alongside the query); the driver checks only the booleans
     "ann_recall" ->
-      ("SELECT * FROM (VALUES ('ivf', 0.8, true), ('lsh', 0.5, true), ('multiprobe', 0.75, true)) " +
+      ("SELECT * FROM (VALUES ('ivf', 0.8, true), ('lsh', 0.5, true), ('multiprobe', 0.8, true)) " +
        "AS t(variant, recall_floor, meets_floor) ORDER BY variant"),
 
     // planted pairs + hammings of the frozen SimhashFixture corpus —

@@ -23,7 +23,11 @@ import scala.collection.mutable
  *    tracking for positioned text;
  *  - string decode: literal strings with all escape forms, hex strings;
  *    simple fonts via windows-1252, composite/Type0 fonts via their
- *    `/ToUnicode` CMap (`bfchar` + `bfrange`, 1- and 2-byte codes).
+ *    `/ToUnicode` CMap (`bfchar` + `bfrange`, 1- and 2-byte codes);
+ *  - simple-font `/FirstChar`+`/Widths` tables: width-true TJ word-gap
+ *    detection (threshold = half the space glyph) and bbox x1 extent,
+ *    falling back to the −150-unit heuristic / char-count approximation
+ *    for fonts without a table.
  *
  * Documented limits (skip, never throw): encrypted PDFs, non-Flate
  * filters (DCT/CCITT images are not text anyway), Type0 fonts WITHOUT a
@@ -664,8 +668,40 @@ object PdfParser extends LayoutParser {
   /** Per-font decode: simple fonts map bytes through windows-1252 (a close
     * superset of StandardEncoding's printable range); any font carrying a
     * /ToUnicode CMap uses it (bfchar + bfrange, 1- or 2-byte codes). Type0
-    * without ToUnicode has no in-file glyph→char mapping → yields "". */
-  private final case class Font(toUnicode: Option[Map[Int, String]], twoByte: Boolean) {
+    * without ToUnicode has no in-file glyph→char mapping → yields "".
+    * `widths` is the simple-font /FirstChar + /Widths table (1/1000-em
+    * units, VERDICT r5 #8) — it drives TJ word-gap detection and bbox
+    * extent; absent (or Type0 /W, unmodeled), callers fall back to the
+    * −150 heuristic and char-count bbox. */
+  private final case class Font(toUnicode: Option[Map[Int, String]], twoByte: Boolean,
+      widths: Option[(Int, Array[Int])] = None) {
+
+    def hasWidths: Boolean = widths.isDefined && !twoByte
+
+    /** Advance of `bytes` in 1/1000-em units; 0 when no width table (the
+      * caller's signal to fall back to char-count extent). Unlisted codes
+      * take 500 (the common /MissingWidth default). */
+    def advanceUnits(bytes: Array[Byte]): Double = widths match {
+      case Some((first, w)) if !twoByte =>
+        var sum = 0.0
+        var i = 0
+        while (i < bytes.length) {
+          val c = bytes(i) & 0xff
+          sum += (if (c >= first && c - first < w.length) w(c - first) else 500)
+          i += 1
+        }
+        sum
+      case _ => 0.0
+    }
+
+    /** TJ adjustment below which a positional gap is a word break: half the
+      * space glyph's own width when the table knows it (the space the
+      * producer would otherwise have typed), else the −150-units heuristic. */
+    def kerningSpaceThreshold: Double = widths match {
+      case Some((first, w)) if 32 >= first && 32 - first < w.length && w(32 - first) > 0 =>
+        -w(32 - first) * 0.5
+      case _ => -150.0
+    }
     def decode(bytes: Array[Byte]): String = toUnicode match {
       case Some(map) =>
         val sb = new StringBuilder
@@ -738,7 +774,9 @@ object PdfParser extends LayoutParser {
 
   // ---------- content interpreter ----------
 
-  private final case class Show(x: Double, y: Double, size: Double, text: String)
+  /** `w` = device-space advance width of the shown text (0 when the font
+    * carries no width table — layout falls back to char-count extent). */
+  private final case class Show(x: Double, y: Double, size: Double, text: String, w: Double)
 
   private final case class Mat(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double) {
     def *(o: Mat): Mat = Mat(
@@ -769,12 +807,12 @@ object PdfParser extends LayoutParser {
     // effective size folds the text-matrix scale in, so `/F1 1 Tf` +
     // `24 0 0 24 x y Tm` (scale-via-Tm, a common generator pattern) grades
     // the same as `/F1 24 Tf` — for EVERY show operator, Tj and TJ alike
-    def emitText(t: String): Unit = if (t.nonEmpty) {
+    def emitText(t: String, units: Double): Unit = if (t.nonEmpty) {
       val dev = tm * ctm
       val effSize = fontSize * math.sqrt(math.abs(tm.a * tm.d - tm.b * tm.c)).max(0.01)
-      shows += Show(dev.e, dev.f, effSize, t)
+      shows += Show(dev.e, dev.f, effSize, t, units / 1000.0 * effSize)
     }
-    def emit(bytes: Array[Byte]): Unit = emitText(font.decode(bytes))
+    def emit(bytes: Array[Byte]): Unit = emitText(font.decode(bytes), font.advanceUnits(bytes))
     def nextLine(): Unit = { tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm }
 
     var guard = 0
@@ -809,14 +847,22 @@ object PdfParser extends LayoutParser {
             case "TJ" => stack.lastOption.foreach {
               case CosArr(items) =>
                 val sb = new StringBuilder
+                var units = 0.0
+                // kerning adjustment in -1/1000 em: a shift below the
+                // font's word-gap threshold (half a space width when the
+                // /Widths table is present, −150 otherwise) is an
+                // inter-word gap the producer encoded positionally
+                val gap = font.kerningSpaceThreshold
                 items.foreach {
-                  case CosStr(s) => sb.append(font.decode(s))
-                  // kerning adjustment in -1/1000 em: a large negative shift
-                  // is an inter-word gap the producer encoded positionally
-                  case CosNum(adj) if adj < -150 => sb.append(' ')
+                  case CosStr(s) => sb.append(font.decode(s)); units += font.advanceUnits(s)
+                  case CosNum(adj) =>
+                    units -= adj
+                    if (adj < gap) sb.append(' ')
                   case _ =>
                 }
-                emitText(sb.toString)
+                // without a width table the adjustment sum alone would be a
+                // spuriously tiny extent — zero it so layout falls back
+                emitText(sb.toString, if (font.hasWidths) units else 0.0)
               case _ =>
             }
             case "cm" => ctm = Mat(num(5), num(4), num(3), num(2), num(1), num(0)) * ctm
@@ -848,13 +894,17 @@ object PdfParser extends LayoutParser {
     val lineRows = lines.map { l =>
       val xs = l.sortBy(_.x)
       val text = xs.map(_.text.trim).filter(_.nonEmpty).mkString(" ")
-      (xs.head.x, l.head.y, xs.map(_.size).max, text)
+      // line extent: width-true (x + /Widths advance) per show when the
+      // font table is present, char-count approximation otherwise
+      val xEnd = xs.iterator.map(s =>
+        if (s.w > 0) s.x + s.w else s.x + s.text.length * s.size * 0.5).max
+      (xs.head.x, l.head.y, xs.map(_.size).max, text, xEnd)
     }.filter(_._4.nonEmpty)
     if (lineRows.isEmpty) return Vector.empty
 
     val medianSize = lineRows.map(_._3).sorted.apply(lineRows.length / 2)
     // group lines into blocks by vertical gap
-    val blocks = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double, Double, String)]]()
+    val blocks = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double, Double, String, Double)]]()
     lineRows.foreach { row =>
       blocks.lastOption match {
         case Some(blk) if blk.last._2 - row._2 <= math.max(blk.last._3, row._3) * 1.8 &&
@@ -872,9 +922,9 @@ object PdfParser extends LayoutParser {
       val x0 = blk.map(_._1).min
       val yTop = blk.head._2 + blk.head._3
       val yBot = blk.last._2
-      // x1 approximated from character count (widths are font-metric data
-      // this parser deliberately does not model)
-      val x1 = x0 + blk.map(r => r._4.length * r._3 * 0.5).max
+      // x1 from per-line extents: width-true where /Widths exists,
+      // char-count approximation otherwise (VERDICT r5 #8)
+      val x1 = blk.map(_._5).max
       LayoutBlock(page, kind, text, x0.toFloat, yBot.toFloat, x1.toFloat, yTop.toFloat)
     }.toVector
   }
@@ -914,7 +964,18 @@ object PdfParser extends LayoutParser {
             case st: CosStream => Some(parseToUnicode(doc.decode(st)))
             case _ => None
           }
-          name -> Font(toUni, twoByte)
+          // simple-font /FirstChar + /Widths (1/1000-em units) for
+          // width-true TJ gaps and bbox extent (VERDICT r5 #8)
+          val widths = (doc.resolve(fdict.get("FirstChar").getOrElse(CosNull)),
+              doc.resolve(fdict.get("Widths").getOrElse(CosNull))) match {
+            case (CosNum(fc), CosArr(ws)) if ws.nonEmpty && ws.length <= 512 =>
+              Some((fc.toInt, ws.map {
+                case CosNum(v) => v.toInt
+                case r => doc.resolve(r) match { case CosNum(v) => v.toInt; case _ => 0 }
+              }.toArray))
+            case _ => None
+          }
+          name -> Font(toUni, twoByte, widths)
         }).toMap
         val content: Array[Byte] = doc.resolve(pageDict.get("Contents").getOrElse(CosNull)) match {
           case st: CosStream => doc.decode(st)

@@ -235,6 +235,33 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf").isEmpty)
   }
 
+  test("/Widths tables drive TJ word-gap detection and bbox extent (round 6)") {
+    // space glyph width 600 → word-gap threshold −300: the −250 adjustment
+    // is kerning (no space), −400 is a positional word gap. A,B,C carry
+    // widths 1000/800/600, so extents are exact, not char-count guesses.
+    val widths = "[600 " + Seq.fill(32)("500").mkString(" ") + " 1000 800 600]"
+    val ops = "BT /F1 10 Tf 72 700 Td [(A) -250 (B) -400 (C)] TJ ET\n" +
+      "BT /F1 10 Tf 72 600 Td (AAAA) Tj ET"
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${ops.length} >>\nstream\n" + ops + "\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier " +
+      s"/FirstChar 32 /Widths $widths >>\nendobj\n" +
+      "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    val blocks = PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf")
+    assert(blocks.map(_.text) == Vector("AB C", "AAAA"))
+    // TJ advance: 1000 +250 +800 +400 +600 = 3050 units at size 10 → 30.5
+    assert(math.abs(blocks(0).x1 - 102.5f) < 0.01f)
+    // Tj advance: 4 × 1000 units at size 10 → 40
+    assert(math.abs(blocks(1).x1 - 112.0f) < 0.01f)
+    // a font WITHOUT /Widths keeps the −150 heuristic (−250 IS a gap)
+    val noW = PdfGen.onePage("BT /F1 10 Tf 72 700 Td [(A) -250 (B) -400 (C)] TJ ET")
+    assert(PdfParser.parse(noW, "application/pdf").map(_.text) == Vector("A B C"))
+  }
+
   test("adversarial: deeply nested arrays/dicts in content do not recurse unboundedly") {
     val nested = "[" * 10000 + "]" * 10000
     val pdf = PdfGen.onePage(s"BT /F1 12 Tf 72 700 Td (ok) Tj ET $nested")
