@@ -1546,6 +1546,9 @@ object SparkEntry {
     "pdf_fixture" ->
       ("SELECT test_case, CAST(page AS BIGINT) AS page, CAST(blk AS BIGINT) AS blk, kind, text " +
        "FROM (VALUES " +
+       "('aes256enc', 0, 0, 'text', 'Decrypted AES-256 content extracted.'), " +
+       "('aesv2enc', 0, 0, 'text', 'Decrypted AESV2 content extracted.'), " +
+       "('rc4enc', 0, 0, 'text', 'Decrypted RC4 content extracted.'), " +
        "('crossroute', 0, 0, 'heading', 'Shared Cross-Route Document'), " +
        "('crossroute', 0, 1, 'text', 'This exact paragraph exists in both routes.'), " +
        "('crossroute', 0, 2, 'text', 'A second matching paragraph closes the document.'), " +
@@ -1574,6 +1577,9 @@ object SparkEntry {
        "CAST(blocks_total AS BIGINT) AS blocks_total, " +
        "CAST(blocks_accepted AS BIGINT) AS blocks_accepted, truncated, norm_text " +
        "FROM (VALUES " +
+       "('aes256enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AES-256 content extracted.'), " +
+       "('aesv2enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AESV2 content extracted.'), " +
+       "('rc4enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted RC4 content extracted.'), " +
        "('corrupt', 'empty_html', 'pdf', '', 0, 0, false, ''), " +
        "('crossroute', 'ok', 'pdf', 'Shared Cross-Route Document', 3, 3, false, " +
        "'# Shared Cross-Route Document ¶ This exact paragraph exists in both routes. ¶ A second matching paragraph closes the document.'), " +

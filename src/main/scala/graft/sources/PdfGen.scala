@@ -150,6 +150,161 @@ object PdfGen {
     ), rootNum = 1)
   }
 
+  // ---- writer-side standard security handler (round 6) ----
+  // An INDEPENDENT implementation of the ISO 32000 §7.6 algorithms (MD5 /
+  // RC4 / SHA-2 / AES-CBC over JDK primitives) so the encrypted fixtures
+  // pin PdfCrypto against the public spec, not against itself. The only
+  // shared artifacts are the spec's own constants (the 32-byte pad).
+
+  private val GenPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def genHash(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def genRc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    for (k <- data.indices) {
+      x = (x + 1) & 0xff
+      y = (y + (s(x) & 0xff)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s(((s(x) & 0xff) + (s(y) & 0xff)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def genAes(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte], padding: String): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance(s"AES/CBC/$padding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private val GenId0: Array[Byte] = Array.tabulate(16)(i => ((i * 31 + 7) & 0xff).toByte)
+  private val GenP = -44
+
+  /** R3/R4 key material for EMPTY user+owner passwords: (O, U, fileKey). */
+  private def genR34Keys(r: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val n = 16 // /Length 128
+    // Algorithm 3: O from the (empty) owner password
+    var okey = genHash("MD5", GenPad)
+    for (_ <- 0 until 50) okey = genHash("MD5", okey.take(n))
+    val ok = okey.take(n)
+    var o = genRc4(ok, GenPad)
+    for (i <- 1 to 19) o = genRc4(ok.map(b => (b ^ i).toByte), o)
+    // Algorithm 2: file key from the (empty) user password
+    var key = genHash("MD5", GenPad, o, le32(GenP), GenId0)
+    for (_ <- 0 until 50) key = genHash("MD5", key.take(n))
+    val fileKey = key.take(n)
+    // Algorithm 5: U
+    var u = genRc4(fileKey, genHash("MD5", GenPad, GenId0))
+    for (i <- 1 to 19) u = genRc4(fileKey.map(b => (b ^ i).toByte), u)
+    (o, u ++ new Array[Byte](16), fileKey)
+  }
+
+  private def genObjKey(fileKey: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+    val ext = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+      0.toByte, 0.toByte) // gen 0
+    val h = if (aes) genHash("MD5", fileKey, ext, Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte))
+            else genHash("MD5", fileKey, ext)
+    h.take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def encryptedOnePage(encDict: String, encryptOps: Array[Byte] => Array[Byte],
+      ops: String): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", encryptOps(bytes(ops))),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      8 -> bytes(encDict)
+    ), rootNum = 1,
+      extraTrailer = s" /Encrypt 8 0 R /ID [<${hex(GenId0)}> <${hex(GenId0)}>]")
+  }
+
+  /** R3 / V2: RC4-128, empty passwords — the classic owner-restrictions-only
+    * document the parser must now DECRYPT and extract. */
+  def rc4EncryptedPdf(): Array[Byte] = {
+    val (o, u, fileKey) = genR34Keys(3)
+    encryptedOnePage(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $GenP /O <${hex(o)}> /U <${hex(u)}> >>",
+      data => genRc4(genObjKey(fileKey, 4, aes = false), data),
+      "BT /F1 12 Tf 72 700 Td (Decrypted RC4 content extracted.) Tj ET")
+  }
+
+  /** R4 / V4 with the /AESV2 crypt filter: AES-128-CBC, IV-prefixed. */
+  def aesv2EncryptedPdf(): Array[Byte] = {
+    val (o, u, fileKey) = genR34Keys(4)
+    val iv = Array.tabulate(16)(i => ((i * 13 + 5) & 0xff).toByte)
+    encryptedOnePage(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $GenP /O <${hex(o)}> /U <${hex(u)}> " +
+        "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF >>",
+      data => iv ++ genAes(encrypt = true, genObjKey(fileKey, 4, aes = true), iv, data, "PKCS5Padding"),
+      "BT /F1 12 Tf 72 700 Td (Decrypted AESV2 content extracted.) Tj ET")
+  }
+
+  /** Independent Algorithm 2.B (R6 iterated SHA-2/AES password hash). */
+  private def genHash2B(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = genHash("SHA-256", pwd, salt, udata)
+    var round = 0
+    while (round < 512) { // spec terminates well under 512; hard backstop
+      val block = pwd ++ k ++ udata
+      val k1 = Array.fill(64)(block).flatten
+      val e = genAes(encrypt = true, k.take(16), k.slice(16, 32), k1, "NoPadding")
+      k = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => genHash("SHA-256", e)
+        case 1 => genHash("SHA-384", e)
+        case _ => genHash("SHA-512", e)
+      }
+      round += 1
+      if (round >= 64 && (e(e.length - 1) & 0xff) <= round - 32) return k.take(32)
+    }
+    k.take(32)
+  }
+
+  /** R6 / V5: AES-256 (the PDF 2.0 scheme), empty passwords. */
+  def aes256EncryptedPdf(): Array[Byte] = {
+    val fileKey = Array.tabulate(32)(i => ((i * 47 + 3) & 0xff).toByte)
+    val valSalt = Array.tabulate(8)(i => ((i * 11 + 1) & 0xff).toByte)
+    val keySalt = Array.tabulate(8)(i => ((i * 17 + 2) & 0xff).toByte)
+    val oValSalt = Array.tabulate(8)(i => ((i * 19 + 3) & 0xff).toByte)
+    val oKeySalt = Array.tabulate(8)(i => ((i * 23 + 4) & 0xff).toByte)
+    val empty = Array.emptyByteArray
+    val u = genHash2B(empty, valSalt, empty) ++ valSalt ++ keySalt
+    val ue = genAes(encrypt = true, genHash2B(empty, keySalt, empty), new Array[Byte](16), fileKey, "NoPadding")
+    val o = genHash2B(empty, oValSalt, u) ++ oValSalt ++ oKeySalt
+    val oe = genAes(encrypt = true, genHash2B(empty, oKeySalt, u), new Array[Byte](16), fileKey, "NoPadding")
+    val iv = Array.tabulate(16)(i => ((i * 29 + 9) & 0xff).toByte)
+    encryptedOnePage(
+      s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $GenP /O <${hex(o)}> /U <${hex(u)}> " +
+        s"/OE <${hex(oe)}> /UE <${hex(ue)}> " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>",
+      data => iv ++ genAes(encrypt = true, fileKey, iv, data, "PKCS5Padding"),
+      "BT /F1 12 Tf 72 700 Td (Decrypted AES-256 content extracted.) Tj ET")
+  }
+
   /** One-page PDF whose trailer carries /Encrypt — standard RC4 stream
     * cipher declaration. The parser must REPORT encryption (status
     * `encrypted` → pipeline `encrypted_pdf`), never mis-file it as
@@ -231,5 +386,8 @@ object PdfGen {
     "corrupt" -> bytes("%PDF-1.4\nthis is not a valid body"),
     "notpdf" -> bytes("plain text, not a PDF at all"),
     "encrypted" -> encryptedPdf(),
-    "crossroute" -> crossRoutePdf())
+    "crossroute" -> crossRoutePdf(),
+    "rc4enc" -> rc4EncryptedPdf(),
+    "aesv2enc" -> aesv2EncryptedPdf(),
+    "aes256enc" -> aes256EncryptedPdf())
 }

@@ -362,14 +362,16 @@ object PdfParser extends LayoutParser {
   // ---------- document ----------
 
   private final class Doc(bytes: Array[Byte]) {
-    /** num → offset of the value just past `obj`. Lexical LINE-ANCHORED
-      * byte scan (`^\s*N G obj`) — robust to broken xref tables; latest
-      * occurrence wins, matching incremental-update semantics closely
-      * enough for text. A direct byte walk, not regex-over-String: the
-      * ISO-8859-1 round-trip would copy every PDF into 2-byte chars —
-      * a gratuitous 2× allocation per document at corpus scale. */
-    private val index: Map[Int, Int] = {
-      val m = mutable.Map[Int, Int]()
+    /** num → (offset of the value just past `obj`, generation). Lexical
+      * LINE-ANCHORED byte scan (`^\s*N G obj`) — robust to broken xref
+      * tables; latest occurrence wins, matching incremental-update
+      * semantics closely enough for text. A direct byte walk, not
+      * regex-over-String: the ISO-8859-1 round-trip would copy every PDF
+      * into 2-byte chars — a gratuitous 2× allocation per document at
+      * corpus scale. The generation is kept because the standard security
+      * handler's per-object keys hash it (PdfCrypto Algorithm 1). */
+    private val index: Map[Int, (Int, Int)] = {
+      val m = mutable.Map[Int, (Int, Int)]()
       val n = bytes.length
       var i = 0
       while (i + 2 < n) {
@@ -381,7 +383,10 @@ object PdfParser extends LayoutParser {
           while (j >= 0 && (bytes(j) == ' ' || bytes(j) == '\t')) j -= 1
           val genEnd = j
           while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
-          if (genEnd > j) {
+          if (genEnd > j && genEnd - j <= 5) {
+            var gen = 0
+            var g = j + 1
+            while (g <= genEnd) { gen = gen * 10 + (bytes(g) - '0'); g += 1 }
             val afterNum = j
             while (j >= 0 && (bytes(j) == ' ' || bytes(j) == '\t')) j -= 1
             val numEnd = j
@@ -393,7 +398,7 @@ object PdfParser extends LayoutParser {
               var num = 0
               var k = numStart
               while (k <= numEnd) { num = num * 10 + (bytes(k) - '0'); k += 1 }
-              m(num) = i + 3
+              m(num) = (i + 3, gen)
             }
           }
         }
@@ -417,21 +422,123 @@ object PdfParser extends LayoutParser {
       * Parsed with a resolver-LESS lexer, so a crafted length→stream→length
       * cycle cannot recurse. */
     private def lengthOf(num: Int): Option[Int] =
-      index.get(num).flatMap { off =>
+      index.get(num).flatMap { case (off, _) =>
         new Lexer(bytes, off).parseObj() match {
           case CosNum(v) => Some(v.toInt)
           case _ => None
         }
       }
 
-    def obj(num: Int): Cos = cache.getOrElseUpdate(num, {
-      index.get(num) match {
-        case Some(off) => new Lexer(bytes, off, lengthOf).parseObj()
-        case None =>
-          loadObjStms()
-          objStmObjects.getOrElse(num, CosNull)
+    // ---- standard-security-handler decryption (round 6) ----
+    // cache holds RAW parsed objects; decCache the decrypted views. The
+    // split matters: objects parsed while the decryptor is still being set
+    // up (trailer discovery, the /Encrypt dict itself) must stay raw, and
+    // get their decrypted view on the next access instead of poisoning the
+    // cache undecrypted.
+    private val decCache = mutable.Map[Int, Cos]()
+    private var cryptoInit = false
+    private var inCryptoBuild = false
+    private var cryptoVal: Option[PdfCrypto.Decryptor] = None
+    private var encryptObjNum = -1
+    /** /Encrypt present but no empty-password path opens it (or the scheme
+      * is unsupported) → report `encrypted`, never guess. */
+    private var passwordProtected = false
+
+    private def crypto: Option[PdfCrypto.Decryptor] = {
+      if (!cryptoInit && !inCryptoBuild) {
+        inCryptoBuild = true
+        try cryptoVal = buildCrypto()
+        finally { inCryptoBuild = false; cryptoInit = true }
       }
-    })
+      if (cryptoInit) cryptoVal else None // None during setup: parse raw
+    }
+
+    private def buildCrypto(): Option[PdfCrypto.Decryptor] = {
+      val t = trailer.getOrElse(return None)
+      val encRef = t.get("Encrypt").getOrElse(return None)
+      encryptObjNum = encRef match { case CosRef(n, _) => n; case _ => -1 }
+      val encDict = resolveDict(encRef) match {
+        case Some(d) => d
+        case None => passwordProtected = true; return None
+      }
+      if (!encDict.get("Filter").contains(CosName("Standard"))) {
+        passwordProtected = true; return None // non-Standard handler: unsupported
+      }
+      def numOf(k: String, d: Int) = resolve(encDict.get(k).getOrElse(CosNull)) match {
+        case CosNum(x) => x.toInt; case _ => d
+      }
+      def strOf(k: String) = resolve(encDict.get(k).getOrElse(CosNull)) match {
+        case CosStr(b) => b; case _ => Array.emptyByteArray
+      }
+      val v = numOf("V", 0)
+      val r = numOf("R", 0)
+      // V4 crypt filters: the method named by /StmF inside /CF (the common
+      // real-world shape has /StrF identical; one method serves both)
+      val cfm: String =
+        if (v != 4) ""
+        else {
+          val stmF = encDict.get("StmF") match { case Some(CosName(nm)) => nm; case _ => "Identity" }
+          if (stmF == "Identity") "Identity"
+          else resolveDict(encDict.get("CF").getOrElse(CosNull))
+            .flatMap(cf => resolveDict(cf.get(stmF).getOrElse(CosNull)))
+            .flatMap(_.get("CFM") match { case Some(CosName(m)) => Some(m); case _ => None })
+            .getOrElse("Identity")
+        }
+      val id0 = resolve(t.get("ID").getOrElse(CosNull)) match {
+        case CosArr(arr) => arr.headOption match {
+          case Some(CosStr(b)) => b
+          case _ => Array.emptyByteArray
+        }
+        case _ => Array.emptyByteArray
+      }
+      val lengthBits = if (v == 1) 40 else numOf("Length", if (v >= 4) 128 else 40)
+      val encMeta = resolve(encDict.get("EncryptMetadata").getOrElse(CosNull)) != CosBool(false)
+      val params = PdfCrypto.Params(v, r, lengthBits, numOf("P", -1),
+        strOf("O"), strOf("U"), strOf("OE"), strOf("UE"), cfm, encMeta, id0)
+      val d = PdfCrypto.build(params)
+      if (d.isEmpty) passwordProtected = true
+      d
+    }
+
+    /** Depth-capped structural decryption of one indirect object's strings
+      * and stream data with its (num, gen) key. /Type /XRef streams are
+      * exempt by spec (they must be readable before decryption is set up). */
+    private def decryptCos(c: Cos, num: Int, gen: Int, d: PdfCrypto.Decryptor, depth: Int): Cos =
+      if (depth > MaxNestingDepth) c
+      else c match {
+        case CosStr(b) => CosStr(d.decrypt(b, num, gen))
+        case CosArr(v) => CosArr(v.map(decryptCos(_, num, gen, d, depth + 1)))
+        case CosDict(m) => CosDict(m.map { case (k, v) => k -> decryptCos(v, num, gen, d, depth + 1) })
+        case CosStream(dict, raw) =>
+          if (dict.get("Type").contains(CosName("XRef"))) c
+          else {
+            val dd = decryptCos(dict, num, gen, d, depth + 1) match {
+              case x: CosDict => x
+              case _ => dict
+            }
+            CosStream(dd, d.decrypt(raw, num, gen))
+          }
+        case other => other
+      }
+
+    def obj(num: Int): Cos = {
+      val raw = cache.getOrElseUpdate(num, {
+        index.get(num) match {
+          case Some((off, _)) => new Lexer(bytes, off, lengthOf).parseObj()
+          case None =>
+            loadObjStms()
+            objStmObjects.getOrElse(num, CosNull)
+        }
+      })
+      crypto match {
+        // ObjStm-contained objects (no index entry) are NOT individually
+        // encrypted — the object stream they came from already was; the
+        // /Encrypt dict itself is exempt by definition
+        case Some(c) if num != encryptObjNum && index.contains(num) =>
+          decCache.getOrElseUpdate(num, decryptCos(raw, num, index(num)._2, c, 0))
+        case _ => raw
+      }
+    }
 
     /** PDF 1.5 object streams: decompress every /Type /ObjStm once and
       * index the contained objects. */
@@ -621,10 +728,16 @@ object PdfParser extends LayoutParser {
           }
         }
 
-    /** Encryption = an /Encrypt KEY in the trailer dict — not a substring
-      * scan, which would drop any honest document whose trailing content
-      * merely mentions "/Encrypt". */
-    def encrypted: Boolean = trailer.exists(_.get("Encrypt").isDefined)
+    /** True when the document declares /Encrypt (keyed trailer entry — not
+      * a substring scan, which would drop any honest document whose
+      * trailing content merely mentions "/Encrypt") AND no empty-password
+      * path opens it. Round 6: empty-user/owner-password documents (the
+      * dominant crawl case — permission restrictions, not secrecy) decrypt
+      * through [[PdfCrypto]] and extract normally. */
+    def encrypted: Boolean = {
+      crypto // force decryptor setup
+      passwordProtected
+    }
 
     /** Page dicts in document order, each with inherited resources merged.
       * A visited set over kid OBJECT NUMBERS kills self/ancestor-referencing
