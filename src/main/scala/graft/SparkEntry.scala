@@ -1557,6 +1557,8 @@ object SparkEntry {
        "('plain', 0, 1, 'text', 'The first body line. | The second body line.'), " +
        "('plain', 0, 2, 'text', 'A separate paragraph block.'), " +
        "('flate', 0, 0, 'text', 'Compressed content stream works.'), " +
+       "('formxobj', 0, 0, 'text', 'Direct page text.'), " +
+       "('formxobj', 0, 1, 'text', 'Form XObject text.'), " +
        "('escapes', 0, 0, 'text', 'Parens (nested) and a backslash \\ and octal A | Hello hex!'), " +
        "('kerning', 0, 0, 'text', 'Kerned words here'), " +
        "('twopage', 0, 0, 'text', 'Page one text.'), " +
@@ -1587,6 +1589,7 @@ object SparkEntry {
        "('escapes', 'ok', 'pdf', '', 1, 1, false, " +
        "'Parens (nested) and a backslash \\ and octal A | Hello hex!'), " +
        "('flate', 'ok', 'pdf', '', 1, 1, false, 'Compressed content stream works.'), " +
+       "('formxobj', 'ok', 'pdf', '', 2, 2, false, 'Direct page text. ¶ Form XObject text.'), " +
        "('kerning', 'ok', 'pdf', '', 1, 0, false, ''), " +
        "('notpdf', 'empty_html', 'pdf', '', 0, 0, false, ''), " +
        "('objstm', 'ok', 'pdf', '', 1, 1, false, 'Object stream page.'), " +

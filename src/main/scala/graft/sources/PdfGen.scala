@@ -339,6 +339,26 @@ object PdfGen {
       "<p>A second matching paragraph closes the document.</p>" +
       "</body></html>"
 
+  /** Page whose text partly lives in a Form XObject invoked via `Do` (the
+    * letterhead/report shape): direct page text + a form with its OWN font
+    * resource and a /Matrix, invoked under a `cm` translation — the parser
+    * must compose Matrix × CTM and merge resources. */
+  def formXObjectPdf(): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> /XObject << /Fx1 6 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", bytes(
+        "BT /F1 12 Tf 72 700 Td (Direct page text.) Tj ET\nq 1 0 0 1 0 -40 cm /Fx1 Do Q")),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> streamObj("/Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 -20] " +
+        "/Resources << /Font << /F2 7 0 R >> >>",
+        bytes("BT /F2 12 Tf 72 700 Td (Form XObject text.) Tj ET")),
+      7 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>")
+    ), rootNum = 1)
+  }
+
   /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
     * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
     * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
@@ -387,6 +407,7 @@ object PdfGen {
     "notpdf" -> bytes("plain text, not a PDF at all"),
     "encrypted" -> encryptedPdf(),
     "crossroute" -> crossRoutePdf(),
+    "formxobj" -> formXObjectPdf(),
     "rc4enc" -> rc4EncryptedPdf(),
     "aesv2enc" -> aesv2EncryptedPdf(),
     "aes256enc" -> aes256EncryptedPdf())

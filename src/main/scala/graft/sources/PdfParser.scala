@@ -901,12 +901,18 @@ object PdfParser extends LayoutParser {
 
   /** Returns (shows, guardTripped): the 4M-operator guard bounds crafted
     * content streams; when it fires, the remaining shows are DROPPED and the
-    * flag surfaces as document truncation (VERDICT r5 #3 — no silent caps). */
-  private def interpret(content: Array[Byte], fonts: Map[String, Font]): (Vector[Show], Boolean) = {
+    * flag surfaces as document truncation (VERDICT r5 #3 — no silent caps).
+    * `formHandler(name, ctm)` interprets a `Do`-invoked Form XObject with
+    * the CTM at invocation time and returns its device-space shows (round
+    * 6 — report/letterhead text frequently lives in forms and was silently
+    * lost); `baseCtm` seeds the CTM so nested forms compose /Matrix. */
+  private def interpret(content: Array[Byte], fonts: Map[String, Font],
+      formHandler: (String, Mat) => Vector[Show] = (_, _) => Vector.empty,
+      baseCtm: Mat = Identity): (Vector[Show], Boolean) = {
     val lex = new Lexer(content, 0)
     val stack = mutable.ArrayBuffer[Cos]()
     val shows = Vector.newBuilder[Show]
-    var ctm = Identity
+    var ctm = baseCtm
     val ctmStack = mutable.ArrayBuffer[Mat]()
     var tm = Identity; var tlm = Identity
     var leading = 0.0; var fontSize = 1.0
@@ -981,6 +987,20 @@ object PdfParser extends LayoutParser {
             case "cm" => ctm = Mat(num(5), num(4), num(3), num(2), num(1), num(0)) * ctm
             case "q" => ctmStack += ctm
             case "Q" => if (ctmStack.nonEmpty) { ctm = ctmStack.last; ctmStack.dropRightInPlace(1) }
+            case "Do" => stack.lastOption.foreach {
+              case CosName(nm) => shows ++= formHandler(nm, ctm)
+              case _ =>
+            }
+            case "BI" =>
+              // inline image: skip to the ws-delimited EI — the binary
+              // payload would otherwise be tokenized as garbage operators,
+              // garbling the stack and wasting the operator guard
+              var i = lex.pos
+              while (i + 1 < lex.in.length &&
+                  !(lex.in(i) == 'E' && lex.in(i + 1) == 'I' &&
+                    i > 0 && isWs(lex.in(i - 1)) &&
+                    (i + 2 >= lex.in.length || isWs(lex.in(i + 2)) || isDelim(lex.in(i + 2))))) i += 1
+              lex.pos = math.min(i + 2, lex.in.length)
             case _ => // every other operator: drawing/color/state — irrelevant to text
           }
           stack.clear()
@@ -1065,31 +1085,70 @@ object PdfParser extends LayoutParser {
       if (doc.encrypted) // no decryption support, by design
         return PdfResult(Vector.empty, "encrypted", truncated = false)
       var guardTripped = false
+
+      def fontsFor(res: Option[CosDict]): Map[String, Font] = (for {
+        r <- res.toSeq
+        fd <- doc.resolveDict(r.get("Font").getOrElse(CosNull)).toSeq
+        (name, fref) <- fd.v
+        fdict <- doc.resolveDict(fref)
+      } yield {
+        val twoByte = fdict.get("Subtype").contains(CosName("Type0"))
+        val toUni = doc.resolve(fdict.get("ToUnicode").getOrElse(CosNull)) match {
+          case st: CosStream => Some(parseToUnicode(doc.decode(st)))
+          case _ => None
+        }
+        // simple-font /FirstChar + /Widths (1/1000-em units) for
+        // width-true TJ gaps and bbox extent (VERDICT r5 #8)
+        val widths = (doc.resolve(fdict.get("FirstChar").getOrElse(CosNull)),
+            doc.resolve(fdict.get("Widths").getOrElse(CosNull))) match {
+          case (CosNum(fc), CosArr(ws)) if ws.nonEmpty && ws.length <= 512 =>
+            Some((fc.toInt, ws.map {
+              case CosNum(v) => v.toInt
+              case r2 => doc.resolve(r2) match { case CosNum(v) => v.toInt; case _ => 0 }
+            }.toArray))
+          case _ => None
+        }
+        name -> Font(toUni, twoByte, widths)
+      }).toMap
+
       val blocks = doc.pages.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
-        val fonts: Map[String, Font] = (for {
-          res <- doc.resolveDict(pageDict.get("Resources").getOrElse(CosNull)).toSeq
-          fd <- doc.resolveDict(res.get("Font").getOrElse(CosNull)).toSeq
-          (name, fref) <- fd.v
-          fdict <- doc.resolveDict(fref)
-        } yield {
-          val twoByte = fdict.get("Subtype").contains(CosName("Type0"))
-          val toUni = doc.resolve(fdict.get("ToUnicode").getOrElse(CosNull)) match {
-            case st: CosStream => Some(parseToUnicode(doc.decode(st)))
-            case _ => None
+        val pageRes = doc.resolveDict(pageDict.get("Resources").getOrElse(CosNull))
+        val fonts = fontsFor(pageRes)
+
+        // Form XObjects (round 6): `Do` recursively interprets /Subtype
+        // /Form streams with their own resources (fallback: parent's) and
+        // /Matrix composed into the invoking CTM. The stack-based visited
+        // set kills self/mutual recursion; the depth cap bounds honest
+        // nesting; the SAME aggregate decode budget bounds total bytes.
+        val formStack = mutable.Set[Int]()
+        def formHandler(res: Option[CosDict], inhFonts: Map[String, Font], depth: Int)(
+            name: String, ctm: Mat): Vector[Show] = {
+          if (depth > 8) { guardTripped = true; return Vector.empty }
+          val ref = res.flatMap(r => doc.resolveDict(r.get("XObject").getOrElse(CosNull)))
+            .flatMap(_.get(name)).getOrElse(return Vector.empty)
+          val objNum = ref match { case CosRef(n, _) => n; case _ => -1 }
+          if (objNum >= 0 && !formStack.add(objNum)) return Vector.empty // cycle
+          try {
+            doc.resolve(ref) match {
+              case st @ CosStream(d, _) if d.get("Subtype").contains(CosName("Form")) =>
+                val formRes = doc.resolveDict(d.get("Resources").getOrElse(CosNull)).orElse(res)
+                val formFonts = inhFonts ++ fontsFor(formRes)
+                val mtx = doc.resolve(d.get("Matrix").getOrElse(CosNull)) match {
+                  case CosArr(Seq(CosNum(a), CosNum(b), CosNum(c), CosNum(dd), CosNum(e), CosNum(f))) =>
+                    Mat(a, b, c, dd, e, f)
+                  case _ => Identity
+                }
+                val (s, g) = interpret(doc.decode(st), formFonts,
+                  formHandler(formRes, formFonts, depth + 1), mtx * ctm)
+                if (g) guardTripped = true
+                s
+              case _ => Vector.empty // image XObject or broken ref: no text
+            }
+          } finally {
+            if (objNum >= 0) formStack.remove(objNum): Unit // same form may recur non-cyclically
           }
-          // simple-font /FirstChar + /Widths (1/1000-em units) for
-          // width-true TJ gaps and bbox extent (VERDICT r5 #8)
-          val widths = (doc.resolve(fdict.get("FirstChar").getOrElse(CosNull)),
-              doc.resolve(fdict.get("Widths").getOrElse(CosNull))) match {
-            case (CosNum(fc), CosArr(ws)) if ws.nonEmpty && ws.length <= 512 =>
-              Some((fc.toInt, ws.map {
-                case CosNum(v) => v.toInt
-                case r => doc.resolve(r) match { case CosNum(v) => v.toInt; case _ => 0 }
-              }.toArray))
-            case _ => None
-          }
-          name -> Font(toUni, twoByte, widths)
-        }).toMap
+        }
+
         val content: Array[Byte] = doc.resolve(pageDict.get("Contents").getOrElse(CosNull)) match {
           case st: CosStream => doc.decode(st)
           case CosArr(parts) =>
@@ -1103,7 +1162,7 @@ object PdfParser extends LayoutParser {
             out.toByteArray
           case _ => Array.emptyByteArray
         }
-        val (shows, tripped) = interpret(content, fonts)
+        val (shows, tripped) = interpret(content, fonts, formHandler(pageRes, fonts, 0), Identity)
         if (tripped) guardTripped = true
         assemble(shows, pageIdx)
       }

@@ -262,6 +262,46 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(noW, "application/pdf").map(_.text) == Vector("A B C"))
   }
 
+  test("Form XObjects: Do interprets the form with merged resources and composed matrix (round 6)") {
+    val blocks = PdfParser.parse(PdfGen.formXObjectPdf(), "application/pdf")
+    assert(blocks.map(_.text) == Vector("Direct page text.", "Form XObject text."))
+    // device y of the form text: 700 (Td) − 20 (/Matrix) − 40 (cm) = 640
+    assert(math.abs(blocks(1).y0 - 640f) < 0.01f)
+  }
+
+  test("adversarial: self-invoking Form XObject terminates (cycle kill)") {
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 6 0 R >> " +
+      "/XObject << /Fx 4 0 R >> >> /Contents 5 0 R >>\nendobj\n" +
+      // the form's resources point BACK at itself → /Fx Do inside recurses
+      "4 0 obj\n<< /Type /XObject /Subtype /Form /Resources << /XObject << /Fx 4 0 R >> " +
+      "/Font << /F1 6 0 R >> >> /Length 44 >>\nstream\n" +
+      "BT /F1 12 Tf 0 0 Td (loop) Tj ET\n/Fx Do\n" +
+      "\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Length 42 >>\nstream\n" +
+      "BT /F1 12 Tf 72 700 Td (top) Tj ET\n/Fx Do\n" +
+      "\nendstream\nendobj\n" +
+      "6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n" +
+      "trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    val t0 = System.nanoTime()
+    val blocks = PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf")
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    assert(blocks.exists(_.text.contains("top")))
+    assert(blocks.exists(_.text.contains("loop"))) // first entry extracts; recursion stops
+  }
+
+  test("inline images (BI..ID..EI) are skipped, not tokenized as operators (round 6)") {
+    // the binary payload contains an unbalanced '(' and fake text operators
+    // that would garble the stream if lexed
+    val ops = "BT /F1 12 Tf 72 700 Td (before image.) Tj ET\n" +
+      "BI /W 2 /H 2 /BPC 8 /CS /RGB ID  (BT (fake) Tj ÿþ EI\n" +
+      "BT /F1 12 Tf 72 660 Td (after image.) Tj ET"
+    val blocks = PdfParser.parse(PdfGen.onePage(ops), "application/pdf")
+    assert(blocks.map(_.text) == Vector("before image.", "after image."))
+  }
+
   test("adversarial: deeply nested arrays/dicts in content do not recurse unboundedly") {
     val nested = "[" * 10000 + "]" * 10000
     val pdf = PdfGen.onePage(s"BT /F1 12 Tf 72 700 Td (ok) Tj ET $nested")
