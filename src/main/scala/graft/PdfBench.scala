@@ -21,20 +21,29 @@ object PdfBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val pdfs = spark.range(n).map { i =>
-      PageRow(s"https://pdfs.example.com/doc$i.pdf", ts,
-        graft.sources.PdfGen.syntheticDoc(i), "", "en")
-    }.repartition(128).persist()
-    pdfs.count()
-    ExtractJob.extract(pdfs, 128).toDF().count() // warm (JIT)
-    ExtractJob.extract(pdfs, 128).toDF().count()
-    val times = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
+    def bench(label: String, gen: Long => Array[Byte], minWords: Int): (Long, Double) = {
+      val pdfs = spark.range(n).map { i =>
+        PageRow(s"https://pdfs.example.com/$label$i.pdf", ts, gen(i), "", "en")
+      }.repartition(128).persist()
+      pdfs.count()
+      ExtractJob.extract(pdfs, 128).toDF().count() // warm (JIT)
       ExtractJob.extract(pdfs, 128).toDF().count()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    val ok = ExtractJob.extract(pdfs, 128).filter(r => r.status == "ok" && r.word_count > 100).count()
-    println(f"""{"metric":"pdf_extract","docs":$n,"ok":$ok,"sec":${times(1)}%.3f,"docs_per_sec":${n / times(1)}%.1f,"cpus":$cpus%s}""")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        ExtractJob.extract(pdfs, 128).toDF().count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val ok = ExtractJob.extract(pdfs, 128)
+        .filter(r => r.status == "ok" && r.word_count > minWords).count()
+      pdfs.unpersist()
+      (ok, times(1))
+    }
+    val (ok, sec) = bench("doc", graft.sources.PdfGen.syntheticDoc, 100)
+    // decryption probe (round 6): same job, RC4-R3 empty-password corpus —
+    // the per-doc cost is the handler auth (≈100 MD5 of ≤32 bytes) + one
+    // RC4 pass over the content stream
+    val (encOk, encSec) = bench("enc", graft.sources.PdfGen.syntheticEncryptedDoc, 100)
+    println(f"""{"metric":"pdf_extract","docs":$n,"ok":$ok,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f,"enc_ok":$encOk,"enc_sec":$encSec%.3f,"enc_docs_per_sec":${n / encSec}%.1f,"cpus":$cpus%s}""")
     spark.stop()
   }
 }

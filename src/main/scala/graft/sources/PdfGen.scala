@@ -339,6 +339,29 @@ object PdfGen {
       "<p>A second matching paragraph closes the document.</p>" +
       "</body></html>"
 
+  private lazy val r3Keys: (Array[Byte], Array[Byte], Array[Byte]) = genR34Keys(3)
+
+  /** Synthetic RC4-encrypted (R3, empty passwords) document `i` — the
+    * PdfBench decryption-throughput probe: one page, ~170 words of
+    * seed-derived text, stream RC4-encrypted with the per-object key. */
+  def syntheticEncryptedDoc(i: Long): Array[Byte] = {
+    val (o, u, fileKey) = r3Keys
+    def word(seed: Long): String =
+      "w" + java.lang.Math.floorMod(graft.ops.TextOps.mix64(seed), 9000L)
+    val sb = new StringBuilder
+    sb.append(s"BT /F1 18 Tf 72 740 Td (Encrypted document $i) Tj ET\n")
+    sb.append("BT /F1 11 Tf 72 700 Td\n")
+    (0 until 18).foreach { ln =>
+      sb.append("(").append((0 until 9).map(k => word(i * 7919L + ln * 17L + k)).mkString(" "))
+        .append(") Tj 0 -14 Td\n")
+    }
+    sb.append("ET")
+    encryptedOnePage(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $GenP /O <${hex(o)}> /U <${hex(u)}> >>",
+      data => genRc4(genObjKey(fileKey, 4, aes = false), data),
+      sb.toString)
+  }
+
   /** Page whose text partly lives in a Form XObject invoked via `Do` (the
     * letterhead/report shape): direct page text + a form with its OWN font
     * resource and a /Matrix, invoked under a `cm` translation — the parser
