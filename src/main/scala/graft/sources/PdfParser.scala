@@ -787,24 +787,41 @@ object PdfParser extends LayoutParser {
     * extent; absent (or Type0 /W, unmodeled), callers fall back to the
     * −150 heuristic and char-count bbox. */
   private final case class Font(toUnicode: Option[Map[Int, String]], twoByte: Boolean,
-      widths: Option[(Int, Array[Int])] = None) {
+      widths: Option[(Int, Array[Int])] = None,
+      cidWidths: Option[(Int, Map[Int, Int])] = None) {
 
-    def hasWidths: Boolean = widths.isDefined && !twoByte
+    def hasWidths: Boolean =
+      (widths.isDefined && !twoByte) || (cidWidths.isDefined && twoByte)
 
     /** Advance of `bytes` in 1/1000-em units; 0 when no width table (the
-      * caller's signal to fall back to char-count extent). Unlisted codes
-      * take 500 (the common /MissingWidth default). */
-    def advanceUnits(bytes: Array[Byte]): Double = widths match {
-      case Some((first, w)) if !twoByte =>
-        var sum = 0.0
-        var i = 0
-        while (i < bytes.length) {
-          val c = bytes(i) & 0xff
-          sum += (if (c >= first && c - first < w.length) w(c - first) else 500)
-          i += 1
-        }
-        sum
-      case _ => 0.0
+      * caller's signal to fall back to char-count extent). Simple fonts:
+      * /FirstChar+/Widths per byte (unlisted → 500, the common
+      * /MissingWidth default). Type0: the descendant CIDFont's /W map per
+      * 2-byte code, default /DW. */
+    def advanceUnits(bytes: Array[Byte]): Double = {
+      if (twoByte) cidWidths match {
+        case Some((dw, w)) =>
+          var sum = 0.0
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+            sum += w.getOrElse(code, dw)
+            i += 2
+          }
+          sum
+        case None => 0.0
+      } else widths match {
+        case Some((first, w)) =>
+          var sum = 0.0
+          var i = 0
+          while (i < bytes.length) {
+            val c = bytes(i) & 0xff
+            sum += (if (c >= first && c - first < w.length) w(c - first) else 500)
+            i += 1
+          }
+          sum
+        case None => 0.0
+      }
     }
 
     /** TJ adjustment below which a positional gap is a word break: half the
@@ -1108,7 +1125,48 @@ object PdfParser extends LayoutParser {
             }.toArray))
           case _ => None
         }
-        name -> Font(toUni, twoByte, widths)
+        // Type0: the descendant CIDFont's /W ranges + /DW default drive
+        // width-true advance for 2-byte codes (same VERDICT r5 #8 story)
+        val cidWidths =
+          if (!twoByte) None
+          else doc.resolve(fdict.get("DescendantFonts").getOrElse(CosNull)) match {
+            case CosArr(dfs) => dfs.headOption.flatMap(doc.resolveDict).map { df =>
+              val dw = doc.resolve(df.get("DW").getOrElse(CosNull)) match {
+                case CosNum(v) => v.toInt; case _ => 1000
+              }
+              val m = Map.newBuilder[Int, Int]
+              doc.resolve(df.get("W").getOrElse(CosNull)) match {
+                case CosArr(arr) =>
+                  var i = 0
+                  while (i < arr.length) {
+                    (doc.resolve(arr(i)),
+                     if (i + 1 < arr.length) doc.resolve(arr(i + 1)) else CosNull) match {
+                      case (CosNum(c), CosArr(ws)) => // c [w1 w2 ...]
+                        ws.zipWithIndex.foreach {
+                          case (CosNum(w), k) => m += (c.toInt + k) -> w.toInt
+                          case _ =>
+                        }
+                        i += 2
+                      case (CosNum(c1), CosNum(c2)) if i + 2 < arr.length => // c1 c2 w
+                        doc.resolve(arr(i + 2)) match {
+                          case CosNum(w) =>
+                            var c = c1.toInt
+                            while (c <= c2.toInt && c - c1.toInt < 65536) {
+                              m += c -> w.toInt; c += 1
+                            }
+                          case _ =>
+                        }
+                        i += 3
+                      case _ => i += 1
+                    }
+                  }
+                case _ =>
+              }
+              (dw, m.result())
+            }
+            case _ => None
+          }
+        name -> Font(toUni, twoByte, widths, cidWidths)
       }).toMap
 
       val blocks = doc.pages.zipWithIndex.flatMap { case (pageDict, pageIdx) =>

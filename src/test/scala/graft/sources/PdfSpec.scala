@@ -262,6 +262,23 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(noW, "application/pdf").map(_.text) == Vector("A B C"))
   }
 
+  test("Type0 /W CID widths drive advance and bbox extent (round 6)") {
+    val base = PdfGen.type0WithToUnicode(
+      Seq(1 -> "A", 2 -> "B", 3 -> "C", 4 -> "D", 5 -> "E"), tjHex = "00010002000300040005")
+    // inject a descendant CIDFont carrying /DW + /W (both range forms)
+    val s = new String(base, "ISO-8859-1")
+      .replace("/Encoding /Identity-H", "/Encoding /Identity-H /DescendantFonts [7 0 R]")
+      .replace("trailer",
+        "7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /DW 1000 /W [1 [500 600] 3 5 250] >>\nendobj\ntrailer")
+    val blocks = PdfParser.parse(s.getBytes("ISO-8859-1"), "application/pdf")
+    assert(blocks.map(_.text) == Vector("ABCDE"))
+    // 500+600+250+250+250 = 1850 units at size 12 → 22.2 from x 72
+    assert(math.abs(blocks(0).x1 - (72f + 1.85f * 12f)) < 0.01f)
+    // the fixture WITHOUT /DescendantFonts keeps the char-count fallback
+    val fallback = PdfParser.parse(base, "application/pdf")
+    assert(math.abs(fallback(0).x1 - (72f + 5 * 12f * 0.5f)) < 0.01f)
+  }
+
   test("Form XObjects: Do interprets the form with merged resources and composed matrix (round 6)") {
     val blocks = PdfParser.parse(PdfGen.formXObjectPdf(), "application/pdf")
     assert(blocks.map(_.text) == Vector("Direct page text.", "Form XObject text."))
