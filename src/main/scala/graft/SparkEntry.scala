@@ -1546,6 +1546,10 @@ object SparkEntry {
     "pdf_fixture" ->
       ("SELECT test_case, CAST(page AS BIGINT) AS page, CAST(blk AS BIGINT) AS blk, kind, text " +
        "FROM (VALUES " +
+       "('acroform', 0, 0, 'text', 'Application form below.'), " +
+       "('acroform', 1, 1, 'field', 'applicant: Ada Lovelace'), " +
+       "('acroform', 1, 2, 'field', 'subscribed: Yes'), " +
+       "('acroform', 1, 3, 'field', 'address.city: London'), " +
        "('aes256enc', 0, 0, 'text', 'Decrypted AES-256 content extracted.'), " +
        "('aesv2enc', 0, 0, 'text', 'Decrypted AESV2 content extracted.'), " +
        "('rc4enc', 0, 0, 'text', 'Decrypted RC4 content extracted.'), " +
@@ -1579,6 +1583,8 @@ object SparkEntry {
        "CAST(blocks_total AS BIGINT) AS blocks_total, " +
        "CAST(blocks_accepted AS BIGINT) AS blocks_accepted, truncated, norm_text " +
        "FROM (VALUES " +
+       "('acroform', 'ok', 'pdf', '', 4, 4, false, " +
+       "'Application form below. ¶ applicant: Ada Lovelace ¶ subscribed: Yes ¶ address.city: London'), " +
        "('aes256enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AES-256 content extracted.'), " +
        "('aesv2enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AESV2 content extracted.'), " +
        "('rc4enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted RC4 content extracted.'), " +

@@ -195,7 +195,9 @@ object ScrapePipeline {
         .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "pdf")
     val textContent = blocks.map(_.text).mkString("\n\n")
     var markdown = blocks.map { b =>
-      if (b.kind == "heading") "# " + b.text.replace("\n", " ") else b.text
+      if (b.kind == "heading") "# " + b.text.replace("\n", " ")
+      else if (b.kind == "field") "- " + b.text // AcroForm field values
+      else b.text
     }.mkString("\n\n")
     if (markdown.length > maxContentLength) // C3 parity: same cap + marker
       markdown = markdown.substring(0, maxContentLength) + "\n\n[Content truncated...]"
@@ -203,7 +205,11 @@ object ScrapePipeline {
       .map(_.text.linesIterator.next()).getOrElse("")
     val contentBlocks = blocks.map { b =>
       ContentBlock(
-        blockType = if (b.kind == "heading") "heading" else "paragraph",
+        blockType = b.kind match {
+          case "heading" => "heading"
+          case "field" => "list" // short "name: value" rows must survive B2
+          case _ => "paragraph"
+        },
         text = b.text,
         level = if (b.kind == "heading") Some(1) else None,
         html = None, attrs = Map.empty, parentTags = Seq("pdf"), depth = 1)

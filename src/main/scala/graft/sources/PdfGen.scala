@@ -382,6 +382,24 @@ object PdfGen {
     ), rootNum = 1)
   }
 
+  /** Interactive form (round 6): /AcroForm /Fields with a text field, a
+    * checkbox (/V as a name), and a parent.child hierarchy — the filled
+    * data lives nowhere in the content streams. */
+  def acroFormPdf(): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields [6 0 R 7 0 R 8 0 R] >> >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", bytes("BT /F1 12 Tf 72 700 Td (Application form below.) Tj ET")),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> bytes("<< /FT /Tx /T (applicant) /V (Ada Lovelace) >>"),
+      7 -> bytes("<< /FT /Btn /T (subscribed) /V /Yes >>"),
+      8 -> bytes("<< /T (address) /Kids [9 0 R] >>"),
+      9 -> bytes("<< /FT /Tx /T (city) /V (London) >>")
+    ), rootNum = 1)
+  }
+
   /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
     * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
     * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
@@ -431,6 +449,7 @@ object PdfGen {
     "encrypted" -> encryptedPdf(),
     "crossroute" -> crossRoutePdf(),
     "formxobj" -> formXObjectPdf(),
+    "acroform" -> acroFormPdf(),
     "rc4enc" -> rc4EncryptedPdf(),
     "aesv2enc" -> aesv2EncryptedPdf(),
     "aes256enc" -> aes256EncryptedPdf())

@@ -1169,7 +1169,8 @@ object PdfParser extends LayoutParser {
         name -> Font(toUni, twoByte, widths, cidWidths)
       }).toMap
 
-      val blocks = doc.pages.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
+      val pageDicts = doc.pages
+      val blocks = pageDicts.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
         val pageRes = doc.resolveDict(pageDict.get("Resources").getOrElse(CosNull))
         val fonts = fontsFor(pageRes)
 
@@ -1224,7 +1225,61 @@ object PdfParser extends LayoutParser {
         if (tripped) guardTripped = true
         assemble(shows, pageIdx)
       }
-      PdfResult(blocks, if (blocks.isEmpty) "empty" else "ok", doc.truncated || guardTripped)
+      // AcroForm field values (round 6): interactive-form documents carry
+      // their filled data in /AcroForm /Fields, invisible to the content
+      // streams. Emitted as kind="field" blocks ("name: value", dotted
+      // hierarchy per spec) after the last page — the pipeline maps them
+      // onto list-type content blocks.
+      val fields = {
+        val out = Vector.newBuilder[LayoutBlock]
+        var nFields = 0
+        val visited = mutable.Set[Int]()
+        def decodeDocStr(b: Array[Byte]): String =
+          if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+            new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+          else new String(b, Cp1252)
+        def valueOf(c: Cos): Option[String] = doc.resolve(c) match {
+          case CosStr(b) => Some(decodeDocStr(b))
+          case CosName(n) => Some(n) // radio/checkbox state, e.g. Yes
+          case CosArr(vs) =>
+            val parts = vs.flatMap(valueOf)
+            if (parts.isEmpty) None else Some(parts.mkString(", "))
+          case _ => None
+        }
+        def walk(f: Cos, prefix: String, depth: Int): Unit = {
+          if (depth > 32 || nFields >= 1000) { if (nFields >= 1000) doc.truncated = true; return }
+          val num = f match { case CosRef(n, _) => n; case _ => -1 }
+          if (num >= 0 && !visited.add(num)) return
+          doc.resolveDict(f).foreach { fd =>
+            val name = fd.get("T") match {
+              case Some(CosStr(b)) =>
+                val t = decodeDocStr(b)
+                if (prefix.isEmpty) t else prefix + "." + t
+              case _ => prefix
+            }
+            fd.get("V").flatMap(valueOf).filter(_.nonEmpty).foreach { v =>
+              nFields += 1
+              val label = if (name.isEmpty) v else s"$name: $v"
+              out += LayoutBlock(pageDicts.length, "field", label, 0f, 0f, 0f, 0f)
+            }
+            doc.resolve(fd.get("Kids").getOrElse(CosNull)) match {
+              case CosArr(kids) => kids.foreach(walk(_, name, depth + 1))
+              case _ =>
+            }
+          }
+        }
+        for {
+          cat <- doc.catalog
+          af <- doc.resolveDict(cat.get("AcroForm").getOrElse(CosNull))
+          fs <- Some(doc.resolve(af.get("Fields").getOrElse(CosNull)))
+        } fs match {
+          case CosArr(arr) => arr.foreach(walk(_, "", 0))
+          case _ =>
+        }
+        out.result()
+      }
+      val all = blocks ++ fields
+      PdfResult(all, if (all.isEmpty) "empty" else "ok", doc.truncated || guardTripped)
     } catch {
       case _: Exception => PdfResult(Vector.empty, "error", truncated = false) // never-throws pipeline contract
     }

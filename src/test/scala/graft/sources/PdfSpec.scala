@@ -279,6 +279,33 @@ class PdfSpec extends AnyFunSuite {
     assert(math.abs(fallback(0).x1 - (72f + 5 * 12f * 0.5f)) < 0.01f)
   }
 
+  test("AcroForm field values extract with dotted hierarchy (round 6)") {
+    val blocks = PdfParser.parse(PdfGen.acroFormPdf(), "application/pdf")
+    assert(blocks.map(b => (b.kind, b.text)) == Vector(
+      ("text", "Application form below."),
+      ("field", "applicant: Ada Lovelace"),
+      ("field", "subscribed: Yes"),
+      ("field", "address.city: London")))
+    // route: fields map onto list blocks, so short name:value rows survive
+    // the classifier, and markdown renders them as bullets
+    val row = graft.pipeline.ScrapePipeline.scrapePdf(
+      PdfGen.acroFormPdf(), "https://pdf.example.com/form.pdf")
+    assert(row.norm_meta.blocks_accepted == 4)
+    assert(row.content.contains("- applicant: Ada Lovelace"))
+  }
+
+  test("adversarial: AcroForm /Kids cycle terminates") {
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields [4 0 R] >> >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /T (a) /V (x) /Kids [4 0 R 5 0 R] >>\nendobj\n" +
+      "5 0 obj\n<< /T (b) /V (y) /Kids [4 0 R] >>\nendobj\n" +
+      "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    val blocks = PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf")
+    assert(blocks.map(_.text) == Vector("a: x", "a.b: y"))
+  }
+
   test("Form XObjects: Do interprets the form with merged resources and composed matrix (round 6)") {
     val blocks = PdfParser.parse(PdfGen.formXObjectPdf(), "application/pdf")
     assert(blocks.map(_.text) == Vector("Direct page text.", "Form XObject text."))
