@@ -1571,6 +1571,7 @@ object SparkEntry {
        "('tounicode', 0, 0, 'text', 'PDF map!'), " +
        "('objstm', 0, 0, 'text', 'Object stream page.'), " +
        "('corrupt', -1, -1, 'none', ''), " +
+       "('docinfo', 0, 0, 'text', 'Body text for the info document.'), " +
        "('notpdf', -1, -1, 'none', '')" +
        ") AS t(test_case, page, blk, kind, text) ORDER BY test_case, page, blk"),
 
@@ -1589,6 +1590,7 @@ object SparkEntry {
        "('aesv2enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AESV2 content extracted.'), " +
        "('rc4enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted RC4 content extracted.'), " +
        "('corrupt', 'empty_html', 'pdf', '', 0, 0, false, ''), " +
+       "('docinfo', 'ok', 'pdf', 'Document Info Title', 1, 1, false, 'Body text for the info document.'), " +
        "('crossroute', 'ok', 'pdf', 'Shared Cross-Route Document', 3, 3, false, " +
        "'# Shared Cross-Route Document ¶ This exact paragraph exists in both routes. ¶ A second matching paragraph closes the document.'), " +
        "('encrypted', 'encrypted_pdf', 'pdf', '', 0, 0, false, ''), " +

@@ -201,8 +201,12 @@ object ScrapePipeline {
     }.mkString("\n\n")
     if (markdown.length > maxContentLength) // C3 parity: same cap + marker
       markdown = markdown.substring(0, maxContentLength) + "\n\n[Content truncated...]"
-    val title = blocks.find(_.kind == "heading")
-      .map(_.text.linesIterator.next()).getOrElse("")
+    // /Info document metadata (round 6) — the PDF analogue of M1's meta
+    // tags: explicit DocInfo wins over the first-heading heuristic, exactly
+    // like <meta> beats <h1> on the HTML route
+    val title = res.meta.get("title")
+      .orElse(blocks.find(_.kind == "heading").map(_.text.linesIterator.next()))
+      .getOrElse("")
     val contentBlocks = blocks.map { b =>
       ContentBlock(
         blockType = b.kind match {
@@ -220,17 +224,21 @@ object ScrapePipeline {
       canonical_url = normalizedUrl,
       domain = UrlOps.extractDomain(normalizedUrl),
       title = title,
-      description = "",
+      description = res.meta.getOrElse("subject", ""),
       image = None,
       favicon = None,
       content = markdown,
       text_content = textContent,
       excerpt = graft.extract.ContentExtractor.createExcerpt(textContent),
       word_count = graft.util.Js.countTokens(textContent),
-      author = None, published_at = None, modified_at = None,
+      author = res.meta.get("author"),
+      published_at = res.meta.get("created"),
+      modified_at = res.meta.get("modified"),
       site_name = None, language = None,
       content_type = "pdf",
-      keywords = Nil, json_ld = None, links = Nil,
+      keywords = res.meta.get("keywords")
+        .map(_.split("[,;]").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      json_ld = None, links = Nil,
       normalized_text = nr.text,
       norm_hash = nr.meta.hash,
       norm_meta = NormMetaRow(

@@ -400,6 +400,24 @@ object PdfGen {
     ), rootNum = 1)
   }
 
+  /** One-page doc with a trailer /Info dictionary (round 6): UTF-16BE
+    * (BOM) title as a hex string, cp1252 author/subject, mixed-delimiter
+    * keywords, and `D:` dates with offset and Z forms. */
+  def docInfoPdf(): Array[Byte] = {
+    val titleHex = "FEFF" + "Document Info Title".map(c => f"${c.toInt}%04X").mkString
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", bytes("BT /F1 12 Tf 72 700 Td (Body text for the info document.) Tj ET")),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> bytes(s"<< /Title <$titleHex> /Author (Jane Q. Author) " +
+        "/Subject (A concise subject line.) /Keywords (alpha, beta; gamma) " +
+        "/CreationDate (D:20240102030405+01'00') /ModDate (D:20240601120000Z) >>")
+    ), rootNum = 1, extraTrailer = " /Info 6 0 R")
+  }
+
   /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
     * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
     * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
@@ -450,6 +468,7 @@ object PdfGen {
     "crossroute" -> crossRoutePdf(),
     "formxobj" -> formXObjectPdf(),
     "acroform" -> acroFormPdf(),
+    "docinfo" -> docInfoPdf(),
     "rc4enc" -> rc4EncryptedPdf(),
     "aesv2enc" -> aesv2EncryptedPdf(),
     "aes256enc" -> aes256EncryptedPdf())

@@ -1088,7 +1088,40 @@ object PdfParser extends LayoutParser {
     * when ANY containment bound fired (per-stream inflate cap, aggregate
     * decode budget, damaged-stream salvage, page-tree caps, interpreter
     * operator guard) — the caller owes it to norm_meta.truncated. */
-  final case class PdfResult(blocks: Vector[LayoutBlock], status: String, truncated: Boolean)
+  final case class PdfResult(blocks: Vector[LayoutBlock], status: String, truncated: Boolean,
+      /** Document-information dictionary (round 6): keys `title`, `author`,
+        * `subject`, `keywords`, `created`, `modified` when present —
+        * the PDF route's counterpart of the HTML meta extractor. */
+      meta: Map[String, String] = Map.empty)
+
+  /** PDFDocEncoding (≈cp1252 for the printable range) or BOM UTF-16BE —
+    * the two text-string encodings of PDF 32000 §7.9.2.2. */
+  private def decodeDocString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, Cp1252)
+
+  /** `D:YYYYMMDDHHmmSS[±HH'mm']` → ISO-8601; unparseable input passes
+    * through raw (honest, deterministic). */
+  private[sources] def pdfDateToIso(s: String): String = {
+    val t = if (s.startsWith("D:")) s.substring(2) else s
+    def num(from: Int, len: Int, default: String): String = {
+      val p = t.substring(math.min(from, t.length), math.min(from + len, t.length))
+      if (p.length == len && p.forall(_.isDigit)) p else default
+    }
+    val y = num(0, 4, "")
+    if (y.isEmpty) return s
+    val mo = num(4, 2, "01"); val d = num(6, 2, "01")
+    val h = num(8, 2, "00"); val mi = num(10, 2, "00"); val se = num(12, 2, "00")
+    val tz = if (t.length > 14) t.charAt(14) match {
+      case '+' | '-' =>
+        val th = num(15, 2, "00"); val tm = num(18, 2, "00")
+        s"${t.charAt(14)}$th:$tm"
+      case 'Z' => "Z"
+      case _ => ""
+    } else ""
+    s"$y-$mo-${d}T$h:$mi:$se$tz"
+  }
 
   def parseDetailed(bytes: Array[Byte], mime: String): PdfResult = {
     // 4-byte magic only (ADVICE r5 #3): anything shorter or non-matching
@@ -1234,12 +1267,8 @@ object PdfParser extends LayoutParser {
         val out = Vector.newBuilder[LayoutBlock]
         var nFields = 0
         val visited = mutable.Set[Int]()
-        def decodeDocStr(b: Array[Byte]): String =
-          if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
-            new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
-          else new String(b, Cp1252)
         def valueOf(c: Cos): Option[String] = doc.resolve(c) match {
-          case CosStr(b) => Some(decodeDocStr(b))
+          case CosStr(b) => Some(decodeDocString(b))
           case CosName(n) => Some(n) // radio/checkbox state, e.g. Yes
           case CosArr(vs) =>
             val parts = vs.flatMap(valueOf)
@@ -1253,7 +1282,7 @@ object PdfParser extends LayoutParser {
           doc.resolveDict(f).foreach { fd =>
             val name = fd.get("T") match {
               case Some(CosStr(b)) =>
-                val t = decodeDocStr(b)
+                val t = decodeDocString(b)
                 if (prefix.isEmpty) t else prefix + "." + t
               case _ => prefix
             }
@@ -1278,8 +1307,24 @@ object PdfParser extends LayoutParser {
         }
         out.result()
       }
+      // /Info document metadata (strings decrypt through obj() like any
+      // other indirect object)
+      val meta: Map[String, String] = (for {
+        t <- doc.trailer.toSeq
+        info <- doc.resolveDict(t.get("Info").getOrElse(CosNull)).toSeq
+        (src, dst, isDate) <- Seq(
+          ("Title", "title", false), ("Author", "author", false),
+          ("Subject", "subject", false), ("Keywords", "keywords", false),
+          ("CreationDate", "created", true), ("ModDate", "modified", true))
+        v <- doc.resolve(info.get(src).getOrElse(CosNull)) match {
+          case CosStr(b) =>
+            val s = decodeDocString(b).trim
+            if (s.isEmpty) None else Some(if (isDate) pdfDateToIso(s) else s)
+          case _ => None
+        }
+      } yield dst -> v).toMap
       val all = blocks ++ fields
-      PdfResult(all, if (all.isEmpty) "empty" else "ok", doc.truncated || guardTripped)
+      PdfResult(all, if (all.isEmpty) "empty" else "ok", doc.truncated || guardTripped, meta)
     } catch {
       case _: Exception => PdfResult(Vector.empty, "error", truncated = false) // never-throws pipeline contract
     }

@@ -74,6 +74,20 @@ class PdfRouteSpec extends AnyFunSuite {
     assert(empty.status == "empty_html")
   }
 
+  test("/Info document metadata populates title/author/dates/keywords (round 6)") {
+    val row = ScrapePipeline.scrapePdf(PdfGen.docInfoPdf(), url)
+    assert(row.title == "Document Info Title") // UTF-16BE BOM hex string
+    assert(row.author.contains("Jane Q. Author"))
+    assert(row.description == "A concise subject line.")
+    assert(row.keywords == Seq("alpha", "beta", "gamma"))
+    assert(row.published_at.contains("2024-01-02T03:04:05+01:00"))
+    assert(row.modified_at.contains("2024-06-01T12:00:00Z"))
+    // docs WITHOUT /Info keep the first-heading title heuristic
+    val plain = ScrapePipeline.scrapePdf(PdfGen.fixtureDocs.toMap.apply("plain"), url)
+    assert(plain.title == "Annual Report")
+    assert(plain.author.isEmpty)
+  }
+
   test("PDF headings normalize with the same '# ' level-1 prefix as HTML h1") {
     val row = ScrapePipeline.scrapePdf(PdfGen.fixtureDocs.toMap.apply("plain"), url)
     assert(row.normalized_text.startsWith("# Annual Report\n\n"))
