@@ -1552,6 +1552,8 @@ object SparkEntry {
        "('acroform', 1, 3, 'field', 'address.city: London'), " +
        "('aes256enc', 0, 0, 'text', 'Decrypted AES-256 content extracted.'), " +
        "('aesv2enc', 0, 0, 'text', 'Decrypted AESV2 content extracted.'), " +
+       "('annots', 0, 0, 'text', 'Annotated body text.'), " +
+       "('annots', 0, 1, 'text', 'A margin note worth keeping.'), " +
        "('rc4enc', 0, 0, 'text', 'Decrypted RC4 content extracted.'), " +
        "('crossroute', 0, 0, 'heading', 'Shared Cross-Route Document'), " +
        "('crossroute', 0, 1, 'text', 'This exact paragraph exists in both routes.'), " +
@@ -1588,6 +1590,8 @@ object SparkEntry {
        "'Application form below. ¶ applicant: Ada Lovelace ¶ subscribed: Yes ¶ address.city: London'), " +
        "('aes256enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AES-256 content extracted.'), " +
        "('aesv2enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted AESV2 content extracted.'), " +
+       "('annots', 'ok', 'pdf', '', 2, 2, false, " +
+       "'Annotated body text. ¶ A margin note worth keeping.'), " +
        "('rc4enc', 'ok', 'pdf', '', 1, 1, false, 'Decrypted RC4 content extracted.'), " +
        "('corrupt', 'empty_html', 'pdf', '', 0, 0, false, ''), " +
        "('docinfo', 'ok', 'pdf', 'Document Info Title', 1, 1, false, 'Body text for the info document.'), " +

@@ -238,7 +238,15 @@ object ScrapePipeline {
       content_type = "pdf",
       keywords = res.meta.get("keywords")
         .map(_.split("[,;]").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
-      json_ld = None, links = Nil,
+      json_ld = None,
+      // /Link annotation URIs (round 6) — M4 parity: http(s) only, deduped
+      // by the parser, capped at the same 100 as the HTML route
+      links = {
+        val domain = UrlOps.extractDomain(normalizedUrl)
+        res.links.filter(u => u.startsWith("http://") || u.startsWith("https://"))
+          .take(100)
+          .map(u => LinkRow(u, "", UrlOps.extractDomain(u) != domain))
+      },
       normalized_text = nr.text,
       norm_hash = nr.meta.hash,
       norm_meta = NormMetaRow(

@@ -418,6 +418,29 @@ object PdfGen {
     ), rootNum = 1, extraTrailer = " /Info 6 0 R")
   }
 
+  /** Page with /Annots (round 6): a FreeText annotation (visible text the
+    * content stream never paints), two /Link URI actions (internal +
+    * external domains), and a mailto the pipeline must filter. */
+  def annotsPdf(): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R " +
+        "/Annots [6 0 R 7 0 R 8 0 R 9 0 R] >>"),
+      4 -> streamObj("", bytes("BT /F1 12 Tf 72 700 Td (Annotated body text.) Tj ET")),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> bytes("<< /Type /Annot /Subtype /FreeText /Rect [100 100 300 140] " +
+        "/Contents (A margin note worth keeping.) >>"),
+      7 -> bytes("<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] " +
+        "/A << /S /URI /URI (https://elsewhere.example.org/x) >> >>"),
+      8 -> bytes("<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] " +
+        "/A << /S /URI /URI (https://pdf.example.com/other) >> >>"),
+      9 -> bytes("<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] " +
+        "/A << /S /URI /URI (mailto:nobody@example.com) >> >>")
+    ), rootNum = 1)
+  }
+
   /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
     * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
     * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
@@ -469,6 +492,7 @@ object PdfGen {
     "formxobj" -> formXObjectPdf(),
     "acroform" -> acroFormPdf(),
     "docinfo" -> docInfoPdf(),
+    "annots" -> annotsPdf(),
     "rc4enc" -> rc4EncryptedPdf(),
     "aesv2enc" -> aesv2EncryptedPdf(),
     "aes256enc" -> aes256EncryptedPdf())

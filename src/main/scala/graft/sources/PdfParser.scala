@@ -1092,7 +1092,10 @@ object PdfParser extends LayoutParser {
       /** Document-information dictionary (round 6): keys `title`, `author`,
         * `subject`, `keywords`, `created`, `modified` when present —
         * the PDF route's counterpart of the HTML meta extractor. */
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      /** /Link-annotation URI actions in page order (round 6) — the PDF
+        * counterpart of the HTML links column; deduped, order-preserving. */
+      links: Vector[String] = Vector.empty)
 
   /** PDFDocEncoding (≈cp1252 for the printable range) or BOM UTF-16BE —
     * the two text-string encodings of PDF 32000 §7.9.2.2. */
@@ -1203,6 +1206,7 @@ object PdfParser extends LayoutParser {
       }).toMap
 
       val pageDicts = doc.pages
+      val linksOut = Vector.newBuilder[String]
       val blocks = pageDicts.zipWithIndex.flatMap { case (pageDict, pageIdx) =>
         val pageRes = doc.resolveDict(pageDict.get("Resources").getOrElse(CosNull))
         val fonts = fontsFor(pageRes)
@@ -1256,7 +1260,45 @@ object PdfParser extends LayoutParser {
         }
         val (shows, tripped) = interpret(content, fonts, formHandler(pageRes, fonts, 0), Identity)
         if (tripped) guardTripped = true
-        assemble(shows, pageIdx)
+        // /Annots (round 6): FreeText annotations carry visible text the
+        // content streams never paint; /Link URI actions feed the links
+        // column. Bounded: first 256 annots per page.
+        val annotBlocks = Vector.newBuilder[LayoutBlock]
+        doc.resolve(pageDict.get("Annots").getOrElse(CosNull)) match {
+          case CosArr(annots) => annots.take(256).foreach { a =>
+            doc.resolveDict(a).foreach { ad =>
+              val rect = doc.resolve(ad.get("Rect").getOrElse(CosNull)) match {
+                case CosArr(Seq(CosNum(x0), CosNum(y0), CosNum(x1), CosNum(y1))) =>
+                  (x0.toFloat, y0.toFloat, x1.toFloat, y1.toFloat)
+                case _ => (0f, 0f, 0f, 0f)
+              }
+              ad.get("Subtype") match {
+                case Some(CosName("FreeText")) =>
+                  doc.resolve(ad.get("Contents").getOrElse(CosNull)) match {
+                    case CosStr(b) =>
+                      val t = decodeDocString(b).trim
+                      if (t.nonEmpty)
+                        annotBlocks += LayoutBlock(pageIdx, "text", t,
+                          rect._1, rect._2, rect._3, rect._4)
+                    case _ =>
+                  }
+                case Some(CosName("Link")) =>
+                  for {
+                    act <- doc.resolveDict(ad.get("A").getOrElse(CosNull))
+                    if act.get("S").contains(CosName("URI"))
+                  } doc.resolve(act.get("URI").getOrElse(CosNull)) match {
+                    case CosStr(b) =>
+                      val u = decodeDocString(b).trim
+                      if (u.nonEmpty) linksOut += u
+                    case _ =>
+                  }
+                case _ =>
+              }
+            }
+          }
+          case _ =>
+        }
+        assemble(shows, pageIdx) ++ annotBlocks.result()
       }
       // AcroForm field values (round 6): interactive-form documents carry
       // their filled data in /AcroForm /Fields, invisible to the content
@@ -1324,7 +1366,8 @@ object PdfParser extends LayoutParser {
         }
       } yield dst -> v).toMap
       val all = blocks ++ fields
-      PdfResult(all, if (all.isEmpty) "empty" else "ok", doc.truncated || guardTripped, meta)
+      PdfResult(all, if (all.isEmpty) "empty" else "ok", doc.truncated || guardTripped,
+        meta, linksOut.result().distinct)
     } catch {
       case _: Exception => PdfResult(Vector.empty, "error", truncated = false) // never-throws pipeline contract
     }

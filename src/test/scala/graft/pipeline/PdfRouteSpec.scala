@@ -88,6 +88,14 @@ class PdfRouteSpec extends AnyFunSuite {
     assert(plain.author.isEmpty)
   }
 
+  test("FreeText annotations extract; /Link URIs populate links with M4-style filtering (round 6)") {
+    val row = ScrapePipeline.scrapePdf(PdfGen.annotsPdf(), url)
+    assert(row.text_content.contains("A margin note worth keeping."))
+    assert(row.links.map(l => (l.url, l.is_external)) == Seq(
+      ("https://elsewhere.example.org/x", true),
+      ("https://pdf.example.com/other", false))) // mailto filtered out
+  }
+
   test("PDF headings normalize with the same '# ' level-1 prefix as HTML h1") {
     val row = ScrapePipeline.scrapePdf(PdfGen.fixtureDocs.toMap.apply("plain"), url)
     assert(row.normalized_text.startsWith("# Annual Report\n\n"))
