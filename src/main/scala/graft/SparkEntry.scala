@@ -636,6 +636,29 @@ object SparkEntry {
         .orderBy("test_case")
     }),
 
+    // Round-6 metadata surface of the PDF route: /Info → title/author/
+    // dates/subject/keywords (DocInfo title beats the heading heuristic),
+    // /Link annotations → the links column. Transcribed VALUES oracle.
+    "pdf_meta_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val cases = Seq("annots", "docinfo", "plain")
+      s.createDataset(cases).repartition(2)
+        .mapPartitions { it =>
+          val docs = graft.sources.PdfGen.fixtureDocs.toMap
+          it.map { name =>
+            val row = graft.pipeline.ScrapePipeline.scrapePdf(
+              docs(name), s"https://pdf.example.com/$name.pdf")
+            (name, row.title, row.author.getOrElse(""),
+              row.published_at.getOrElse(""), row.modified_at.getOrElse(""),
+              row.description, row.keywords.mkString("|"),
+              row.links.length.toLong,
+              row.links.count(_.is_external).toLong)
+          }
+        }.toDF("test_case", "title", "author", "published_at", "modified_at",
+          "description", "keywords", "n_links", "n_external")
+        .orderBy("test_case")
+    }),
+
     // Cross-route exact dedup (VERDICT r5 #3): an HTML page and a PDF
     // carrying the same heading + paragraphs must normalize to the same
     // bytes on both routes and land in ONE norm_hash cluster — the claim
@@ -1610,6 +1633,19 @@ object SparkEntry {
        "('tounicode', 'ok', 'pdf', '', 1, 1, false, 'PDF map!'), " +
        "('twopage', 'ok', 'pdf', '', 3, 3, false, 'Page one text. ¶ Page two part A. ¶ Page two part B.')" +
        ") AS t(test_case, status, content_type, title, blocks_total, blocks_accepted, truncated, norm_text) " +
+       "ORDER BY test_case"),
+
+    // transcribed /Info + /Link expectations (UTF-16BE BOM title decodes;
+    // D: dates → ISO-8601; mailto filtered from links)
+    "pdf_meta_fixture" ->
+      ("SELECT test_case, title, author, published_at, modified_at, description, keywords, " +
+       "CAST(n_links AS BIGINT) AS n_links, CAST(n_external AS BIGINT) AS n_external " +
+       "FROM (VALUES " +
+       "('annots', '', '', '', '', '', '', 2, 1), " +
+       "('docinfo', 'Document Info Title', 'Jane Q. Author', '2024-01-02T03:04:05+01:00', " +
+       "'2024-06-01T12:00:00Z', 'A concise subject line.', 'alpha|beta|gamma', 0, 0), " +
+       "('plain', 'Annual Report', '', '', '', '', '', 0, 0)" +
+       ") AS t(test_case, title, author, published_at, modified_at, description, keywords, n_links, n_external) " +
        "ORDER BY test_case"),
 
     // transcribed cross-route clustering: the planted HTML/PDF pair share a
