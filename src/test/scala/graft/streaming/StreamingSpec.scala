@@ -31,10 +31,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import sp0.implicits._
     // 40 HTML pages + 1 PDF blob: streaming shares batch's scrapeAny
     // content-type routing, so the PDF row must come out byte-identical too
-    val pdfRow = graft.pipeline.PageRow("https://docs.example.com/r.pdf",
-      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
-      graft.sources.PdfGen.fixtureDocs.toMap.apply("plain"), "", "en")
-    PagesGen.generate(spark, 40).union(spark.createDataset(Seq(pdfRow)))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val pdfRows = Seq(
+      "plain",    // the classic text route
+      "rc4enc",   // round 6: decrypted-in-stream
+      "acroform", // round 6: AcroForm field blocks
+      "docinfo"   // round 6: /Info-derived title
+    ).map { name =>
+      graft.pipeline.PageRow(s"https://docs.example.com/$name.pdf", ts,
+        graft.sources.PdfGen.fixtureDocs.toMap.apply(name), "", "en")
+    }
+    PagesGen.generate(spark, 40).union(spark.createDataset(pdfRows))
       .repartition(4).write.mode("overwrite").parquet(dir)
 
     val q = StreamingExtract.extractStream(spark, dir, maxFilesPerTrigger = 2)
@@ -58,10 +65,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(p => graft.pipeline.ExtractJob.scrapeAny(p.url, p.html))
         .map(r => (r.url, r.title, r.norm_hash)).toSet
     }
-    assert(streamed.size == 41)
+    assert(streamed.size == 44)
     assert(streamed == batch)
     assert(streamed.exists { case (u, t, _) =>
-      u == "https://docs.example.com/r.pdf" && t == "Annual Report" })
+      u == "https://docs.example.com/plain.pdf" && t == "Annual Report" })
+    // decryption and /Info metadata hold identically under streaming
+    assert(streamed.exists(_._1 == "https://docs.example.com/rc4enc.pdf"))
+    assert(streamed.exists { case (u, t, _) =>
+      u == "https://docs.example.com/docinfo.pdf" && t == "Document Info Title" })
   }
 
   test("host-rate stream: windowed watermarked counts complete") {
