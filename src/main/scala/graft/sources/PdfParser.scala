@@ -793,6 +793,18 @@ object PdfParser extends LayoutParser {
     def hasWidths: Boolean =
       (widths.isDefined && !twoByte) || (cidWidths.isDefined && twoByte)
 
+    /** (glyph count, single-byte-space count) of `bytes` — the operands of
+      * the Tc/Tw spacing terms (Tw applies only to 1-byte code 32 by
+      * spec, so composite fonts report zero spaces). */
+    def glyphCounts(bytes: Array[Byte]): (Int, Int) =
+      if (twoByte) (bytes.length / 2, 0)
+      else {
+        var sp = 0
+        var i = 0
+        while (i < bytes.length) { if (bytes(i) == 0x20) sp += 1; i += 1 }
+        (bytes.length, sp)
+      }
+
     /** Advance of `bytes` in 1/1000-em units; 0 when no width table (the
       * caller's signal to fall back to char-count extent). Simple fonts:
       * /FirstChar+/Widths per byte (unlisted → 500, the common
@@ -930,7 +942,11 @@ object PdfParser extends LayoutParser {
     val stack = mutable.ArrayBuffer[Cos]()
     val shows = Vector.newBuilder[Show]
     var ctm = baseCtm
-    val ctmStack = mutable.ArrayBuffer[Mat]()
+    // graphics-state spacing parameters (PDF 32000 §9.3): char spacing,
+    // word spacing (text-space units, added per glyph / per 1-byte space),
+    // horizontal scale — all participate in q/Q save/restore
+    var charSpacing = 0.0; var wordSpacing = 0.0; var hScale = 1.0
+    val gsStack = mutable.ArrayBuffer[(Mat, Double, Double, Double)]()
     var tm = Identity; var tlm = Identity
     var leading = 0.0; var fontSize = 1.0
     var font: Font = SimpleFont
@@ -943,12 +959,22 @@ object PdfParser extends LayoutParser {
     // effective size folds the text-matrix scale in, so `/F1 1 Tf` +
     // `24 0 0 24 x y Tm` (scale-via-Tm, a common generator pattern) grades
     // the same as `/F1 24 Tf` — for EVERY show operator, Tj and TJ alike
-    def emitText(t: String, units: Double): Unit = if (t.nonEmpty) {
+    def emitText(t: String, units: Double, nGlyphs: Int, nSpaces: Int): Unit = if (t.nonEmpty) {
       val dev = tm * ctm
-      val effSize = fontSize * math.sqrt(math.abs(tm.a * tm.d - tm.b * tm.c)).max(0.01)
-      shows += Show(dev.e, dev.f, effSize, t, units / 1000.0 * effSize)
+      val tmScale = math.sqrt(math.abs(tm.a * tm.d - tm.b * tm.c)).max(0.01)
+      val effSize = fontSize * tmScale
+      // advance in text space: glyph widths scaled by font size, plus the
+      // Tc/Tw spacing terms, all under the Tz horizontal scale (§9.4.4)
+      val advTs =
+        if (units > 0)
+          (units / 1000.0 * fontSize + nGlyphs * charSpacing + nSpaces * wordSpacing) * hScale
+        else 0.0
+      shows += Show(dev.e, dev.f, effSize, t, advTs * tmScale)
     }
-    def emit(bytes: Array[Byte]): Unit = emitText(font.decode(bytes), font.advanceUnits(bytes))
+    def emit(bytes: Array[Byte]): Unit = {
+      val (ng, ns) = font.glyphCounts(bytes)
+      emitText(font.decode(bytes), font.advanceUnits(bytes), ng, ns)
+    }
     def nextLine(): Unit = { tlm = Mat(1, 0, 0, 1, 0, -leading) * tlm; tm = tlm }
 
     var guard = 0
@@ -979,18 +1005,26 @@ object PdfParser extends LayoutParser {
               }
             case "Tj" => stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
             case "'" => nextLine(); stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
-            case "\"" => nextLine(); stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
+            case "\"" => // aw ac string: sets word/char spacing, then shows
+              wordSpacing = num(2); charSpacing = num(1)
+              nextLine(); stack.lastOption.foreach { case CosStr(s) => emit(s); case _ => }
+            case "Tc" => charSpacing = num(0)
+            case "Tw" => wordSpacing = num(0)
+            case "Tz" => hScale = num(0) / 100.0
             case "TJ" => stack.lastOption.foreach {
               case CosArr(items) =>
                 val sb = new StringBuilder
                 var units = 0.0
+                var nG = 0; var nS = 0
                 // kerning adjustment in -1/1000 em: a shift below the
                 // font's word-gap threshold (half a space width when the
                 // /Widths table is present, −150 otherwise) is an
                 // inter-word gap the producer encoded positionally
                 val gap = font.kerningSpaceThreshold
                 items.foreach {
-                  case CosStr(s) => sb.append(font.decode(s)); units += font.advanceUnits(s)
+                  case CosStr(s) =>
+                    sb.append(font.decode(s)); units += font.advanceUnits(s)
+                    val (g, sp) = font.glyphCounts(s); nG += g; nS += sp
                   case CosNum(adj) =>
                     units -= adj
                     if (adj < gap) sb.append(' ')
@@ -998,12 +1032,16 @@ object PdfParser extends LayoutParser {
                 }
                 // without a width table the adjustment sum alone would be a
                 // spuriously tiny extent — zero it so layout falls back
-                emitText(sb.toString, if (font.hasWidths) units else 0.0)
+                emitText(sb.toString, if (font.hasWidths) units else 0.0, nG, nS)
               case _ =>
             }
             case "cm" => ctm = Mat(num(5), num(4), num(3), num(2), num(1), num(0)) * ctm
-            case "q" => ctmStack += ctm
-            case "Q" => if (ctmStack.nonEmpty) { ctm = ctmStack.last; ctmStack.dropRightInPlace(1) }
+            case "q" => gsStack += ((ctm, charSpacing, wordSpacing, hScale))
+            case "Q" => if (gsStack.nonEmpty) {
+              val (c, tc, tw, tz) = gsStack.last
+              ctm = c; charSpacing = tc; wordSpacing = tw; hScale = tz
+              gsStack.dropRightInPlace(1)
+            }
             case "Do" => stack.lastOption.foreach {
               case CosName(nm) => shows ++= formHandler(nm, ctm)
               case _ =>

@@ -262,6 +262,27 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(noW, "application/pdf").map(_.text) == Vector("A B C"))
   }
 
+  test("Tc/Tw/Tz spacing operators shape advances and restore under q/Q (round 6)") {
+    val widths = "[600 " + Seq.fill(32)("500").mkString(" ") + " 1000 800 600]"
+    // inside q..Q: 2 Tc + 5 Tw + 200 Tz → (2400/1000·10 + 3·2 + 1·5)·2 = 70
+    // after Q: spacing restored → plain width advance 24
+    val ops = "q 2 Tc 5 Tw 200 Tz\nBT /F1 10 Tf 72 700 Td (A B) Tj ET\nQ\n" +
+      "BT /F1 10 Tf 72 600 Td (A B) Tj ET"
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${ops.length} >>\nstream\n" + ops + "\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier " +
+      s"/FirstChar 32 /Widths $widths >>\nendobj\n" +
+      "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    val blocks = PdfParser.parse(body.getBytes("ISO-8859-1"), "application/pdf")
+    assert(blocks.map(_.text) == Vector("A B", "A B"))
+    assert(math.abs(blocks(0).x1 - 142f) < 0.01f)
+    assert(math.abs(blocks(1).x1 - 96f) < 0.01f)
+  }
+
   test("Type0 /W CID widths drive advance and bbox extent (round 6)") {
     val base = PdfGen.type0WithToUnicode(
       Seq(1 -> "A", 2 -> "B", 3 -> "C", 4 -> "D", 5 -> "E"), tjHex = "00010002000300040005")
