@@ -61,6 +61,30 @@ class PdfCryptoSpec extends AnyFunSuite {
     assert(locked.status == "encrypted_pdf")
   }
 
+  test("RC4 is an involution for deterministic key/data sweeps") {
+    (1 to 30).foreach { seed =>
+      val keyLen = 1 + (seed % 16)
+      val key = Array.tabulate(keyLen)(i => graft.ops.TextOps.mix64(seed * 31L + i).toByte)
+      val data = Array.tabulate(64 + seed)(i => graft.ops.TextOps.mix64(seed * 131L + i).toByte)
+      val twice = PdfCrypto.rc4(key, PdfCrypto.rc4(key, data))
+      assert(java.util.Arrays.equals(twice, data), s"seed=$seed")
+    }
+  }
+
+  test("RC4 of a known vector (public test vector: key 'Key', 'Plaintext')") {
+    val out = PdfCrypto.rc4("Key".getBytes("US-ASCII"), "Plaintext".getBytes("US-ASCII"))
+    assert(out.map(b => f"${b & 0xff}%02x").mkString == "bbf316e8d940af0ad3")
+  }
+
+  test("pdfDateToIso: offset, Z, partial, and garbage forms") {
+    assert(PdfParser.pdfDateToIso("D:20240102030405+01'00'") == "2024-01-02T03:04:05+01:00")
+    assert(PdfParser.pdfDateToIso("D:20240601120000Z") == "2024-06-01T12:00:00Z")
+    assert(PdfParser.pdfDateToIso("D:2024") == "2024-01-01T00:00:00")
+    assert(PdfParser.pdfDateToIso("20240102") == "2024-01-02T00:00:00")
+    assert(PdfParser.pdfDateToIso("not a date") == "not a date")
+    assert(PdfParser.pdfDateToIso("") == "")
+  }
+
   test("decryption fuzz: mutated encrypted docs never throw") {
     Seq(PdfGen.rc4EncryptedPdf(), PdfGen.aesv2EncryptedPdf(), PdfGen.aes256EncryptedPdf())
       .zipWithIndex.foreach { case (orig, di) =>
