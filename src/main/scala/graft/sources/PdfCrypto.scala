@@ -203,14 +203,18 @@ object PdfCrypto {
   def build(p: Params): Option[Decryptor] = {
     try {
       val empty = Array.emptyByteArray
-      if (p.v == 5 && p.r == 6) {
+      if (p.v == 5 && (p.r == 5 || p.r == 6)) {
+        // R5 (pre-ISO Adobe 9 AESV3) uses a single SHA-256 where R6 runs
+        // the Algorithm-2.B iteration; everything else is identical
+        def pwdHash(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
+          if (p.r == 5) sha("SHA-256", pwd, salt, udata) else hash2B(pwd, salt, udata)
         if (p.u.length < 48) return None
         val uHash = p.u.take(32)
         val valSalt = p.u.slice(32, 40)
         val keySalt = p.u.slice(40, 48)
-        if (java.util.Arrays.equals(hash2B(empty, valSalt, empty), uHash)) {
+        if (java.util.Arrays.equals(pwdHash(empty, valSalt, empty), uHash)) {
           if (p.ue.length < 32) return None
-          val ik = hash2B(empty, keySalt, empty)
+          val ik = pwdHash(empty, keySalt, empty)
           val fileKey = aesCbc(encrypt = false, ik, new Array[Byte](16), p.ue.take(32), "NoPadding")
           Some(new Decryptor(fileKey, MethodAes256))
         } else if (p.o.length >= 48 && p.oe.length >= 32) {
@@ -219,8 +223,8 @@ object PdfCrypto {
           val oHash = p.o.take(32)
           val oValSalt = p.o.slice(32, 40)
           val oKeySalt = p.o.slice(40, 48)
-          if (java.util.Arrays.equals(hash2B(empty, oValSalt, u48), oHash)) {
-            val ik = hash2B(empty, oKeySalt, u48)
+          if (java.util.Arrays.equals(pwdHash(empty, oValSalt, u48), oHash)) {
+            val ik = pwdHash(empty, oKeySalt, u48)
             val fileKey = aesCbc(encrypt = false, ik, new Array[Byte](16), p.oe.take(32), "NoPadding")
             Some(new Decryptor(fileKey, MethodAes256))
           } else None

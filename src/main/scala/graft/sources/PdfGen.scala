@@ -305,6 +305,27 @@ object PdfGen {
       "BT /F1 12 Tf 72 700 Td (Decrypted AES-256 content extracted.) Tj ET")
   }
 
+  /** R5 / V5: the pre-ISO Adobe 9 AES-256 revision — single SHA-256
+    * password hash instead of the R6 iteration. */
+  def aes256R5EncryptedPdf(): Array[Byte] = {
+    val fileKey = Array.tabulate(32)(i => ((i * 53 + 7) & 0xff).toByte)
+    val valSalt = Array.tabulate(8)(i => ((i * 7 + 5) & 0xff).toByte)
+    val keySalt = Array.tabulate(8)(i => ((i * 13 + 6) & 0xff).toByte)
+    val oValSalt = Array.tabulate(8)(i => ((i * 3 + 7) & 0xff).toByte)
+    val oKeySalt = Array.tabulate(8)(i => ((i * 5 + 8) & 0xff).toByte)
+    val u = genHash("SHA-256", valSalt) ++ valSalt ++ keySalt
+    val ue = genAes(encrypt = true, genHash("SHA-256", keySalt), new Array[Byte](16), fileKey, "NoPadding")
+    val o = genHash("SHA-256", oValSalt, u) ++ oValSalt ++ oKeySalt
+    val oe = genAes(encrypt = true, genHash("SHA-256", oKeySalt, u), new Array[Byte](16), fileKey, "NoPadding")
+    val iv = Array.tabulate(16)(i => ((i * 37 + 11) & 0xff).toByte)
+    encryptedOnePage(
+      s"<< /Filter /Standard /V 5 /R 5 /Length 256 /P $GenP /O <${hex(o)}> /U <${hex(u)}> " +
+        s"/OE <${hex(oe)}> /UE <${hex(ue)}> " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>",
+      data => iv ++ genAes(encrypt = true, fileKey, iv, data, "PKCS5Padding"),
+      "BT /F1 12 Tf 72 700 Td (Decrypted AES-256 R5 content extracted.) Tj ET")
+  }
+
   /** One-page PDF whose trailer carries /Encrypt — standard RC4 stream
     * cipher declaration. The parser must REPORT encryption (status
     * `encrypted` → pipeline `encrypted_pdf`), never mis-file it as

@@ -33,6 +33,12 @@ class PdfCryptoSpec extends AnyFunSuite {
     assert(res.blocks.map(_.text) == Vector("Decrypted AES-256 content extracted."))
   }
 
+  test("AES-256 revision 5 (pre-ISO single-SHA-256 hash) decrypts and extracts") {
+    val res = PdfParser.parseDetailed(PdfGen.aes256R5EncryptedPdf(), "application/pdf")
+    assert(res.status == "ok")
+    assert(res.blocks.map(_.text) == Vector("Decrypted AES-256 R5 content extracted."))
+  }
+
   test("a REAL password still reports encrypted (no guessing)") {
     // flip one byte of /U in the RC4 doc: neither empty-password path can
     // authenticate any more → encrypted, never garbage text
