@@ -641,7 +641,7 @@ object SparkEntry {
     // /Link annotations → the links column. Transcribed VALUES oracle.
     "pdf_meta_fixture" -> ((s, dir) => {
       import s.implicits._
-      val cases = Seq("annots", "docinfo", "plain")
+      val cases = Seq("annots", "docinfo", "outline", "plain")
       s.createDataset(cases).repartition(2)
         .mapPartitions { it =>
           val docs = graft.sources.PdfGen.fixtureDocs.toMap
@@ -652,10 +652,11 @@ object SparkEntry {
               row.published_at.getOrElse(""), row.modified_at.getOrElse(""),
               row.description, row.keywords.mkString("|"),
               row.links.length.toLong,
-              row.links.count(_.is_external).toLong)
+              row.links.count(_.is_external).toLong,
+              row.custom.getOrElse("pdf_outline", "").replace("\n", "~"))
           }
         }.toDF("test_case", "title", "author", "published_at", "modified_at",
-          "description", "keywords", "n_links", "n_external")
+          "description", "keywords", "n_links", "n_external", "outline")
         .orderBy("test_case")
     }),
 
@@ -1595,6 +1596,7 @@ object SparkEntry {
        "('twopage', 1, 2, 'text', 'Page two part B.'), " +
        "('tounicode', 0, 0, 'text', 'PDF map!'), " +
        "('objstm', 0, 0, 'text', 'Object stream page.'), " +
+       "('outline', 0, 0, 'text', 'Sectioned body text.'), " +
        "('corrupt', -1, -1, 'none', ''), " +
        "('docinfo', 0, 0, 'text', 'Body text for the info document.'), " +
        "('notpdf', -1, -1, 'none', '')" +
@@ -1628,6 +1630,7 @@ object SparkEntry {
        "('kerning', 'ok', 'pdf', '', 1, 0, false, ''), " +
        "('notpdf', 'empty_html', 'pdf', '', 0, 0, false, ''), " +
        "('objstm', 'ok', 'pdf', '', 1, 1, false, 'Object stream page.'), " +
+       "('outline', 'ok', 'pdf', '', 1, 1, false, 'Sectioned body text.'), " +
        "('plain', 'ok', 'pdf', 'Annual Report', 3, 3, false, " +
        "'# Annual Report ¶ The first body line. | The second body line. ¶ A separate paragraph block.'), " +
        "('tounicode', 'ok', 'pdf', '', 1, 1, false, 'PDF map!'), " +
@@ -1639,13 +1642,14 @@ object SparkEntry {
     // D: dates → ISO-8601; mailto filtered from links)
     "pdf_meta_fixture" ->
       ("SELECT test_case, title, author, published_at, modified_at, description, keywords, " +
-       "CAST(n_links AS BIGINT) AS n_links, CAST(n_external AS BIGINT) AS n_external " +
+       "CAST(n_links AS BIGINT) AS n_links, CAST(n_external AS BIGINT) AS n_external, outline " +
        "FROM (VALUES " +
-       "('annots', '', '', '', '', '', '', 2, 1), " +
+       "('annots', '', '', '', '', '', '', 2, 1, ''), " +
        "('docinfo', 'Document Info Title', 'Jane Q. Author', '2024-01-02T03:04:05+01:00', " +
-       "'2024-06-01T12:00:00Z', 'A concise subject line.', 'alpha|beta|gamma', 0, 0), " +
-       "('plain', 'Annual Report', '', '', '', '', '', 0, 0)" +
-       ") AS t(test_case, title, author, published_at, modified_at, description, keywords, n_links, n_external) " +
+       "'2024-06-01T12:00:00Z', 'A concise subject line.', 'alpha|beta|gamma', 0, 0, ''), " +
+       "('outline', '', '', '', '', '', '', 0, 0, '1|Introduction~1|Results~2|Detailed Results'), " +
+       "('plain', 'Annual Report', '', '', '', '', '', 0, 0, '')" +
+       ") AS t(test_case, title, author, published_at, modified_at, description, keywords, n_links, n_external, outline) " +
        "ORDER BY test_case"),
 
     // transcribed cross-route clustering: the planted HTML/PDF pair share a

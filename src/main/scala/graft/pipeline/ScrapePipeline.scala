@@ -255,7 +255,14 @@ object ScrapePipeline {
         nr.meta.blocksTotal, nr.meta.blocksAccepted,
         nr.meta.truncated || res.truncated),
       status = "ok",
-      error = None)
+      error = None,
+      // /Outlines bookmarks (round 6): section structure as a custom value
+      // ("depth|title" lines) — the PDF analogue of a custom extractor
+      custom =
+        if (res.outline.isEmpty) Map.empty
+        else Map("pdf_outline" -> res.outline.map { case (d, t) =>
+          s"$d|${t.replace("\n", " ")}"
+        }.mkString("\n")))
   }
 
   private def errorRow(url: String, status: String, error: Option[String]): ScrapedRow =

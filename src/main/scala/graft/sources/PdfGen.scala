@@ -462,6 +462,24 @@ object PdfGen {
     ), rootNum = 1)
   }
 
+  /** Document with an /Outlines bookmark tree (round 6): two top-level
+    * sections, the second with a child — section structure the content
+    * streams don't carry. */
+  def outlinePdf(): Array[Byte] = {
+    assemble(Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> streamObj("", bytes("BT /F1 12 Tf 72 700 Td (Sectioned body text.) Tj ET")),
+      5 -> bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> bytes("<< /Type /Outlines /First 7 0 R /Last 8 0 R /Count 3 >>"),
+      7 -> bytes("<< /Title (Introduction) /Parent 6 0 R /Next 8 0 R >>"),
+      8 -> bytes("<< /Title (Results) /Parent 6 0 R /Prev 7 0 R /First 9 0 R /Last 9 0 R >>"),
+      9 -> bytes("<< /Title (Detailed Results) /Parent 8 0 R >>")
+    ), rootNum = 1)
+  }
+
   /** Deterministic synthetic PDF document `i` — the PDF-route counterpart
     * of PagesGen's HTML pages (throughput probes, mixed-corpus tests):
     * 2 pages, Flate-compressed streams, a heading + ~18 body lines of
@@ -514,6 +532,7 @@ object PdfGen {
     "acroform" -> acroFormPdf(),
     "docinfo" -> docInfoPdf(),
     "annots" -> annotsPdf(),
+    "outline" -> outlinePdf(),
     "rc4enc" -> rc4EncryptedPdf(),
     "aesv2enc" -> aesv2EncryptedPdf(),
     "aes256enc" -> aes256EncryptedPdf())

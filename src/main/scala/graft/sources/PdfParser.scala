@@ -1133,7 +1133,10 @@ object PdfParser extends LayoutParser {
       meta: Map[String, String] = Map.empty,
       /** /Link-annotation URI actions in page order (round 6) — the PDF
         * counterpart of the HTML links column; deduped, order-preserving. */
-      links: Vector[String] = Vector.empty)
+      links: Vector[String] = Vector.empty,
+      /** /Outlines bookmark titles as (depth, title) in tree order (round
+        * 6) — section structure for curation pipelines; depth starts at 1. */
+      outline: Vector[(Int, String)] = Vector.empty)
 
   /** PDFDocEncoding (≈cp1252 for the printable range) or BOM UTF-16BE —
     * the two text-string encodings of PDF 32000 §7.9.2.2. */
@@ -1403,9 +1406,43 @@ object PdfParser extends LayoutParser {
           case _ => None
         }
       } yield dst -> v).toMap
+      // /Outlines bookmark tree: sibling chains via /Next, children via
+      // /First; visited set + depth/count caps kill crafted cycles
+      val outline: Vector[(Int, String)] = {
+        val out = Vector.newBuilder[(Int, String)]
+        val visited = mutable.Set[Int]()
+        var n = 0
+        def walk(item: Cos, depth: Int): Unit = {
+          var cur = item
+          var guard = 0
+          while (cur != CosNull && guard < 2000 && n < 1000 && depth <= 16) {
+            guard += 1
+            val num = cur match { case CosRef(nn, _) => nn; case _ => -1 }
+            if (num >= 0 && !visited.add(num)) return
+            doc.resolveDict(cur) match {
+              case Some(d) =>
+                doc.resolve(d.get("Title").getOrElse(CosNull)) match {
+                  case CosStr(b) =>
+                    val t = decodeDocString(b).trim
+                    if (t.nonEmpty) { out += ((depth, t)); n += 1 }
+                  case _ =>
+                }
+                d.get("First").foreach(f => walk(f, depth + 1))
+                cur = d.get("Next").getOrElse(CosNull)
+              case None => cur = CosNull
+            }
+          }
+        }
+        for {
+          cat <- doc.catalog
+          ol <- doc.resolveDict(cat.get("Outlines").getOrElse(CosNull))
+          first <- ol.get("First")
+        } walk(first, 1)
+        out.result()
+      }
       val all = blocks ++ fields
       PdfResult(all, if (all.isEmpty) "empty" else "ok", doc.truncated || guardTripped,
-        meta, linksOut.result().distinct)
+        meta, linksOut.result().distinct, outline)
     } catch {
       case _: Exception => PdfResult(Vector.empty, "error", truncated = false) // never-throws pipeline contract
     }

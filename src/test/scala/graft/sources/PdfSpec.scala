@@ -315,6 +315,29 @@ class PdfSpec extends AnyFunSuite {
     assert(row.content.contains("- applicant: Ada Lovelace"))
   }
 
+  test("/Outlines bookmarks extract as (depth, title) in tree order (round 6)") {
+    val res = PdfParser.parseDetailed(PdfGen.outlinePdf(), "application/pdf")
+    assert(res.outline == Vector(
+      (1, "Introduction"), (1, "Results"), (2, "Detailed Results")))
+    val row = graft.pipeline.ScrapePipeline.scrapePdf(
+      PdfGen.outlinePdf(), "https://pdf.example.com/o.pdf")
+    assert(row.custom.get("pdf_outline").contains(
+      "1|Introduction\n1|Results\n2|Detailed Results"))
+  }
+
+  test("adversarial: /Outlines /Next cycle terminates") {
+    val body = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Outlines 4 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Type /Outlines /First 5 0 R >>\nendobj\n" +
+      "5 0 obj\n<< /Title (a) /Next 6 0 R >>\nendobj\n" +
+      "6 0 obj\n<< /Title (b) /Next 5 0 R /First 6 0 R >>\nendobj\n" + // both cycle forms
+      "trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    val res = PdfParser.parseDetailed(body.getBytes("ISO-8859-1"), "application/pdf")
+    assert(res.outline == Vector((1, "a"), (1, "b")))
+  }
+
   test("adversarial: AcroForm /Kids cycle terminates") {
     val body = "%PDF-1.4\n" +
       "1 0 obj\n<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields [4 0 R] >> >>\nendobj\n" +
