@@ -205,6 +205,12 @@ object GraftExtensions {
     spark.udf.register("extract_page",
       (html: String, url: String) => graft.pipeline.ScrapePipeline.scrapeHtml(
         if (html == null) "" else html, if (url == null) "" else url))
+    // binary-input variant over the input_hint's `html:binary` column:
+    // magic-byte routing (HTML charset sniff / PDF incl. decryption) —
+    // the same scrapeAny the fused batch job and streaming share
+    spark.udf.register("extract_doc",
+      (blob: Array[Byte], url: String) => graft.pipeline.ExtractJob.scrapeAny(
+        if (url == null) "" else url, blob))
     spark.udf.register("detect_lang",
       (text: String) => graft.ops.TextOps.detectLanguage(text)._1)
     spark.udf.register("quality_score",

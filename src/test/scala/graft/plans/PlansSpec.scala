@@ -134,6 +134,26 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(3) > 0)
   }
 
+  test("extract_doc binary UDF routes HTML and PDF (incl. encrypted) from pure SQL (round 6)") {
+    GraftExtensions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("https://sql.example.com/p.html",
+        "<html><body><h1>Sql Page</h1><p>Body content long enough to keep.</p></body></html>"
+          .getBytes("UTF-8")),
+      ("https://sql.example.com/d.pdf", graft.sources.PdfGen.fixtureDocs.toMap.apply("plain")),
+      ("https://sql.example.com/e.pdf", graft.sources.PdfGen.rc4EncryptedPdf()))
+    rows.toDF("url", "blob").createOrReplaceTempView("docs_sql")
+    val out = spark.sql(
+      """SELECT r.url, r.content_type, r.status, r.title
+        |FROM (SELECT extract_doc(blob, url) AS r FROM docs_sql)
+        |ORDER BY r.url""".stripMargin).collect()
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("pdf", "ok"), ("pdf", "ok"), ("unknown", "ok")))
+    assert(out(0).getString(3) == "Annual Report")   // d.pdf
+  }
+
   test("text-analysis scalars are reachable from plain SQL") {
     GraftExtensions.register(spark)
     val row = spark.sql(
