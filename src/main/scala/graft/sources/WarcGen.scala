@@ -245,10 +245,15 @@ object WarcGen {
     * leads with a warcinfo record and plants one request + one 404 record
     * to exercise ingest filtering. Deterministic: page `i` goes to shard
     * `i % shards`, bytes are a pure function of (Seed, i). */
-  def writeCorpus(dir: File, n: Int, shards: Int): Unit = {
+  def writeCorpus(dir: File, n: Int, shards: Int): Unit =
+    (0 until shards).foreach(s => writeCorpusShard(dir, n, shards, s))
+
+  /** One shard — safe to call concurrently from executor tasks (one task
+    * per shard is the parallel corpus-write path in WarcBench). */
+  def writeCorpusShard(dir: File, n: Int, shards: Int, s: Int): Unit = {
     dir.mkdirs()
     val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
-    (0 until shards).foreach { s =>
+    locally {
       val f = new File(dir, f"shard-$s%05d.warc.gz")
       if (!f.exists()) {
         val out = new ByteArrayOutputStream(1 << 20)
