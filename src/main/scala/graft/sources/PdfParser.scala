@@ -1176,7 +1176,9 @@ object PdfParser extends LayoutParser {
     if (!isPdf) return PdfResult(StubLayoutParser.parse(bytes, mime), "not_pdf", truncated = false)
     try {
       val doc = new Doc(bytes)
-      if (doc.encrypted) // no decryption support, by design
+      if (doc.encrypted) // decryption unavailable for THIS doc (non-empty
+        // password or unsupported handler) — empty-password standard-
+        // security docs were already decrypted transparently by PdfCrypto
         return PdfResult(Vector.empty, "encrypted", truncated = false)
       var guardTripped = false
 

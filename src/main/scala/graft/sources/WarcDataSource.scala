@@ -116,13 +116,28 @@ private final class WarcScan(options: Map[String, String], required: StructType)
       .map(st => (st.getPath.toString, st.getLen))
       .sortBy { case (p, _) => p } // deterministic packing
 
-    // First-fit-decreasing bin packing toward maxPartitionBytes: one gzip
-    // shard is atomic, so a bin is a Seq of whole files.
+    // Partition size target, Spark's FilePartition formula: maxPartitionBytes
+    // is a CEILING, not the goal — the goal is bytes/core, floored by the
+    // per-file open cost so a directory of tiny shards still coalesces.
+    // Without the bytes/core term a corpus smaller than maxPartitionBytes
+    // bin-packs into ONE partition and the whole scan runs serially (the
+    // exact anti-scale case the two-level bench caught: 8.5k docs/s at
+    // both local[8] and local[32]).
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val parallelism = spark.sessionState.conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalCost = files.map(_._2 + openCost).sum
+    val target = math.min(targetBytes,
+      math.max(openCost, totalCost / math.max(1, parallelism)))
+
+    // First-fit-decreasing bin packing toward the target: one gzip shard is
+    // atomic (per-record members share a stream), so a bin is whole files.
     val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
     files.sortBy { case (_, len) => -len }.foreach { case (p, len) =>
-      bins.indexWhere { case (_, used) => used + len <= targetBytes } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(p), len))
-        case i  => val (b, used) = bins(i); b += p; bins(i) = (b, used + len)
+      val cost = len + openCost
+      bins.indexWhere { case (_, used) => used + cost <= target } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(p), cost))
+        case i  => val (b, used) = bins(i); b += p; bins(i) = (b, used + cost)
       }
     }
     bins.map { case (b, _) => WarcInputPartition(b.toArray): InputPartition }.toArray
@@ -148,6 +163,7 @@ private final class WarcPartitionReader(files: Array[String], fieldNames: Array[
   private var fileIdx = -1
   private var recIdx = -1L
   private var current: Iterator[WarcRecord] = Iterator.empty
+  private var currentStream: java.io.InputStream = _
   private var currentFile: UTF8String = _
   private var row: InternalRow = _
 
@@ -159,7 +175,8 @@ private final class WarcPartitionReader(files: Array[String], fieldNames: Array[
       val fs = path.getFileSystem(conf)
       currentFile = UTF8String.fromString(files(fileIdx))
       recIdx = -1L
-      current = Warc.records(fs.open(path), keepPayload)
+      currentStream = fs.open(path)
+      current = Warc.records(currentStream, keepPayload)
     }
     val r = current.next()
     recIdx += 1
@@ -168,7 +185,16 @@ private final class WarcPartitionReader(files: Array[String], fieldNames: Array[
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = current = Iterator.empty // Warc closes at exhaustion
+
+  /** Warc closes the stream at exhaustion; an early-terminating consumer
+    * (limit, task kill) lands here mid-file, so close it explicitly too. */
+  override def close(): Unit = {
+    current = Iterator.empty
+    if (currentStream != null) {
+      try currentStream.close() catch { case _: Throwable => () }
+      currentStream = null
+    }
+  }
 
   private def toRow(r: WarcRecord): InternalRow = {
     val values = new Array[Any](fieldNames.length)

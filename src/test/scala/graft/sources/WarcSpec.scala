@@ -197,9 +197,18 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "1024") // smaller than any shard
       val parts = spark.read.format("warc").load(dir.getAbsolutePath).rdd.getNumPartitions
       assert(parts == 4, s"one atomic gzip shard per partition, got $parts")
+      // A corpus smaller than maxPartitionBytes must NOT collapse to one
+      // partition while cores sit idle: the bytes/core term keeps one bin
+      // per available slot (the serial-scan regression the two-level bench
+      // caught). Explicit minPartitionNum=1 restores full packing.
       spark.conf.set("spark.sql.files.maxPartitionBytes", s"${256L * 1024 * 1024}")
-      val packed = spark.read.format("warc").load(dir.getAbsolutePath).rdd.getNumPartitions
-      assert(packed == 1, s"small shards bin-pack together, got $packed")
+      val spread = spark.read.format("warc").load(dir.getAbsolutePath).rdd.getNumPartitions
+      assert(spread == 4, s"bytes/core target spreads shards over cores, got $spread")
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      try {
+        val packed = spark.read.format("warc").load(dir.getAbsolutePath).rdd.getNumPartitions
+        assert(packed == 1, s"small shards bin-pack together, got $packed")
+      } finally spark.conf.unset("spark.sql.files.minPartitionNum")
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
