@@ -745,6 +745,13 @@ object SparkEntry {
       bytesOk.crossJoin(exOk) // 1×1 — not a scale surface
     }),
 
+    // Sitemap parse surface (urlset / sitemapindex / txt / gzip / robots
+    // discovery) over the frozen SitemapFixture blobs, and the frontier
+    // composition it feeds (normalize → broadcast robots gate → seen-set
+    // anti-join → distinct) — both against transcribed VALUES oracles.
+    "sitemap_fixture" -> ((s, dir) => SitemapFixture.fixtureDf(s)),
+    "sitemap_frontier" -> ((s, dir) => SitemapFixture.frontierDf(s)),
+
     // fixture-anchored oracles for the 3 formerly rows-only text-analysis
     // ops (VERDICT r3 #4) — expected cells independently derived by hand /
     // cross-checked in Python (see TextFixtureQueries scaladoc)
@@ -1759,6 +1766,9 @@ object SparkEntry {
        "CAST(n_extract_match AS BIGINT) AS n_extract_match FROM (VALUES " +
        "(120, 120, 120, 120)" +
        ") AS t(n_pages, n_html_identical, n_ts_identical, n_extract_match)"),
+
+    "sitemap_fixture" -> SitemapFixture.fixtureOracle,
+    "sitemap_frontier" -> SitemapFixture.frontierOracle,
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +
