@@ -49,6 +49,55 @@ final class WarcDataSource extends TableProvider with DataSourceRegister {
 }
 
 object WarcDataSource {
+
+  /** Resolve path/glob options to (path, length) shard entries, hidden
+    * files excluded, sorted by path for deterministic planning. */
+  def listShards(options: Map[String, String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    val paths = options.get("paths").map(_.split(",").toSeq)
+      .orElse(options.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("warc source requires a path"))
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched: Seq[FileStatus] =
+        Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+    }.filter(st => !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy { case (p, _) => p } // deterministic packing
+  }
+
+  /** Bin-pack whole shards toward Spark's FilePartition size target:
+    * ceiling `maxPartitionBytes`, floor `openCostInBytes`, bytes/core in
+    * between (honoring `minPartitionNum`). A corpus smaller than the
+    * ceiling must still spread across cores — without the bytes/core term
+    * the whole scan lands in one partition and runs serially. */
+  def packPartitions(files: Seq[(String, Long)],
+      spark: SparkSession): Array[InputPartition] = {
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val parallelism = spark.sessionState.conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalCost = files.map(_._2 + openCost).sum
+    val target = math.min(targetBytes,
+      math.max(openCost, totalCost / math.max(1, parallelism)))
+
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    files.sortBy { case (_, len) => -len }.foreach { case (p, len) =>
+      val cost = len + openCost
+      bins.indexWhere { case (_, used) => used + cost <= target } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(p), cost))
+        case i  => val (b, used) = bins(i); b += p; bins(i) = (b, used + cost)
+      }
+    }
+    bins.map { case (b, _) => WarcInputPartition(b.toArray): InputPartition }.toArray
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("record_idx", LongType, nullable = false),
@@ -71,7 +120,7 @@ private final class WarcTable(properties: Map[String, String]) extends Table wit
   override def name(): String = "warc:" + properties.getOrElse("path", properties.getOrElse("paths", "?"))
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(properties ++ options.asScala.toMap)
 }
@@ -97,54 +146,78 @@ private final class WarcScan(options: Map[String, String], required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val paths = options.get("paths").map(_.split(",").toSeq)
-      .orElse(options.get("path").map(Seq(_)))
-      .getOrElse(throw new IllegalArgumentException("warc source requires a path"))
-    val files: Seq[(String, Long)] = paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val matched: Seq[FileStatus] =
-        Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-        else Seq(st)
-      }
-    }.filter(st => !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy { case (p, _) => p } // deterministic packing
-
-    // Partition size target, Spark's FilePartition formula: maxPartitionBytes
-    // is a CEILING, not the goal — the goal is bytes/core, floored by the
-    // per-file open cost so a directory of tiny shards still coalesces.
-    // Without the bytes/core term a corpus smaller than maxPartitionBytes
-    // bin-packs into ONE partition and the whole scan runs serially (the
-    // exact anti-scale case the two-level bench caught: 8.5k docs/s at
-    // both local[8] and local[32]).
-    val openCost = spark.sessionState.conf.filesOpenCostInBytes
-    val parallelism = spark.sessionState.conf.filesMinPartitionNum
-      .getOrElse(spark.sparkContext.defaultParallelism)
-    val totalCost = files.map(_._2 + openCost).sum
-    val target = math.min(targetBytes,
-      math.max(openCost, totalCost / math.max(1, parallelism)))
-
-    // First-fit-decreasing bin packing toward the target: one gzip shard is
-    // atomic (per-record members share a stream), so a bin is whole files.
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
-    files.sortBy { case (_, len) => -len }.foreach { case (p, len) =>
-      val cost = len + openCost
-      bins.indexWhere { case (_, used) => used + cost <= target } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(p), cost))
-        case i  => val (b, used) = bins(i); b += p; bins(i) = (b, used + cost)
-      }
-    }
-    bins.map { case (b, _) => WarcInputPartition(b.toArray): InputPartition }.toArray
+    WarcDataSource.packPartitions(
+      WarcDataSource.listShards(options, spark.sessionState.newHadoopConf()), spark)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(options, required.fieldNames)
+}
+
+/** Watermark offset for the WARC stream: the highest shard path ingested so
+  * far ("" before the first batch). JSON form is the quoted path. */
+private final case class WarcOffset(watermark: String)
+    extends streaming.Offset {
+  override def json(): String =
+    "\"" + watermark.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
+
+private object WarcOffset {
+  def fromJson(s: String): WarcOffset = {
+    val t = s.trim
+    val unq = if (t.length >= 2 && t.head == '"' && t.last == '"')
+      t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+    else t
+    WarcOffset(unq)
+  }
+}
+
+/**
+ * `spark.readStream.format("warc")` — micro-batch ingestion of a landing
+ * directory of crawl shards. The offset is a PATH WATERMARK: each batch
+ * takes every shard whose path sorts strictly above the last watermark,
+ * and the new watermark is the highest path taken. This makes the source
+ * checkpoint-free (the offset alone replays exactly) under one documented
+ * contract: shard paths must arrive in lexicographically increasing order,
+ * which the Common-Crawl naming convention (timestamped segment/shard
+ * names) satisfies by construction. A late-arriving out-of-order path is
+ * NOT silently skipped forever — it is simply below the watermark, and the
+ * batch path (`spark.read.format("warc")`) over the same directory remains
+ * the recovery route; Spark's own FileStreamSource makes the opposite
+ * trade (arbitrary names, but a per-batch file log in the checkpoint).
+ */
+private final class WarcMicroBatchStream(options: Map[String, String],
+    fieldNames: Array[String]) extends streaming.MicroBatchStream {
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def initialOffset(): streaming.Offset = WarcOffset("")
+
+  override def latestOffset(): streaming.Offset = {
+    val files = WarcDataSource.listShards(options, conf)
+    if (files.isEmpty) WarcOffset("") else WarcOffset(files.map(_._1).max)
+  }
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    WarcOffset.fromJson(json)
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[WarcOffset].watermark
+    val hi = end.asInstanceOf[WarcOffset].watermark
+    val files = WarcDataSource.listShards(options, conf)
+      .filter { case (p, _) => p > lo && p <= hi }
+    WarcDataSource.packPartitions(files, SparkSession.active)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(fieldNames)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private final case class WarcInputPartition(files: Array[String]) extends InputPartition

@@ -220,4 +220,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     batch1.foreach { p => assert(afterB2(p.url) == 0L) }
   }
+
+  test("warc micro-batch stream: path-watermark ingests arriving shards exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream").toFile
+    graft.sources.WarcGen.writeCorpus(dir, 40, 4)
+    def batchCount(): Long =
+      spark.read.format("warc").load(dir.getAbsolutePath)
+        .where("warc_type = 'response' AND http_status = 200").count()
+
+    val q = spark.readStream.format("warc").load(dir.getAbsolutePath)
+      .where("warc_type = 'response' AND http_status = 200")
+      .select("url", "record_id")
+      .writeStream.format("memory").queryName("warc_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val c1 = spark.table("warc_stream").count()
+      assert(c1 == batchCount(), "first micro-batch must equal a batch read of the same dir")
+
+      // a new shard arrives with a lexicographically HIGHER path (the
+      // Common-Crawl naming contract the watermark offset relies on)
+      graft.sources.WarcGen.writeCorpusShard(dir, 50, 5, 4)
+      q.processAllAvailable()
+      val c2 = spark.table("warc_stream").count()
+      assert(c2 == batchCount(),
+        "appended shard must be ingested; earlier shards must NOT re-ingest")
+      assert(c2 > c1)
+
+      // record-level parity, not just counts: streamed ids == batch ids
+      val streamed = spark.table("warc_stream")
+        .select("record_id").collect().map(_.getString(0)).sorted
+      val batch = spark.read.format("warc").load(dir.getAbsolutePath)
+        .where("warc_type = 'response' AND http_status = 200")
+        .select("record_id").collect().map(_.getString(0)).sorted
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
 }
