@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Robots, Sitemap}
+import graft.urlx.UrlOps
+
+/**
+ * Crawl-frontier construction from fetched sitemap bodies — the production
+ * operator behind the `sitemap_frontier` oracle query. Input tables:
+ *
+ *  - `blobs(sitemap_url: string, body: binary)` — fetched sitemap bodies
+ *    (urlset / index / txt / gzip, [[Sitemap.parse]] handles all);
+ *  - `robots(host: string, robots_txt: string)` — per-host robots.txt
+ *    side table (the same table [[ExtractJob.robotsGate]] uses);
+ *  - `seen(url: string)` — already-crawled URLs.
+ *
+ * Scale shape, stage by stage:
+ *  1. parse runs in `mapPartitions` over the blobs — one [[Sitemap.parse]]
+ *     per blob, entries emitted flat; no driver collection, no shuffle;
+ *  2. the robots join keys on host; it is a plain equi-join so AQE
+ *     broadcasts a small robots table and shuffles a web-scale one —
+ *     the operator does not hard-code either. Rule evaluation re-parses
+ *     robots_txt at most once per host per partition (an LRU-ish memo),
+ *     not once per URL;
+ *  3. the seen-set is a `left_anti` join on url — at 10^12 documents this
+ *     is the same anti-join shape `runResumable` already uses for resume;
+ *  4. `dropDuplicates(url)` keeps one row per URL (sitemaps repeat URLs
+ *     across files routinely).
+ *
+ * Index files contribute their children as `child_sitemaps` (a second
+ * output, fetch-and-recurse is the caller's loop — the parser never
+ * fetches). Every URL is normalized with the pipeline's own
+ * [[UrlOps.normalizeUrl]] so frontier keys join cleanly against crawled
+ * pages' keys.
+ */
+object Frontier {
+
+  /** urlset/txt entries → allowed, unseen, deduplicated frontier rows
+    * `(url, host, lastmod, priority)`. */
+  def fromSitemaps(
+      spark: SparkSession,
+      blobs: DataFrame,
+      robots: DataFrame,
+      seen: DataFrame,
+      userAgent: String = "ScrapexBot/1.0"): DataFrame = {
+    import spark.implicits._
+    val entries = blobs
+      .select(col("sitemap_url"), col("body"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, body) =>
+        val r = Sitemap.parse(body)
+        r.entries.iterator.map { e =>
+          val u = UrlOps.normalizeUrl(e.loc)
+          (u, UrlOps.extractDomain(u), e.lastmod, e.priority.getOrElse(-1.0))
+        }
+      })
+      .toDF("url", "host", "lastmod", "priority")
+
+    val gated = entries
+      .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
+      .as[(String, String, String, Double, String)]
+      .mapPartitions { it =>
+        // parsed-rules memo: robots re-parsed once per host per partition
+        val memo = new java.util.HashMap[String, Robots.Rules]()
+        it.flatMap { case (host, url, lastmod, priority, robotsTxt) =>
+          val allowed = robotsTxt == null || {
+            var rules = memo.get(host)
+            if (rules == null) {
+              rules = Robots.parseRobotsTxt(robotsTxt, userAgent)
+              if (memo.size < 10000) memo.put(host, rules) // bound per-task memory
+            }
+            // same path+query shape Robots.isAllowed matches against
+            val path = graft.urlx.WUrl.parse(url) match {
+              case Some(u) => u.pathname + u.query.map("?" + _).getOrElse("")
+              case None    => UrlOps.getPath(url)
+            }
+            Robots.isPathAllowed(rules, path)
+          }
+          if (allowed) Some((url, host, lastmod, priority)) else None
+        }
+      }
+      .toDF("url", "host", "lastmod", "priority")
+
+    gated
+      .join(seen.select(col("url").as("seen_url")),
+        col("url") === col("seen_url"), "left_anti")
+      .dropDuplicates("url")
+  }
+
+  /** Child sitemap URLs of index files — the caller's fetch-and-recurse
+    * worklist `(parent, child)`. */
+  def childSitemaps(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("sitemap_url"), col("body"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (parent, body) =>
+        Sitemap.parse(body).children.iterator.map(c => (parent, c))
+      })
+      .toDF("parent", "child")
+  }
+}

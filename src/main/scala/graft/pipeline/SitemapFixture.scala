@@ -117,39 +117,25 @@ object SitemapFixture {
       "ORDER BY test_case, seq"
   }
 
-  /** Frontier composition: parse all urlset/txt blobs → normalize →
+  /** Frontier composition, oracle-gating the production operator
+    * [[Frontier.fromSitemaps]]: parse all urlset/txt blobs → normalize →
     * robots-gate by host (the planted rules disallow `/private/` on
     * shop.example.com) → anti-join the already-crawled set → distinct,
     * sorted. The `robots` blob is the side table, not a sitemap. */
   def frontierDf(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val entries = s.createDataset(blobs.filter(_._1 != "robots").map { case (n, b) => (n, b) })(
+    val blobsDf = s.createDataset(
+        blobs.filter(_._1 != "robots").map { case (n, b) => (s"https://fixture.example.com/$n", b) })(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY))
       .repartition(2)
-      .mapPartitions(_.flatMap { case (_, bytes) =>
-        val r = Sitemap.parse(bytes)
-        r.entries.map(e => graft.urlx.UrlOps.normalizeUrl(e.loc))
-      })
-      .toDF("url")
-      .withColumn("host", expr("parse_url(url, 'HOST')"))
-    // broadcast robots side table: one host carries the planted rules
+      .toDF("sitemap_url", "body")
     val robotsTxt = new String(blobs.toMap.apply("robots"), "UTF-8")
     val robots = s.createDataset(Seq(("shop.example.com", robotsTxt))).toDF("host", "robots_txt")
-    val seen = s.createDataset(Seq("https://txt.example.com/a")).toDF("seen_url")
-    entries
-      .join(broadcast(robots), Seq("host"), "left")
-      .mapPartitions { it =>
-        it.flatMap { row =>
-          val url = row.getString(row.fieldIndex("url"))
-          val rt = if (row.isNullAt(row.fieldIndex("robots_txt"))) null
-                   else row.getString(row.fieldIndex("robots_txt"))
-          if (rt == null || graft.sources.Robots.isAllowed(rt, url)) Some(url) else None
-        }
-      }(org.apache.spark.sql.Encoders.STRING).toDF("url")
-      .join(seen, col("url") === col("seen_url"), "left_anti")
-      .distinct()
+    val seen = s.createDataset(Seq("https://txt.example.com/a")).toDF("url")
+    Frontier.fromSitemaps(s, blobsDf, robots, seen)
+      .select("url")
       .orderBy("url")
   }
 
