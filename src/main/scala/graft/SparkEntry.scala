@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{RepetitionOps, TextOps, VectorOps}
 import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -781,6 +781,42 @@ object SparkEntry {
         .toDF("url", "fingerprint").orderBy("url")
     }),
 
+    // Gopher/C4-style repetition + quality-filter signals (RepetitionOps;
+    // published corpus-filter heuristics — beyond-reference surface for
+    // training-data curation). Three tiers: frozen fixture vs transcribed
+    // VALUES oracle; word-level signals over the documents table vs a
+    // DuckDB list_zip n-gram oracle; the corpus pass over extracted pages
+    // (rows-only — per-row narrow map, no shuffle).
+    "repetition_fixture" -> ((s, dir) => RepetitionFixture.fixtureDf(s)),
+
+    "doc_repetition" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val p = RepetitionOps.profile(text)
+          (id, p.nWords.toLong, p.nDistinctWords.toLong, p.wordChars,
+            p.topWordCount.toLong, p.top2Count.toLong, p.top3Count.toLong,
+            p.alphaWords.toLong, p.stopHits.toLong, p.nHash.toLong,
+            p.nEllipsis.toLong)
+        }
+        .toDF("doc_id", "n_words", "n_distinct_words", "word_chars",
+          "top_word", "top2_count", "top3_count", "alpha_words",
+          "stop_hits", "n_hash", "n_ellipsis")
+        .orderBy("doc_id")
+    }),
+
+    "repetition_pages" -> ((s, dir) => {
+      import s.implicits._
+      extracted(s, dir).map { r =>
+        val p = RepetitionOps.profile(r.normalized_text)
+        val v = RepetitionOps.gopherFilter(p)
+        (r.url, p.nWords.toLong, p.dupLines.toLong, p.top2Count.toLong,
+          p.dup5Chars, v.keep, v.reasons.mkString("+"))
+      }.toDF("url", "n_words", "dup_lines", "top2_count", "dup5_chars",
+          "keep", "reasons")
+        .orderBy("url")
+    }),
+
     "media_features" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 2000)
@@ -1407,6 +1443,39 @@ object SparkEntry {
     "langid_fixture" -> TextFixtureQueries.langidOracle,
     "quality_fixture" -> TextFixtureQueries.qualityOracle,
     "fingerprint_fixture" -> TextFixtureQueries.fingerprintOracle,
+    "repetition_fixture" -> RepetitionFixture.fixtureOracle,
+
+    // Word-level repetition signals, reproduced exactly in DuckDB: words =
+    // regexp-split on \s+ of trimmed text; adjacent bigrams/trigrams via
+    // equal-length list_zip slices (no zip padding); stop words = the 8
+    // Gopher stop words; symbols counted with non-overlapping replace.
+    "doc_repetition" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws, text FROM documents), " +
+       "wc AS (SELECT doc_id, unnest(ws) AS word FROM w), " +
+       "wa AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct_words, " +
+       "sum(length(word)) AS word_chars, " +
+       "sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS alpha_words, " +
+       "count(DISTINCT CASE WHEN word IN ('the','be','to','of','and','that','have','with') THEN word END) AS stop_hits " +
+       "FROM wc WHERE word <> '' GROUP BY doc_id), " +
+       "tw AS (SELECT doc_id, max(c) AS top_word FROM (SELECT doc_id, word, count(*) AS c FROM wc WHERE word <> '' GROUP BY 1, 2) GROUP BY 1), " +
+       "b2 AS (SELECT doc_id, max(c) AS top2_count FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS c FROM " +
+       "(SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS p FROM w) GROUP BY 1, 2, 3) GROUP BY 1), " +
+       "b3 AS (SELECT doc_id, max(c) AS top3_count FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3, count(*) AS c FROM " +
+       "(SELECT doc_id, unnest(list_zip(ws[1:len(ws)-2], ws[2:len(ws)-1], ws[3:])) AS p FROM w) GROUP BY 1, 2, 3, 4) GROUP BY 1), " +
+       "sym AS (SELECT doc_id, length(text) - length(replace(text, '#', '')) AS n_hash, " +
+       "(length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis FROM documents) " +
+       "SELECT d.doc_id, CAST(coalesce(wa.n_words, 0) AS BIGINT) AS n_words, " +
+       "CAST(coalesce(wa.n_distinct_words, 0) AS BIGINT) AS n_distinct_words, " +
+       "CAST(coalesce(wa.word_chars, 0) AS BIGINT) AS word_chars, " +
+       "CAST(coalesce(tw.top_word, 0) AS BIGINT) AS top_word, " +
+       "CAST(coalesce(b2.top2_count, 0) AS BIGINT) AS top2_count, " +
+       "CAST(coalesce(b3.top3_count, 0) AS BIGINT) AS top3_count, " +
+       "CAST(coalesce(wa.alpha_words, 0) AS BIGINT) AS alpha_words, " +
+       "CAST(coalesce(wa.stop_hits, 0) AS BIGINT) AS stop_hits, " +
+       "CAST(sym.n_hash AS BIGINT) AS n_hash, CAST(sym.n_ellipsis AS BIGINT) AS n_ellipsis " +
+       "FROM documents d LEFT JOIN wa USING (doc_id) LEFT JOIN tw USING (doc_id) " +
+       "LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id) JOIN sym USING (doc_id) " +
+       "ORDER BY doc_id"),
     "links_fixture" -> ExtractorFixtureQueries.linksOracle,
     "jsonld_fixture" -> ExtractorFixtureQueries.jsonldOracle,
     "http_presets_fixture" -> graft.embed.PresetFixtureQueries.httpPresetsOracle,
