@@ -817,6 +817,21 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Cross-document paragraph dedup (CCNet/RefinedWeb-style boilerplate
+    // removal, ops/ParaDedup): planted-df fixture vs transcribed VALUES
+    // oracle; corpus pass over the extracted pages' normalized text
+    // (rows-only — blocks are joined with blank lines by normalizeText, so
+    // the paragraph split is the block structure).
+    "para_dedup_fixture" -> ((s, dir) => ParaDedupFixture.fixtureDf(s)),
+
+    "para_dedup_pages" -> ((s, dir) => {
+      graft.ops.ParaDedup.dedupParagraphs(
+          extracted(s, dir).toDF(), "url", "normalized_text", minDocFreq = 5)
+        .select(col("id").as("url"), length(col("text_deduped")).as("n_chars"),
+          col("paras_total"), col("paras_removed"), col("chars_removed"))
+        .orderBy("url")
+    }),
+
     "media_features" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 2000)
@@ -1444,6 +1459,7 @@ object SparkEntry {
     "quality_fixture" -> TextFixtureQueries.qualityOracle,
     "fingerprint_fixture" -> TextFixtureQueries.fingerprintOracle,
     "repetition_fixture" -> RepetitionFixture.fixtureOracle,
+    "para_dedup_fixture" -> ParaDedupFixture.fixtureOracle,
 
     // Word-level repetition signals, reproduced exactly in DuckDB: words =
     // regexp-split on \s+ of trimmed text; adjacent bigrams/trigrams via
