@@ -832,6 +832,45 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Crawl-delta / revisit detection (ops/CrawlDelta — CDX revisit
+    // semantics). Both queries plant deterministic mutation rules over the
+    // documents table that the DuckDB oracle reproduces verbatim, so the
+    // join/window SEMANTICS are cross-engine-checked at corpus scale, not
+    // transcribed: snapshot diff (removed: id%13, changed: id%7, added:
+    // id%11 under shifted urls) and a 3-fetch history (changed at seq 2
+    // for odd ids, at seq 3 for id%3=0).
+    "doc_crawl_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = expr("substring(sha2(text, 256), 1, 32)")
+      val prevSnap = d.select(col("doc_id").cast("string").as("url"), h.as("hash"))
+      val currBase = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").cast("string").as("url"),
+          when(col("doc_id") % 7 === 0,
+            expr("substring(sha2(concat(text, 'v2'), 256), 1, 32)"))
+            .otherwise(h).as("hash"))
+      val currAdded = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000).cast("string").as("url"),
+          expr("substring(sha2(concat(text, 'new'), 256), 1, 32)").as("hash"))
+      graft.ops.CrawlDelta.diff(prevSnap, currBase.union(currAdded))
+        .orderBy("url")
+    }),
+
+    "doc_fetch_history" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h0 = expr("substring(sha2(text, 256), 1, 32)")
+      val h2 = when(col("doc_id") % 2 === 0, h0)
+        .otherwise(expr("substring(sha2(concat(text, 'v2'), 256), 1, 32)"))
+      val h3 = when(col("doc_id") % 3 === 0,
+          expr("substring(sha2(concat(text, 'v3'), 256), 1, 32)"))
+        .otherwise(h2)
+      val hist =
+        d.select(col("doc_id").cast("string").as("url"), lit(1L).as("fetch_seq"), h0.as("hash"))
+          .union(d.select(col("doc_id").cast("string"), lit(2L), h2))
+          .union(d.select(col("doc_id").cast("string"), lit(3L), h3))
+      graft.ops.CrawlDelta.fetchHistory(hist)
+        .orderBy("url", "fetch_seq")
+    }),
+
     "media_features" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 2000)
@@ -1460,6 +1499,36 @@ object SparkEntry {
     "fingerprint_fixture" -> TextFixtureQueries.fingerprintOracle,
     "repetition_fixture" -> RepetitionFixture.fixtureOracle,
     "para_dedup_fixture" -> ParaDedupFixture.fixtureOracle,
+
+    // Same planted mutation rules as the Spark side — the oracle
+    // reproduces the snapshot construction AND the diff/window semantics,
+    // so the check is cross-engine, not transcribed.
+    "doc_crawl_delta" ->
+      ("WITH prev AS (SELECT CAST(doc_id AS VARCHAR) AS url, substr(sha256(text), 1, 32) AS prev_hash FROM documents), " +
+       "curr AS (SELECT CAST(doc_id AS VARCHAR) AS url, " +
+       "CASE WHEN doc_id % 7 = 0 THEN substr(sha256(text || 'v2'), 1, 32) ELSE substr(sha256(text), 1, 32) END AS curr_hash " +
+       "FROM documents WHERE doc_id % 13 <> 0 " +
+       "UNION ALL SELECT CAST(doc_id + 1000000 AS VARCHAR) AS url, substr(sha256(text || 'new'), 1, 32) AS curr_hash " +
+       "FROM documents WHERE doc_id % 11 = 0) " +
+       "SELECT url, prev_hash, curr_hash, " +
+       "CASE WHEN prev_hash IS NULL THEN 'added' WHEN curr_hash IS NULL THEN 'removed' " +
+       "WHEN prev_hash = curr_hash THEN 'unchanged' ELSE 'changed' END AS status " +
+       "FROM prev FULL OUTER JOIN curr USING (url) ORDER BY url"),
+
+    "doc_fetch_history" ->
+      ("WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS url, 1 AS fetch_seq, substr(sha256(text), 1, 32) AS hash FROM documents " +
+       "UNION ALL SELECT CAST(doc_id AS VARCHAR) AS url, 2 AS fetch_seq, " +
+       "CASE WHEN doc_id % 2 = 0 THEN substr(sha256(text), 1, 32) ELSE substr(sha256(text || 'v2'), 1, 32) END AS hash FROM documents " +
+       "UNION ALL SELECT CAST(doc_id AS VARCHAR) AS url, 3 AS fetch_seq, " +
+       "CASE WHEN doc_id % 3 = 0 THEN substr(sha256(text || 'v3'), 1, 32) " +
+       "WHEN doc_id % 2 = 0 THEN substr(sha256(text), 1, 32) " +
+       "ELSE substr(sha256(text || 'v2'), 1, 32) END AS hash FROM documents), " +
+       "lagged AS (SELECT url, CAST(fetch_seq AS BIGINT) AS fetch_seq, hash, " +
+       "lag(hash) OVER (PARTITION BY url ORDER BY fetch_seq) AS prev_hash FROM h) " +
+       "SELECT url, fetch_seq, hash, prev_hash, " +
+       "CASE WHEN prev_hash IS NULL THEN 'new' WHEN prev_hash = hash THEN 'revisit' ELSE 'changed' END AS status, " +
+       "(CASE WHEN prev_hash IS NULL THEN 'new' WHEN prev_hash = hash THEN 'revisit' ELSE 'changed' END) <> 'revisit' AS stored " +
+       "FROM lagged ORDER BY url, fetch_seq"),
 
     // Word-level repetition signals, reproduced exactly in DuckDB: words =
     // regexp-split on \s+ of trimmed text; adjacent bigrams/trigrams via
