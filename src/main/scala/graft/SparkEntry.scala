@@ -871,6 +871,28 @@ object SparkEntry {
         .orderBy("url", "fetch_seq")
     }),
 
+    // Corpus census: the per-(lang, source) aggregate a training-mix
+    // curator reads first — doc counts, char mass, exact-dup profile.
+    // Plain hash-agg (map-side combine); scale-safe at any corpus size.
+    "doc_corpus_stats" -> ((s, dir) => docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        countDistinct(expr("substring(sha2(text, 256), 1, 32)")).as("n_distinct_texts"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")),
+
+    // Content-hash Bernoulli sampling: a doc is kept iff the first hex
+    // nibble of sha256(text) falls in the stratum's accept set (en ≈ 25%,
+    // others ≈ 6.25%) — reproducible subsets with no RNG state, the same
+    // row set on any cluster size, and a DuckDB-reproducible rule.
+    "doc_sample" -> ((s, dir) => docs(s, dir)
+      .withColumn("nib", expr("substring(sha2(text, 256), 1, 1)"))
+      .filter((col("lang") === "en" && col("nib").isin("0", "1", "2", "3")) ||
+        (col("lang") =!= "en" && col("nib") === "0"))
+      .select(col("doc_id"), col("lang"), col("nib"))
+      .orderBy("doc_id")),
+
     "media_features" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 2000)
@@ -1529,6 +1551,17 @@ object SparkEntry {
        "CASE WHEN prev_hash IS NULL THEN 'new' WHEN prev_hash = hash THEN 'revisit' ELSE 'changed' END AS status, " +
        "(CASE WHEN prev_hash IS NULL THEN 'new' WHEN prev_hash = hash THEN 'revisit' ELSE 'changed' END) <> 'revisit' AS stored " +
        "FROM lagged ORDER BY url, fetch_seq"),
+
+    "doc_corpus_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+       "count(DISTINCT substr(sha256(text), 1, 32)) AS n_distinct_texts, " +
+       "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+       "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+
+    "doc_sample" ->
+      ("SELECT doc_id, lang, substr(sha256(text), 1, 1) AS nib FROM documents " +
+       "WHERE (lang = 'en' AND substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')) " +
+       "OR (lang <> 'en' AND substr(sha256(text), 1, 1) = '0') ORDER BY doc_id"),
 
     // Word-level repetition signals, reproduced exactly in DuckDB: words =
     // regexp-split on \s+ of trimmed text; adjacent bigrams/trigrams via
