@@ -88,7 +88,11 @@ object RepetitionOps {
     val nWords = words.length
     var wordChars = 0L
     var alphaWords = 0
-    val wordCounts = new mutable.HashMap[String, Int]()
+    // word -> dense int id; counts indexed by id (the id sequence also
+    // backs the allocation-free n-gram hashing below)
+    val wordIdOf = new mutable.HashMap[String, Int]()
+    val ids = new Array[Int](nWords)
+    val idCounts = new mutable.ArrayBuffer[Int]()
     var i = 0
     while (i < nWords) {
       val w = words(i)
@@ -101,11 +105,13 @@ object RepetitionOps {
         j += 1
       }
       if (hasAlpha) alphaWords += 1
-      wordCounts.update(w, wordCounts.getOrElse(w, 0) + 1)
+      val id = wordIdOf.getOrElseUpdate(w, { idCounts += 0; idCounts.length - 1 })
+      idCounts(id) += 1
+      ids(i) = id
       i += 1
     }
-    val topWordCount = if (wordCounts.isEmpty) 0 else wordCounts.valuesIterator.max
-    val stopHits = StopWords.count(wordCounts.contains)
+    val topWordCount = if (idCounts.isEmpty) 0 else idCounts.max
+    val stopHits = StopWords.count(wordIdOf.contains)
 
     // prefix word-length sums so gram char-lengths are O(1)
     val prefix = new Array[Long](nWords + 1)
@@ -113,28 +119,65 @@ object RepetitionOps {
     while (i < nWords) { prefix(i + 1) = prefix(i) + words(i).length; i += 1 }
     @inline def gramChars(start: Int, n: Int): Long = prefix(start + n) - prefix(start)
 
-    // top-n-gram stats (n = 2, 3, 4): occurrences of the most frequent
-    // gram, and max occurrences × gram chars
-    def topGram(n: Int): (Int, Long) = {
-      if (nWords < n) return (0, 0L)
-      val counts = new mutable.HashMap[String, (Int, Int)]() // gram -> (count, firstStart)
+    // Exact repeated n-grams in two allocation-lean phases (the naive
+    // string-key-per-window version dominated the corpus-pass cost): phase
+    // 1 counts a 64-bit FNV-style hash of the id window in a primitive
+    // LongMap; phase 2 revisits only windows whose hash repeats and groups
+    // them by EXACT id-sequence equality (each start compared against the
+    // few distinct grams in its hash bucket), so hash collisions cost
+    // work, never correctness. Returns the groups (window-start lists) of
+    // size >= 2.
+    @inline def gramHash(s: Int, n: Int): Long = {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var k = s
+      while (k < s + n) { h = (h ^ ids(k)) * 1099511628211L; k += 1 }
+      h
+    }
+    @inline def sameGram(a: Int, b: Int, n: Int): Boolean = {
+      var k = 0
+      while (k < n && ids(a + k) == ids(b + k)) k += 1
+      k == n
+    }
+    def repeatedGroups(n: Int): mutable.ArrayBuffer[mutable.ArrayBuffer[Int]] = {
+      val out = new mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]()
+      if (nWords < n) return out
+      val hashCounts = new mutable.LongMap[Int]()
       var s = 0
       while (s + n <= nWords) {
-        val key = words.slice(s, s + n).mkString("\u0001")
-        counts.get(key) match {
-          case Some((c, fs)) => counts.update(key, (c + 1, fs))
-          case None          => counts.update(key, (1, s))
+        val h = gramHash(s, n)
+        hashCounts.put(h, hashCounts.getOrElse(h, 0) + 1)
+        s += 1
+      }
+      // groups keyed by hash bucket; within a bucket, one entry per
+      // distinct exact gram (first-start representative)
+      val buckets = new mutable.LongMap[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]()
+      s = 0
+      while (s + n <= nWords) {
+        val h = gramHash(s, n)
+        if (hashCounts(h) > 1) {
+          val groups = buckets.getOrElseUpdate(h, new mutable.ArrayBuffer[mutable.ArrayBuffer[Int]](1))
+          var g = 0
+          while (g < groups.length && !sameGram(groups(g).head, s, n)) g += 1
+          if (g < groups.length) groups(g) += s
+          else { val nb = new mutable.ArrayBuffer[Int](2); nb += s; groups += nb }
         }
         s += 1
       }
-      var bestCount = 0
+      buckets.valuesIterator.foreach(_.foreach(g => if (g.length > 1) out += g))
+      out
+    }
+
+    // top-n-gram stats (n = 2, 3, 4): occurrences of the most frequent
+    // gram (1 when nothing repeats but windows exist), and max over
+    // repeated grams of occurrences x gram chars
+    def topGram(n: Int): (Int, Long) = {
+      if (nWords < n) return (0, 0L)
+      var bestCount = 1
       var bestChars = 0L
-      counts.foreach { case (_, (c, fs)) =>
-        if (c > bestCount) bestCount = c
-        if (c > 1) { // repetition coverage: single-occurrence grams don't count
-          val covered = c.toLong * gramChars(fs, n)
-          if (covered > bestChars) bestChars = covered
-        }
+      repeatedGroups(n).foreach { g =>
+        if (g.length > bestCount) bestCount = g.length
+        val covered = g.length.toLong * gramChars(g.head, n)
+        if (covered > bestChars) bestChars = covered
       }
       (bestCount, bestChars)
     }
@@ -147,16 +190,9 @@ object RepetitionOps {
     // count across overlapping repeats)
     def dupGramChars(n: Int): Long = {
       if (nWords < n) return 0L
-      val starts = new mutable.HashMap[String, mutable.ArrayBuffer[Int]]()
-      var s = 0
-      while (s + n <= nWords) {
-        val key = words.slice(s, s + n).mkString("\u0001")
-        starts.getOrElseUpdate(key, new mutable.ArrayBuffer[Int]()) += s
-        s += 1
-      }
       val marked = new Array[Boolean](nWords)
-      starts.valuesIterator.foreach { occ =>
-        if (occ.length > 1) occ.foreach { st =>
+      repeatedGroups(n).foreach { g =>
+        g.foreach { st =>
           var k = st
           while (k < st + n) { marked(k) = true; k += 1 }
         }
@@ -202,7 +238,7 @@ object RepetitionOps {
     }
 
     Profile(
-      nWords, wordCounts.size, wordChars, topWordCount,
+      nWords, wordIdOf.size, wordChars, topWordCount,
       top2Count, top3Count, top4Count, top2Chars, top3Chars, top4Chars,
       dupChars(0), dupChars(1), dupChars(2), dupChars(3), dupChars(4), dupChars(5),
       nLines, dupLines, lineChars, dupLineChars,
