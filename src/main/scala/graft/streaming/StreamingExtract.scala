@@ -46,6 +46,23 @@ object StreamingExtract {
       .mapPartitions(_.map(p => ExtractJob.scrapeAny(p.url, p.html)))
   }
 
+  /** Extraction + Gopher/C4 quality gate in one stream: the verdict
+    * ([[graft.ops.RepetitionOps.gopherFilter]]) is a pure per-row function
+    * of the extracted normalized text, so the gate composes into the
+    * micro-batch plan as a narrow map — no state, no watermark, identical
+    * verdicts to the batch pass (StreamingSpec pins the parity). */
+  def qualityGateStream(spark: SparkSession, inputDir: String,
+                        maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    extractStream(spark, inputDir, maxFilesPerTrigger)
+      .map { r =>
+        val v = graft.ops.RepetitionOps.gopherFilter(
+          graft.ops.RepetitionOps.profile(r.normalized_text))
+        (r.url, r.status, v.keep, v.reasons.mkString("+"))
+      }
+      .toDF("url", "status", "keep", "reasons")
+  }
+
   /** Stateful monitor: pages per host per 1-minute window, watermarked so
     * state is bounded (late data beyond 5 minutes dropped). */
   def hostRateStream(spark: SparkSession, inputDir: String): DataFrame = {

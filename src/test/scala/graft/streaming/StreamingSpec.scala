@@ -255,4 +255,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.sameElements(batch))
     } finally q.stop()
   }
+
+  test("quality-gate stream verdicts equal the batch pass over the same pages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+    val sp0 = spark
+    import sp0.implicits._
+    // plant one bigram-spam page so the corpus spans keep and reject
+    val spamHtml = ("<html><body><p>" + ("data flow " * 200).trim +
+      "</p></body></html>").getBytes("UTF-8")
+    val spam = graft.pipeline.PageRow("https://spam.example.com/loop",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), spamHtml, "", "en")
+    PagesGen.generate(spark, 30).union(spark.createDataset(Seq(spam)))
+      .repartition(3).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.qualityGateStream(spark, dir, maxFilesPerTrigger = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT url, keep, reasons FROM quality_out").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+
+    val batch = {
+      val sp = spark
+      import sp.implicits._
+      spark.read.parquet(dir).as[graft.pipeline.PageRow].collect()
+        .map(p => graft.pipeline.ExtractJob.scrapeAny(p.url, p.html))
+        .map { r =>
+          val v = graft.ops.RepetitionOps.gopherFilter(
+            graft.ops.RepetitionOps.profile(r.normalized_text))
+          (r.url, v.keep, v.reasons.mkString("+"))
+        }.toSet
+    }
+    assert(streamed.size == 31)
+    assert(streamed == batch)
+    // the synthetic corpus spans both outcomes, so the parity is non-trivial
+    assert(streamed.exists(_._2) && streamed.exists(!_._2))
+  }
 }
