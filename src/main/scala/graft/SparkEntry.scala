@@ -832,6 +832,19 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // The COMPOSED curation pipeline (pipeline/Curate): para-dedup →
+    // quality gate on cleaned text → exact dedup → LSH near-dup survivors,
+    // emitting a per-document disposition ledger. Fixture: every stage
+    // fires on planted structure vs a transcribed VALUES oracle; corpus
+    // pass: the same composition over the extracted pages (rows-only).
+    "curation_fixture" -> ((s, dir) => CurateFixture.fixtureDf(s)),
+
+    "curation_pages" -> ((s, dir) => {
+      Curate.curate(extracted(s, dir).toDF(), "url", "normalized_text",
+          Curate.Config(paraMinDocFreq = 5))
+        .orderBy("id")
+    }),
+
     // Crawl-delta / revisit detection (ops/CrawlDelta — CDX revisit
     // semantics). Both queries plant deterministic mutation rules over the
     // documents table that the DuckDB oracle reproduces verbatim, so the
@@ -1521,6 +1534,7 @@ object SparkEntry {
     "fingerprint_fixture" -> TextFixtureQueries.fingerprintOracle,
     "repetition_fixture" -> RepetitionFixture.fixtureOracle,
     "para_dedup_fixture" -> ParaDedupFixture.fixtureOracle,
+    "curation_fixture" -> CurateFixture.fixtureOracle,
 
     // Same planted mutation rules as the Spark side — the oracle
     // reproduces the snapshot construction AND the diff/window semantics,

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, ParaDedup, RepetitionOps, TextOps}
+
+/**
+ * The composed curation pipeline a training-data run executes between
+ * extraction and tokenization, in the published stage order (CCNet /
+ * Gopher / RefinedWeb): cross-document boilerplate-paragraph removal →
+ * Gopher/C4 quality gate on the CLEANED text (order matters: boilerplate
+ * would otherwise trip the repetition rules) → exact dedup by content
+ * hash → MinHash-LSH near-dup with exact-Jaccard verification and
+ * connected-component survivor selection.
+ *
+ * Output is a per-document LEDGER, not just the survivor set: every input
+ * id gets exactly one row `(id, kept, stage, reason, paras_removed)` where
+ * `stage` ∈ {"", quality, exact_dup, near_dup} and `reason` carries the
+ * filter reasons (quality) or the surviving representative's id (dedup
+ * stages) — the lineage a curator needs to audit why any document died.
+ *
+ * Scale shape, stage by stage: ParaDedup (one hash-agg + broadcast mark
+ * join + id regroup), quality (narrow map), exact dedup (hash-agg keyed by
+ * content hash), near-dup (the same banded-LSH chain the dedup_survivors
+ * oracle gates: payload-free band self-join with mega-bucket suppression,
+ * estimate prefilter, exact verify only on candidates, O(log d)
+ * pointer-jumping CC on id-only relations). No stage collects to the
+ * driver; every join is an equi-join AQE can broadcast or shuffle.
+ */
+object Curate {
+
+  final case class Config(
+      paraMinDocFreq: Int = 3,
+      thresholds: RepetitionOps.Thresholds = RepetitionOps.Thresholds(),
+      nearDup: Boolean = true,
+      shingleN: Int = 3,
+      minhashK: Int = 64,
+      bandSize: Int = 4,
+      estFloor: Double = 0.55,
+      jaccardThreshold: Double = 0.8)
+
+  /** Run the ledger pipeline over `(idCol, textCol)` rows. */
+  def curate(input: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    // stage 1: cross-document boilerplate-paragraph removal
+    val cleaned = ParaDedup.dedupParagraphs(input, idCol, textCol, cfg.paraMinDocFreq)
+
+    // stage 2: quality verdict on the cleaned text
+    val judged = cleaned.select(col("id"), col("text_deduped"), col("paras_removed"))
+      .as[(String, String, Long)]
+      .map { case (id, text, pr) =>
+        val v = RepetitionOps.gopherFilter(RepetitionOps.profile(text), cfg.thresholds)
+        (id, text, pr, v.keep, v.reasons.mkString("+"))
+      }
+      .toDF("id", "text", "paras_removed", "q_keep", "q_reasons")
+    val qualityDrops = judged.filter(!col("q_keep"))
+      .select(col("id"), lit("quality").as("stage"), col("q_reasons").as("reason"))
+
+    // stage 3: exact dedup by content hash (minimum id survives)
+    val hashed = judged.filter(col("q_keep"))
+      .withColumn("hash", expr("substring(sha2(text, 256), 1, 32)"))
+    val keepers = hashed.groupBy("hash").agg(min(col("id")).as("keeper"))
+    val withKeeper = hashed.join(keepers, "hash")
+    val exactDrops = withKeeper.filter(col("id") =!= col("keeper"))
+      .select(col("id"), lit("exact_dup").as("stage"), col("keeper").as("reason"))
+    val uniq = withKeeper.filter(col("id") === col("keeper")).select("id", "text")
+
+    // stage 4: near-dup survivors (banded LSH → estimate prefilter →
+    // exact Jaccard verify → CC min-label)
+    val nearDrops: DataFrame =
+      if (!cfg.nearDup) spark.emptyDataset[(String, String, String)]
+        .toDF("id", "stage", "reason")
+      else {
+        val sigs = uniq.as[(String, String)].map { case (id, t) =>
+          val sh = TextOps.shingles(t, cfg.shingleN)
+          (id, TextOps.shingleHashes(sh), TextOps.minHash(sh, cfg.minhashK))
+        }.toDF("id", "sh", "sig")
+        val bands = sigs.select("id", "sig").as[(String, Array[Long])]
+          .flatMap { case (id, sig) =>
+            TextOps.lshBands(sig, cfg.bandSize).zipWithIndex
+              .map { case (b, i) => (id, i, b) }
+          }.toDF("id", "band_idx", "band_key")
+        val cands = DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "id")
+        val sigCols = sigs.select(col("id"), col("sh"), col("sig"))
+        val verified = cands
+          .join(sigCols.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigCols.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
+          .select("id_a", "id_b", "sh_a", "sig_a", "sh_b", "sig_b")
+          .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long])]
+          .flatMap { case (a, b, sha, siga, shb, sigb) =>
+            if (TextOps.minHashSimilarity(siga, sigb) < cfg.estFloor) None
+            else if (TextOps.jaccardSorted(sha, shb) < cfg.jaccardThreshold) None
+            else Some((a, b))
+          }.toDF("id_a", "id_b")
+        DedupOps.clusterRepresentatives(verified)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").cast("string").as("id"),
+            lit("near_dup").as("stage"), col("label").cast("string").as("reason"))
+      }
+
+    // ledger: one row per input id
+    val drops = qualityDrops.union(exactDrops).union(nearDrops)
+    judged.select(col("id"), col("paras_removed"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), col("stage").isNull.as("kept"),
+        coalesce(col("stage"), lit("")).as("stage"),
+        coalesce(col("reason"), lit("")).as("reason"),
+        col("paras_removed"))
+  }
+}
