@@ -223,5 +223,16 @@ object GraftExtensions {
       (text: String) => graft.embed.Embed.redactPii(if (text == null) "" else text).text)
     spark.udf.register("normalize_url",
       (url: String) => graft.urlx.UrlOps.normalizeUrl(if (url == null) "" else url))
+    // Gopher/C4 corpus-filter verdict as ONE struct so SQL users pay one
+    // profile pass for both fields: quality_verdict(text).keep /.reasons
+    spark.udf.register("quality_verdict",
+      (text: String) => {
+        val v = graft.ops.RepetitionOps.gopherFilter(
+          graft.ops.RepetitionOps.profile(if (text == null) "" else text))
+        SqlQualityVerdict(v.keep, v.reasons.mkString("+"))
+      })
   }
 }
+
+/** SQL-surface row shape for `quality_verdict` (struct<keep, reasons>). */
+final case class SqlQualityVerdict(keep: Boolean, reasons: String)

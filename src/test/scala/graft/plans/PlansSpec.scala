@@ -170,4 +170,17 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(4) == "mail me at [REDACTED] now")
     assert(row.getString(5) == "https://example.com/x?k=1")
   }
+
+  test("quality_verdict struct UDF gates spam and passes clean text from SQL") {
+    GraftExtensions.register(spark)
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") + " the and"
+    val rows = spark.sql(
+      s"""SELECT id, quality_verdict(t).keep AS keep, quality_verdict(t).reasons AS reasons
+         |FROM VALUES ('clean', '$clean'), ('spam', repeat('click here ', 40)) AS v(id, t)
+         |ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getString(0) == "clean" && rows(0).getBoolean(1)
+      && rows(0).getString(2) == "")
+    assert(rows(1).getString(0) == "spam" && !rows(1).getBoolean(1)
+      && rows(1).getString(2).contains("top_2gram"))
+  }
 }
