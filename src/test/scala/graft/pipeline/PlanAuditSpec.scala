@@ -151,4 +151,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // HashAggregate appears twice: partial before the exchange, final after
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
   }
+
+  test("curation ledger plan: equi-joins only, partial aggs, no cartesian (round 6)") {
+    val s = spark
+    import s.implicits._
+    val input = (0 until 60).map(i =>
+      (s"d$i", s"alpha $i beta\n\nshared boilerplate line\n\ngamma $i delta"))
+      .toDF("doc", "body")
+    val p = plan(Curate.curate(input, "doc", "body"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in curation plan:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in curation plan:\n${p.take(3000)}")
+    // para df-agg and exact-dup keeper agg both partial-aggregate
+    assert("HashAggregate".r.findAllIn(p).length >= 4, s"missing partial aggs:\n${p.take(3000)}")
+  }
+
+  test("frontier plan: robots gate is an equi-join; seen set anti-joins (round 6)") {
+    val s = spark
+    import s.implicits._
+    val blobs = Seq(("https://x.example.com/sm.xml",
+      "<urlset><url><loc>https://x.example.com/a</loc></url></urlset>".getBytes("UTF-8")))
+      .toDF("sitemap_url", "body")
+    val robots = Seq(("x.example.com", "User-agent: *\nDisallow: /private/")).toDF("host", "robots_txt")
+    val seen = Seq("https://x.example.com/old").toDF("url")
+    val p = plan(Frontier.fromSitemaps(spark, blobs, robots, seen))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frontier plan degraded:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"seen set must anti-join:\n${p.take(3000)}")
+  }
 }
