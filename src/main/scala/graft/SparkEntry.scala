@@ -884,6 +884,22 @@ object SparkEntry {
         .orderBy("url", "fetch_seq")
     }),
 
+    // Train/test decontamination (ops/Decontaminate — the published
+    // n-gram-overlap rule): benchmark set = doc_id % 17 == 0, training
+    // side = the rest, 5-word grams (the word-soup vocabulary makes
+    // 5-gram cross-doc overlap genuinely present). Cross-engine semantic
+    // oracle: DuckDB rebuilds the same gram relation with list_zip and
+    // runs the overlap join itself.
+    "doc_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 17 === 0)
+      val train = d.filter(col("doc_id") % 17 =!= 0)
+      graft.ops.Decontaminate.flag(train, bench, "doc_id", "text", "text", n = 5)
+        .select(col("id").cast("long").as("doc_id"),
+          col("shared_grams"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus census: the per-(lang, source) aggregate a training-mix
     // curator reads first — doc counts, char mass, exact-dup profile.
     // Plain hash-agg (map-side combine); scale-safe at any corpus size.
@@ -1565,6 +1581,18 @@ object SparkEntry {
        "CASE WHEN prev_hash IS NULL THEN 'new' WHEN prev_hash = hash THEN 'revisit' ELSE 'changed' END AS status, " +
        "(CASE WHEN prev_hash IS NULL THEN 'new' WHEN prev_hash = hash THEN 'revisit' ELSE 'changed' END) <> 'revisit' AS stored " +
        "FROM lagged ORDER BY url, fetch_seq"),
+
+    "doc_decontaminate" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+       "g AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4] || ' ' || p[5] AS gram " +
+       "FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-4], ws[2:len(ws)-3], ws[3:len(ws)-2], ws[4:len(ws)-1], ws[5:])) AS p " +
+       "FROM w WHERE len(ws) >= 5)), " +
+       "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0), " +
+       "sh AS (SELECT g.doc_id, count(DISTINCT g.gram) AS shared_grams FROM g JOIN bg USING (gram) " +
+       "WHERE g.doc_id % 17 <> 0 GROUP BY 1) " +
+       "SELECT d.doc_id, CAST(coalesce(sh.shared_grams, 0) AS BIGINT) AS shared_grams, " +
+       "coalesce(sh.shared_grams, 0) > 0 AS contaminated " +
+       "FROM documents d LEFT JOIN sh USING (doc_id) WHERE d.doc_id % 17 <> 0 ORDER BY doc_id"),
 
     "doc_corpus_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
