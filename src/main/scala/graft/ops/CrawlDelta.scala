@@ -20,7 +20,13 @@ object CrawlDelta {
 
   /** Diff two crawl snapshots `(url, hash)` → one row per url in either
     * snapshot with `status` added | removed | changed | unchanged and both
-    * hashes (null on the missing side). */
+    * hashes (null on the missing side).
+    *
+    * Precondition: each snapshot carries AT MOST ONE row per url (a
+    * snapshot is by definition one capture per url) — duplicate urls
+    * would multiply through the full-outer join. A multi-capture table
+    * is [[fetchHistory]]'s input, not this one's; reduce it to a
+    * snapshot first (e.g. max fetch_seq per url). */
   def diff(prev: DataFrame, curr: DataFrame,
            keyCol: String = "url", hashCol: String = "hash"): DataFrame = {
     val p = prev.select(col(keyCol).cast("string").as("url"),
@@ -39,7 +45,8 @@ object CrawlDelta {
     * `new` (first capture of the url), `revisit` (hash equals the previous
     * capture's — the CDX revisit case; `stored=false`), `changed`
     * (differs; stored). `fetch_seq` is any totally-ordered capture key
-    * (timestamp, crawl id). */
+    * (timestamp, crawl id) — unique per url, or the lag order (and thus
+    * the classification of the tied captures) is not deterministic. */
   def fetchHistory(history: DataFrame,
                    urlCol: String = "url", seqCol: String = "fetch_seq",
                    hashCol: String = "hash"): DataFrame = {

@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
  */
 object Decontaminate {
 
-  /** `(id, shared_grams, contaminated)` for every row of `train`. */
+  /** `(id, shared_grams, contaminated)` for every row of `train`.
+    * `broadcastBench=false` drops the broadcast hint for an unusually
+    * large benchmark set (a forced broadcast would pressure the driver);
+    * the overlap join then shuffles on the gram key instead — same
+    * result, still an equi-join. */
   def flag(train: DataFrame, bench: DataFrame,
            idCol: String, textCol: String, benchTextCol: String,
-           n: Int = 8): DataFrame = {
+           n: Int = 8, broadcastBench: Boolean = true): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
 
@@ -50,7 +54,8 @@ object Decontaminate {
       .toDF("id", "gram")
       .distinct()
 
-    val shared = trainGrams.join(broadcast(benchGrams), Seq("gram"))
+    val benchSide = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val shared = trainGrams.join(benchSide, Seq("gram"))
       .groupBy("id").agg(count(lit(1)).as("shared_grams"))
 
     train.select(col(idCol).cast("string").as("id"))
