@@ -797,11 +797,11 @@ object SparkEntry {
           (id, p.nWords.toLong, p.nDistinctWords.toLong, p.wordChars,
             p.topWordCount.toLong, p.top2Count.toLong, p.top3Count.toLong,
             p.alphaWords.toLong, p.stopHits.toLong, p.nHash.toLong,
-            p.nEllipsis.toLong)
+            p.nEllipsis.toLong, p.truncated)
         }
         .toDF("doc_id", "n_words", "n_distinct_words", "word_chars",
           "top_word", "top2_count", "top3_count", "alpha_words",
-          "stop_hits", "n_hash", "n_ellipsis")
+          "stop_hits", "n_hash", "n_ellipsis", "truncated")
         .orderBy("doc_id")
     }),
 
@@ -1606,11 +1606,15 @@ object SparkEntry {
        "OR (lang <> 'en' AND substr(sha256(text), 1, 1) = '0') ORDER BY doc_id"),
 
     // Word-level repetition signals, reproduced exactly in DuckDB: words =
-    // regexp-split on \s+ of trimmed text; adjacent bigrams/trigrams via
-    // equal-length list_zip slices (no zip padding); stop words = the 8
-    // Gopher stop words; symbols counted with non-overlapping replace.
+    // regexp-split on \s+ of trimmed text, sliced to the SAME
+    // MaxProfileWords prefix the Scala profiler bounds itself to (DuckDB
+    // slices clamp at list end, so the slice is a no-op below the cap);
+    // adjacent bigrams/trigrams via equal-length list_zip slices (no zip
+    // padding); stop words = the 8 Gopher stop words; symbols counted
+    // with non-overlapping replace.
     "doc_repetition" ->
-      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws, text FROM documents), " +
+      ("WITH w AS (SELECT doc_id, (regexp_split_to_array(trim(text), '\\s+'))[1:200000] AS ws, " +
+       "len(regexp_split_to_array(trim(text), '\\s+')) > 200000 AS truncated, text FROM documents), " +
        "wc AS (SELECT doc_id, unnest(ws) AS word FROM w), " +
        "wa AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct_words, " +
        "sum(length(word)) AS word_chars, " +
@@ -1632,9 +1636,11 @@ object SparkEntry {
        "CAST(coalesce(b3.top3_count, 0) AS BIGINT) AS top3_count, " +
        "CAST(coalesce(wa.alpha_words, 0) AS BIGINT) AS alpha_words, " +
        "CAST(coalesce(wa.stop_hits, 0) AS BIGINT) AS stop_hits, " +
-       "CAST(sym.n_hash AS BIGINT) AS n_hash, CAST(sym.n_ellipsis AS BIGINT) AS n_ellipsis " +
+       "CAST(sym.n_hash AS BIGINT) AS n_hash, CAST(sym.n_ellipsis AS BIGINT) AS n_ellipsis, " +
+       "w.truncated " +
        "FROM documents d LEFT JOIN wa USING (doc_id) LEFT JOIN tw USING (doc_id) " +
        "LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id) JOIN sym USING (doc_id) " +
+       "JOIN w USING (doc_id) " +
        "ORDER BY doc_id"),
     "links_fixture" -> ExtractorFixtureQueries.linksOracle,
     "jsonld_fixture" -> ExtractorFixtureQueries.jsonldOracle,

@@ -29,16 +29,19 @@ object CrawlDelta {
     * snapshot first (e.g. max fetch_seq per url). */
   def diff(prev: DataFrame, curr: DataFrame,
            keyCol: String = "url", hashCol: String = "hash"): DataFrame = {
+    // presence is decided by join-side markers, not hash nullability — a
+    // captured-but-hashless row (fetch failed) must still count as present
     val p = prev.select(col(keyCol).cast("string").as("url"),
-      col(hashCol).as("prev_hash"))
+      col(hashCol).as("prev_hash"), lit(true).as("in_prev"))
     val c = curr.select(col(keyCol).cast("string").as("url"),
-      col(hashCol).as("curr_hash"))
+      col(hashCol).as("curr_hash"), lit(true).as("in_curr"))
     p.join(c, Seq("url"), "full_outer")
       .withColumn("status",
-        when(col("prev_hash").isNull, "added")
-          .when(col("curr_hash").isNull, "removed")
-          .when(col("prev_hash") === col("curr_hash"), "unchanged")
+        when(col("in_prev").isNull, "added")
+          .when(col("in_curr").isNull, "removed")
+          .when(col("prev_hash") <=> col("curr_hash"), "unchanged")
           .otherwise("changed"))
+      .select("url", "prev_hash", "curr_hash", "status")
   }
 
   /** Classify each fetch of a `(url, fetch_seq, hash)` history:
@@ -54,9 +57,11 @@ object CrawlDelta {
     history.select(col(urlCol).cast("string").as("url"),
         col(seqCol).cast("long").as("fetch_seq"), col(hashCol).as("hash"))
       .withColumn("prev_hash", lag(col("hash"), 1).over(w))
+      // "new" = first capture by position (null-hash captures included),
+      // then null-safe hash comparison for revisit/changed
       .withColumn("status",
-        when(col("prev_hash").isNull, "new")
-          .when(col("prev_hash") === col("hash"), "revisit")
+        when(row_number().over(w) === 1, "new")
+          .when(col("prev_hash") <=> col("hash"), "revisit")
           .otherwise("changed"))
       .withColumn("stored", col("status") =!= "revisit")
   }

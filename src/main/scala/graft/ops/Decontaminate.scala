@@ -47,16 +47,19 @@ object Decontaminate {
     val benchGrams = bench.select(col(benchTextCol).as("t")).as[String]
       .flatMap(grams).toDF("gram").distinct()
 
+    // NOT deduplicated before the join: a pre-join distinct would shuffle
+    // the full exploded gram relation (far larger than the corpus text);
+    // the broadcast join filters narrowly first, and the per-doc distinct
+    // count then aggregates only the tiny matched set
     val trainGrams = train.select(col(idCol).cast("string").as("id"),
         col(textCol).as("t"))
       .as[(String, String)]
       .flatMap { case (id, t) => grams(t).map((id, _)) }
       .toDF("id", "gram")
-      .distinct()
 
     val benchSide = if (broadcastBench) broadcast(benchGrams) else benchGrams
     val shared = trainGrams.join(benchSide, Seq("gram"))
-      .groupBy("id").agg(count(lit(1)).as("shared_grams"))
+      .groupBy("id").agg(countDistinct(col("gram")).as("shared_grams"))
 
     train.select(col(idCol).cast("string").as("id"))
       .join(shared, Seq("id"), "left")

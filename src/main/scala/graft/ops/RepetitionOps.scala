@@ -271,7 +271,10 @@ object RepetitionOps {
       maxTop3CharFrac: Double = 0.18,
       maxTop4CharFrac: Double = 0.16,
       // n = 5..10 ladder: 0.15 down to 0.10
-      maxDupNCharFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+      maxDupNCharFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)) {
+    require(maxDupNCharFrac.length == 6,
+      s"maxDupNCharFrac needs exactly 6 entries (n = 5..10), got ${maxDupNCharFrac.length}")
+  }
 
   final case class Verdict(keep: Boolean, reasons: Vector[String])
 

@@ -40,9 +40,24 @@ object Curate {
       estFloor: Double = 0.55,
       jaccardThreshold: Double = 0.8)
 
-  /** Run the ledger pipeline over `(idCol, textCol)` rows. */
+  /** Run the ledger pipeline over `(idCol, textCol)` rows. The returned
+    * ledger is materialized (eager localCheckpoint) so the internal
+    * persisted intermediates can be released before returning — repeated
+    * `curate` calls in a long-lived session leak no cached blocks. */
   def curate(input: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): DataFrame = {
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val ledger = ledgerPlan(input, idCol, textCol, cfg, toRelease)
+      .localCheckpoint(true)
+    toRelease.foreach(_.unpersist(false))
+    ledger
+  }
+
+  /** The LAZY ledger plan (PlanAuditSpec audits this shape; `curate`
+    * materializes it and releases `toRelease`). */
+  private[graft] def ledgerPlan(
+      input: DataFrame, idCol: String, textCol: String, cfg: Config,
+      toRelease: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -62,6 +77,7 @@ object Curate {
       }
       .toDF("id", "text", "paras_removed", "q_keep", "q_reasons")
       .persist()
+    toRelease += judged
     val qualityDrops = judged.filter(!col("q_keep"))
       .select(col("id"), lit("quality").as("stage"), col("q_reasons").as("reason"))
 
@@ -88,6 +104,7 @@ object Curate {
           (id, TextOps.shingleHashes(sh), TextOps.minHash(sh, cfg.minhashK))
         }.toDF("id", "sh", "sig")
           .persist()
+        toRelease += sigs
         val bands = sigs.select("id", "sig").as[(String, Array[Long])]
           .flatMap { case (id, sig) =>
             TextOps.lshBands(sig, cfg.bandSize).zipWithIndex

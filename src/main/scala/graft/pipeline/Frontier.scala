@@ -38,7 +38,16 @@ import graft.urlx.UrlOps
 object Frontier {
 
   /** urlset/txt entries → allowed, unseen, deduplicated frontier rows
-    * `(url, host, lastmod, priority)`. */
+    * `(url, host, lastmod, priority)`.
+    *
+    * Robots rules match against the RAW sitemap loc (path + query as
+    * published), the same semantic as [[graft.pipeline.ExtractJob]]'s
+    * robots gate — normalization runs only on the emitted frontier key,
+    * otherwise `normalizeUrl`'s trailing-slash/tracking-param stripping
+    * could step around a `Disallow: /private/`-style rule. URLs repeated
+    * across sitemap files collapse DETERMINISTICALLY (max lastmod / max
+    * priority per url — W3C datetimes sort chronologically as strings),
+    * never by arbitrary-row dropDuplicates. */
   def fromSitemaps(
       spark: SparkSession,
       blobs: DataFrame,
@@ -52,29 +61,30 @@ object Frontier {
       .mapPartitions(_.flatMap { case (_, body) =>
         val r = Sitemap.parse(body)
         r.entries.iterator.map { e =>
-          val u = UrlOps.normalizeUrl(e.loc)
-          (u, UrlOps.extractDomain(u), e.lastmod, e.priority.getOrElse(-1.0))
+          (e.loc, UrlOps.normalizeUrl(e.loc), UrlOps.extractDomain(e.loc),
+            e.lastmod, e.priority.getOrElse(-1.0))
         }
       })
-      .toDF("url", "host", "lastmod", "priority")
+      .toDF("raw_url", "url", "host", "lastmod", "priority")
 
     val gated = entries
       .join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
-      .as[(String, String, String, Double, String)]
+      .select("host", "raw_url", "url", "lastmod", "priority", "robots_txt")
+      .as[(String, String, String, String, Double, String)]
       .mapPartitions { it =>
         // parsed-rules memo: robots re-parsed once per host per partition
         val memo = new java.util.HashMap[String, Robots.Rules]()
-        it.flatMap { case (host, url, lastmod, priority, robotsTxt) =>
+        it.flatMap { case (host, rawUrl, url, lastmod, priority, robotsTxt) =>
           val allowed = robotsTxt == null || {
             var rules = memo.get(host)
             if (rules == null) {
               rules = Robots.parseRobotsTxt(robotsTxt, userAgent)
               if (memo.size < 10000) memo.put(host, rules) // bound per-task memory
             }
-            // same path+query shape Robots.isAllowed matches against
-            val path = graft.urlx.WUrl.parse(url) match {
+            // raw path+query, the shape Robots.isAllowed matches against
+            val path = graft.urlx.WUrl.parse(rawUrl) match {
               case Some(u) => u.pathname + u.query.map("?" + _).getOrElse("")
-              case None    => UrlOps.getPath(url)
+              case None    => UrlOps.getPath(rawUrl)
             }
             Robots.isPathAllowed(rules, path)
           }
@@ -86,7 +96,9 @@ object Frontier {
     gated
       .join(seen.select(col("url").as("seen_url")),
         col("url") === col("seen_url"), "left_anti")
-      .dropDuplicates("url")
+      .groupBy("url", "host")
+      .agg(max(col("lastmod")).as("lastmod"), max(col("priority")).as("priority"))
+      .select("url", "host", "lastmod", "priority")
   }
 
   /** Child sitemap URLs of index files — the caller's fetch-and-recurse

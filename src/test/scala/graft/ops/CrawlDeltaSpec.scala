@@ -54,4 +54,23 @@ class CrawlDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(1), r.getString(4)))
     assert(out.toSeq == Seq((1L, "new"), (2L, "revisit"), (3L, "changed")))
   }
+
+  test("null hashes: presence decided by join side, comparison null-safe") {
+    val s = spark; import s.implicits._
+    val prev = Seq(("u1", null.asInstanceOf[String]), ("u2", "h")).toDF("url", "hash")
+    val curr = Seq(("u1", "h1"), ("u2", null.asInstanceOf[String]), ("u3", null.asInstanceOf[String]))
+      .toDF("url", "hash")
+    val out = CrawlDelta.diff(prev, curr).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    // u1 present both sides (prev hash missing) -> changed, not added
+    // u2 present both sides (curr hash missing) -> changed, not removed
+    // u3 genuinely new -> added
+    assert(out == Map("u1" -> "changed", "u2" -> "changed", "u3" -> "added"))
+    val hist = Seq(("u", 1L, null.asInstanceOf[String]), ("u", 2L, "h"), ("u", 3L, "h"))
+      .toDF("url", "fetch_seq", "hash")
+    val h = CrawlDelta.fetchHistory(hist).orderBy("fetch_seq").collect()
+      .map(r => (r.getLong(1), r.getString(4)))
+    // first capture is "new" even with a null hash; null != "h" -> changed
+    assert(h.toSeq == Seq((1L, "new"), (2L, "changed"), (3L, "revisit")))
+  }
 }

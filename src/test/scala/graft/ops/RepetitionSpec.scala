@@ -118,4 +118,10 @@ class RepetitionSpec extends AnyFunSuite {
       assert(got == want, s"fixture row drift for $name")
     }
   }
+
+  test("Thresholds rejects a wrong-length dup-n-gram ladder at construction") {
+    intercept[IllegalArgumentException] {
+      RepetitionOps.Thresholds(maxDupNCharFrac = Seq(0.15, 0.14, 0.13))
+    }
+  }
 }

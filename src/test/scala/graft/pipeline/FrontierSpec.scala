@@ -77,4 +77,34 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://fixture.example.com/index", "https://idx.example.com/a.xml"),
       ("https://fixture.example.com/index", "https://idx.example.com/b.xml.gz")))
   }
+
+  test("robots rules match the RAW loc: normalization cannot bypass a Disallow") {
+    val s = spark; import s.implicits._
+    // normalizeUrl strips the trailing slash; matching the normalized form
+    // '/private' against 'Disallow: /private/' would wrongly admit it
+    val sm = ("<urlset><url><loc>https://shop.example.com/private/</loc></url>" +
+      "<url><loc>https://shop.example.com/open/page</loc></url></urlset>").getBytes("UTF-8")
+    val blobs = Seq(("https://shop.example.com/sm.xml", sm)).toDF("sitemap_url", "body")
+    val robots = Seq(("shop.example.com", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "robots_txt")
+    val seen = Seq.empty[String].toDF("url")
+    val urls = Frontier.fromSitemaps(spark, blobs, robots, seen)
+      .select("url").as[String].collect().toSet
+    assert(urls == Set("https://shop.example.com/open/page"))
+  }
+
+  test("repeated URLs across sitemaps collapse deterministically to max lastmod/priority") {
+    val s = spark; import s.implicits._
+    val sm1 = ("<urlset><url><loc>https://x.example.com/a</loc>" +
+      "<lastmod>2024-01-01</lastmod><priority>0.3</priority></url></urlset>").getBytes("UTF-8")
+    val sm2 = ("<urlset><url><loc>https://x.example.com/a</loc>" +
+      "<lastmod>2024-06-01</lastmod><priority>0.9</priority></url></urlset>").getBytes("UTF-8")
+    val blobs = Seq(("https://x.example.com/1.xml", sm1), ("https://x.example.com/2.xml", sm2))
+      .toDF("sitemap_url", "body")
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val seen = Seq.empty[String].toDF("url")
+    val rows = Frontier.fromSitemaps(spark, blobs, robots, seen).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(2) == "2024-06-01" && rows.head.getDouble(3) == 0.9)
+  }
 }

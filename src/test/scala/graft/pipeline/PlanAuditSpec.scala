@@ -158,7 +158,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val input = (0 until 60).map(i =>
       (s"d$i", s"alpha $i beta\n\nshared boilerplate line\n\ngamma $i delta"))
       .toDF("doc", "body")
-    val p = plan(Curate.curate(input, "doc", "body"))
+    val p = plan(Curate.ledgerPlan(input, "doc", "body", Curate.Config(),
+      scala.collection.mutable.ArrayBuffer.empty))
     assert(!p.contains("CartesianProduct"), s"cartesian in curation plan:\n${p.take(3000)}")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join in curation plan:\n${p.take(3000)}")
