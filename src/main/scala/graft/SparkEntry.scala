@@ -900,6 +900,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-sequence packing (ops/Pack — concat-and-chunk): tokens =
+    // ceil(len/4) (the chunking heuristic), 4 shards, 512-token chunks.
+    // Cross-engine semantic oracle: DuckDB runs the same cumulative-sum
+    // window and chunk arithmetic itself.
+    "doc_pack" -> ((s, dir) => {
+      val withTokens = docs(s, dir)
+        .select(col("doc_id"), expr("CAST(ceil(length(text) / 4.0) AS BIGINT)").as("toks"))
+      graft.ops.Pack.concatChunk(withTokens, "doc_id", "toks",
+          budget = 512, numShards = 4)
+        .orderBy("id")
+    }),
+
     // Corpus census: the per-(lang, source) aggregate a training-mix
     // curator reads first — doc counts, char mass, exact-dup profile.
     // Plain hash-agg (map-side combine); scale-safe at any corpus size.
@@ -1593,6 +1605,19 @@ object SparkEntry {
        "SELECT d.doc_id, CAST(coalesce(sh.shared_grams, 0) AS BIGINT) AS shared_grams, " +
        "coalesce(sh.shared_grams, 0) > 0 AS contaminated " +
        "FROM documents d LEFT JOIN sh USING (doc_id) WHERE d.doc_id % 17 <> 0 ORDER BY doc_id"),
+
+    "doc_pack" ->
+      ("WITH t AS (SELECT doc_id AS id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens, " +
+       "doc_id % 4 AS shard FROM documents), " +
+       "c AS (SELECT id, shard, tokens, CAST(coalesce(sum(tokens) OVER " +
+       "(PARTITION BY shard ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
+       "SELECT id, shard, tokens, cum_before, " +
+       "CAST(floor(cum_before / 512.0) AS BIGINT) AS first_chunk, " +
+       "CAST(CASE WHEN tokens > 0 THEN floor((cum_before + tokens - 1) / 512.0) " +
+       "ELSE floor(cum_before / 512.0) END AS BIGINT) AS last_chunk, " +
+       "(CASE WHEN tokens > 0 THEN floor((cum_before + tokens - 1) / 512.0) " +
+       "ELSE floor(cum_before / 512.0) END) > floor(cum_before / 512.0) AS straddles " +
+       "FROM c ORDER BY id"),
 
     "doc_corpus_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +

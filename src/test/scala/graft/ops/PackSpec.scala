@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Concat-and-chunk packing on hand-computed cases (the corpus-scale
+  * window arithmetic is cross-engine-checked by the doc_pack oracle). */
+class PackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("chunk spans, straddling, and zero-token docs — hand-computed") {
+    val s = spark; import s.implicits._
+    // one shard (numShards=1), budget 10; docs in id order with tokens:
+    // id 1: 4  -> [0,4)   chunk 0
+    // id 2: 6  -> [4,10)  chunk 0 (exactly fills; last token index 9)
+    // id 3: 0  -> sits at position 10 -> chunk 1, no span
+    // id 4: 15 -> [10,25) chunks 1..2, straddles
+    // id 5: 5  -> [25,30) chunk 2
+    val docs = Seq((1L, 4L), (2L, 6L), (3L, 0L), (4L, 15L), (5L, 5L))
+      .toDF("doc", "toks")
+    val out = Pack.concatChunk(docs, "doc", "toks", budget = 10, numShards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, false),
+      (2L, 4L, 0L, 0L, false),
+      (3L, 10L, 1L, 1L, false),
+      (4L, 10L, 1L, 2L, true),
+      (5L, 25L, 2L, 2L, false)))
+  }
+
+  test("placement is identical at different parallelism (deterministic shards)") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map(i => (i, i % 37)).toDF("doc", "toks")
+    val a = Pack.concatChunk(docs.repartition(2), "doc", "toks", 64, 4)
+      .orderBy("id").collect().toSeq
+    val b = Pack.concatChunk(docs.repartition(13), "doc", "toks", 64, 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
