@@ -839,6 +839,12 @@ object SparkEntry {
     // pass: the same composition over the extracted pages (rows-only).
     "curation_fixture" -> ((s, dir) => CurateFixture.fixtureDf(s)),
 
+    // Incremental dedup against a persisted history index (ops/
+    // IncrementalDedup): two batches over a planted corpus exercising
+    // exact/near dups vs history AND within-batch, vs a transcribed
+    // VALUES oracle.
+    "incdedup_fixture" -> ((s, dir) => IncDedupFixture.fixtureDf(s)),
+
     "curation_pages" -> ((s, dir) => {
       Curate.curate(extracted(s, dir).toDF(), "url", "normalized_text",
           Curate.Config(paraMinDocFreq = 5))
@@ -1563,6 +1569,7 @@ object SparkEntry {
     "repetition_fixture" -> RepetitionFixture.fixtureOracle,
     "para_dedup_fixture" -> ParaDedupFixture.fixtureOracle,
     "curation_fixture" -> CurateFixture.fixtureOracle,
+    "incdedup_fixture" -> IncDedupFixture.fixtureOracle,
 
     // Same planted mutation rules as the Spark side — the oracle
     // reproduces the snapshot construction AND the diff/window semantics,
