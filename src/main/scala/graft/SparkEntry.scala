@@ -1614,16 +1614,19 @@ object SparkEntry {
        "FROM documents d LEFT JOIN sh USING (doc_id) WHERE d.doc_id % 17 <> 0 ORDER BY doc_id"),
 
     "doc_pack" ->
+      // ((id % 4) + 4) % 4 matches Spark's pmod (always non-negative) even
+      // for negative ids; `//` is DuckDB integer division — exact like
+      // Spark's DIV, where floor(x/512.0) would round above 2^53
       ("WITH t AS (SELECT doc_id AS id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens, " +
-       "doc_id % 4 AS shard FROM documents), " +
+       "((doc_id % 4) + 4) % 4 AS shard FROM documents), " +
        "c AS (SELECT id, shard, tokens, CAST(coalesce(sum(tokens) OVER " +
        "(PARTITION BY shard ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
        "SELECT id, shard, tokens, cum_before, " +
-       "CAST(floor(cum_before / 512.0) AS BIGINT) AS first_chunk, " +
-       "CAST(CASE WHEN tokens > 0 THEN floor((cum_before + tokens - 1) / 512.0) " +
-       "ELSE floor(cum_before / 512.0) END AS BIGINT) AS last_chunk, " +
-       "(CASE WHEN tokens > 0 THEN floor((cum_before + tokens - 1) / 512.0) " +
-       "ELSE floor(cum_before / 512.0) END) > floor(cum_before / 512.0) AS straddles " +
+       "cum_before // 512 AS first_chunk, " +
+       "CAST(CASE WHEN tokens > 0 THEN (cum_before + tokens - 1) // 512 " +
+       "ELSE cum_before // 512 END AS BIGINT) AS last_chunk, " +
+       "(CASE WHEN tokens > 0 THEN (cum_before + tokens - 1) // 512 " +
+       "ELSE cum_before // 512 END) > cum_before // 512 AS straddles " +
        "FROM c ORDER BY id"),
 
     "doc_corpus_stats" ->

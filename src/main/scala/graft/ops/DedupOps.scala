@@ -31,6 +31,73 @@ object DedupOps {
    *                  dropped before the self-join)
    * @return distinct (id_a, id_b) with id_a < id_b
    */
+  /**
+   * MinHash signature relation `(id, sh, sig)` over `(idCol, textCol)` rows:
+   * `sh` = distinct sorted 64-bit shingle hashes (the exact-Jaccard payload),
+   * `sig` = k-permutation MinHash signature. One narrow map — the single
+   * signature pass both the curation ([[graft.pipeline.Curate]]) and the
+   * incremental ([[IncrementalDedup]]) dedup chains start from, extracted
+   * here so the two chains cannot drift.
+   */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, minhashK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)].map { case (id, t) =>
+        val sh = TextOps.shingles(t, shingleN)
+        (id, TextOps.shingleHashes(sh), TextOps.minHash(sh, minhashK))
+      }.toDF("id", "sh", "sig")
+  }
+
+  /**
+   * LSH band relation `(id, band_idx, band_key)` from a signature relation.
+   * Documents with an EMPTY shingle set emit no bands: their MinHash
+   * signature is the all-sentinel vector, identical for EVERY such document
+   * (whitespace/symbol-only text), so banding them would pair all empty
+   * documents with each other and `jaccardSorted(∅, ∅) = 1.0` would then
+   * falsely verify distinct no-content rows as near-duplicates. No shingles
+   * = no content evidence = never a near-dup candidate (exact dedup still
+   * sees them through the content hash).
+   */
+  def explodeBands(sigs: DataFrame, bandSize: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs.select(col("id"), col("sh"), col("sig"))
+      .as[(String, Array[Long], Array[Long])]
+      .flatMap { case (id, sh, sig) =>
+        if (sh.isEmpty) Iterator.empty
+        else TextOps.lshBands(sig, bandSize).zipWithIndex
+          .iterator.map { case (b, i) => (id, i, b) }
+      }.toDF("id", "band_idx", "band_key")
+  }
+
+  /**
+   * Exact verification of candidate pairs: attach `(sh, sig)` payloads by id
+   * AFTER pair dedup (so payloads never ride the quadratic shuffle), skip
+   * pairs whose MinHash ESTIMATE is below `estFloor` (saves the sort-merge
+   * on pairs the signature already rules out), keep pairs with exact shingle
+   * Jaccard ≥ `threshold`. `leftSigs`/`rightSigs` may be the same frame
+   * (in-corpus self-dedup) or different frames (batch vs history).
+   */
+  def verifyPairs(pairs: DataFrame, leftSigs: DataFrame, rightSigs: DataFrame,
+                  estFloor: Double, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .join(leftSigs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .select("id_a", "id_b", "sh_a", "sig_a", "sh_b", "sig_b")
+      .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .flatMap { case (a, b, sha, siga, shb, sigb) =>
+        if (TextOps.minHashSimilarity(siga, sigb) < estFloor) None
+        else if (TextOps.jaccardSorted(sha, shb) < threshold) None
+        else Some((a, b))
+      }.toDF("id_a", "id_b")
+  }
+
   def candidatePairs(
       bands: DataFrame,
       bucketCols: Seq[String],

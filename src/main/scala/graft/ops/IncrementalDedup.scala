@@ -7,8 +7,7 @@ import org.apache.spark.sql.functions._
  * Incremental dedup against history — the ingest-time shape of corpus
  * dedup at 10^12 documents: crawls arrive in batches, and each batch must
  * dedup against everything accepted before it WITHOUT rescanning the
- * corpus. The history is two append-only relations (the same pattern as
- * the persisted IVF index in [[AnnIndex]]):
+ * corpus. The history index is two relations:
  *
  *  - `hashes(hash, id)` — content hash of every accepted document;
  *  - `sigs(id, sh, sig)` — sorted shingle-hash set + MinHash signature of
@@ -17,16 +16,33 @@ import org.apache.spark.sql.functions._
  *
  * A batch flows: exact-vs-history (equi-join on hash) → exact-in-batch
  * (min-id keeper per hash) → near-vs-history (batch bands ⋈ history
- * bands → exact-Jaccard verify; the history side never moves — only its
- * matching band rows shuffle) → near-in-batch (the usual banded
- * self-join → verify → CC survivors). Output is a ledger row per batch
- * document plus the UPDATED index containing the accepted documents —
- * feeding batch N+1 without recomputing batches 1..N.
+ * bands → estimate prefilter → exact-Jaccard verify; the history side
+ * never moves — only its matching band rows shuffle, and buckets larger
+ * than `maxBucket` on EITHER side are suppressed before the join, the
+ * same template-boilerplate guard [[DedupOps.candidatePairs]] applies
+ * in-batch) → near-in-batch (banded self-join → verify → CC survivors).
+ *
+ * [[dedupeBatch]] returns the batch ledger plus the index DELTA — the
+ * accepted documents' index rows ONLY, materialized at O(batch) cost.
+ * History is never copied: an in-session caller extends its index with
+ * [[extended]] (a lazy union of materialized leaves — plan metadata, not
+ * data movement), and a production ingest loop uses the parquet-backed
+ * store ([[openStore]] / [[appendToStore]] / [[dedupeAndCommit]]): each
+ * batch APPENDS files, so the store survives executor loss and session
+ * restarts, batch N+1 plans against plain file-scan leaves, and commit
+ * cost stays O(batch) forever. (The two appends of one batch are not
+ * atomic together — a single-writer loop that can crash mid-commit
+ * should stage them, e.g. write both under a batch=N temp dir and
+ * rename; the read path tolerates a missing store but not a half one.)
  */
 object IncrementalDedup {
 
-  /** Append-only dedup history. */
+  /** Dedup history: `hashes(hash, id)` + `sigs(id, sh, sig)`. */
   final case class Index(hashes: DataFrame, sigs: DataFrame)
+
+  /** One batch's outcome: per-document ledger + the index rows the
+    * accepted documents contribute (both eagerly materialized). */
+  final case class BatchResult(ledger: DataFrame, delta: Index)
 
   def emptyIndex(spark: SparkSession): Index = {
     import spark.implicits._
@@ -35,18 +51,55 @@ object IncrementalDedup {
       Seq.empty[(String, Array[Long], Array[Long])].toDF("id", "sh", "sig"))
   }
 
+  /** Extend an in-memory index with a batch delta: a union of already-
+    * materialized leaves — O(1) plan metadata, no history copy. */
+  def extended(index: Index, delta: Index): Index =
+    Index(index.hashes.union(delta.hashes), index.sigs.union(delta.sigs))
+
+  /** Open the parquet-backed history store; an absent store is an empty
+    * index (first batch bootstraps it). */
+  def openStore(spark: SparkSession, dir: String): Index = {
+    val p = new org.apache.hadoop.fs.Path(dir, "hashes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) emptyIndex(spark)
+    else Index(
+      spark.read.parquet(s"$dir/hashes"),
+      spark.read.parquet(s"$dir/sigs"))
+  }
+
+  /** Append one batch's accepted rows to the store — files are added,
+    * history is never rewritten (`sigs` first so a torn commit leaves at
+    * worst near-dup rows without their exact-hash twin, not the reverse). */
+  def appendToStore(dir: String, delta: Index): Unit = {
+    delta.sigs.write.mode("append").parquet(s"$dir/sigs")
+    delta.hashes.write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Ingest-loop step: dedup `batch` against the store at `dir`, append
+    * the accepted delta, return the ledger. */
+  def dedupeAndCommit(batch: DataFrame, idCol: String, textCol: String,
+                      dir: String,
+                      shingleN: Int = 3, minhashK: Int = 64, bandSize: Int = 4,
+                      jaccardThreshold: Double = 0.8, estFloor: Double = 0.55,
+                      maxBucket: Int = 64): DataFrame = {
+    val r = dedupeBatch(batch, idCol, textCol,
+      openStore(batch.sparkSession, dir),
+      shingleN, minhashK, bandSize, jaccardThreshold, estFloor, maxBucket)
+    appendToStore(dir, r.delta)
+    r.ledger
+  }
+
   /** Dedup one batch against itself and the history; returns the batch
     * ledger `(id, kept, stage, reason)` with stage ∈ {"", exact_dup_hist,
-    * exact_dup_batch, near_dup_hist, near_dup_batch} and the updated
-    * index. Ledger and index are materialized (localCheckpoint) so the
-    * internal persisted frames release before returning and batch N+1
-    * plans against leaves, not the whole batch-1..N lineage. */
+    * exact_dup_batch, near_dup_hist, near_dup_batch} plus the index DELTA.
+    * Ledger and delta are materialized (localCheckpoint) so the internal
+    * persisted frames release before returning and the caller holds
+    * leaves, not the batch's whole plan. */
   def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
                   index: Index,
                   shingleN: Int = 3, minhashK: Int = 64, bandSize: Int = 4,
-                  jaccardThreshold: Double = 0.8): (DataFrame, Index) = {
-    val spark = batch.sparkSession
-    import spark.implicits._
+                  jaccardThreshold: Double = 0.8, estFloor: Double = 0.55,
+                  maxBucket: Int = 64): BatchResult = {
 
     val hashed = batch.select(col(idCol).cast("string").as("id"),
         col(textCol).as("text"))
@@ -68,54 +121,48 @@ object IncrementalDedup {
         col("keeper").as("reason"))
     val uniq = withKeeper.filter(col("id") === col("keeper")).select("id", "text")
 
-    // 3/4. near-dup: batch signatures once; bands from batch + history sigs
-    val sigs = uniq.as[(String, String)].map { case (id, t) =>
-      val sh = TextOps.shingles(t, shingleN)
-      (id, TextOps.shingleHashes(sh), TextOps.minHash(sh, minhashK))
-    }.toDF("id", "sh", "sig").persist()
+    // 3/4. near-dup: ONE signature pass for the batch; bands persisted —
+    // they feed the history join and (minus history drops) the in-batch
+    // self-join, which would otherwise recompute 16 band keys per doc
+    val sigs = DedupOps.minhashSignatures(uniq, "id", "text", shingleN, minhashK)
+      .persist()
+    val batchBands = DedupOps.explodeBands(sigs, bandSize).persist()
 
-    def bandsOf(s: DataFrame): DataFrame =
-      s.select("id", "sig").as[(String, Array[Long])]
-        .flatMap { case (id, sig) =>
-          TextOps.lshBands(sig, bandSize).zipWithIndex
-            .map { case (b, i) => (id, i, b) }
-        }.toDF("id", "band_idx", "band_key")
-
-    val batchBands = bandsOf(sigs)
-    val histBands = bandsOf(index.sigs)
-
-    def verify(pairs: DataFrame, rightSigs: DataFrame): DataFrame =
-      pairs
-        .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(rightSigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .as[(String, String, Array[Long], Array[Long])]
-        .flatMap { case (a, b, sha, shb) =>
-          if (TextOps.jaccardSorted(sha, shb) >= jaccardThreshold) Some((a, b)) else None
-        }.toDF("id_a", "id_b")
+    // buckets larger than maxBucket on either side are template
+    // boilerplate: joining them costs O(|batch bucket| × |hist bucket|)
+    // pair rows of near-zero precision (at history scale, unboundedly
+    // many), so both sides get the candidatePairs suppression rule
+    def capped(bands: DataFrame): DataFrame = {
+      val small = bands.groupBy("band_idx", "band_key").count()
+        .filter(col("count") <= maxBucket).drop("count")
+      bands.join(small, Seq("band_idx", "band_key"))
+    }
 
     // vs history: batch id on the left, history id on the right
-    val histPairs = batchBands
-      .join(histBands.select(col("id").as("hist_id"), col("band_idx"), col("band_key")),
+    val histPairs = capped(batchBands)
+      .join(capped(DedupOps.explodeBands(index.sigs, bandSize))
+          .select(col("id").as("hist_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select(col("id").as("id_a"), col("hist_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val nearHistDrops = verify(histPairs, index.sigs)
+    val nearHistDrops = DedupOps.verifyPairs(histPairs, sigs, index.sigs,
+        estFloor, jaccardThreshold)
       .groupBy(col("id_a").as("id")).agg(min(col("id_b")).as("reason"))
       .select(col("id"), lit("near_dup_hist").as("stage"), col("reason"))
+      .persist() // read by the anti-join below and by the ledger union
 
     // within the batch, among docs that survived the history check
-    val stillIn = sigs.join(nearHistDrops.select("id"), Seq("id"), "left_anti")
-      .persist()
-    val batchPairs = DedupOps.candidatePairs(bandsOf(stillIn),
-      Seq("band_idx", "band_key"), "id")
+    val stillBands = batchBands
+      .join(nearHistDrops.select("id"), Seq("id"), "left_anti")
+    val batchPairs = DedupOps.candidatePairs(stillBands,
+      Seq("band_idx", "band_key"), "id", maxBucket)
     val nearBatchDrops = DedupOps.clusterRepresentatives(
-        verify(batchPairs, stillIn))
+        DedupOps.verifyPairs(batchPairs, sigs, sigs, estFloor, jaccardThreshold))
       .filter(col("id") =!= col("label"))
       .select(col("id").cast("string").as("id"),
         lit("near_dup_batch").as("stage"), col("label").cast("string").as("reason"))
 
-    // ledger + updated index
+    // ledger + the accepted documents' index delta
     val drops = histDrops.union(batchExactDrops).union(nearHistDrops)
       .union(nearBatchDrops)
     val ledger = hashed.select("id")
@@ -126,15 +173,14 @@ object IncrementalDedup {
       .localCheckpoint(true)
 
     val accepted = ledger.filter(col("kept")).select("id")
-    val newHashes = index.hashes.union(
-        hashed.join(accepted, Seq("id")).select(col("hash"), col("id")))
-      .localCheckpoint(true)
-    val newSigs = index.sigs.union(sigs.join(accepted, Seq("id")))
-      .localCheckpoint(true)
+    val deltaHashes = hashed.join(accepted, Seq("id"))
+      .select(col("hash"), col("id")).localCheckpoint(true)
+    val deltaSigs = sigs.join(accepted, Seq("id")).localCheckpoint(true)
 
     hashed.unpersist(false)
     sigs.unpersist(false)
-    stillIn.unpersist(false)
-    (ledger, Index(newHashes, newSigs))
+    batchBands.unpersist(false)
+    nearHistDrops.unpersist(false)
+    (BatchResult(ledger, Index(deltaHashes, deltaSigs)))
   }
 }

@@ -34,11 +34,15 @@ object Pack {
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
-      .withColumn("first_chunk", floor(col("cum_before") / budget))
+      // integer DIV, not floor(x / y): true division casts through double,
+      // and a shard's cumulative token sum past 2^53 (≈9e15 — reachable at
+      // the corpus scale this targets with few shards) would round through
+      // an inexact double and mis-assign chunks near a boundary
+      .withColumn("first_chunk", expr(s"cum_before DIV ${budget}L"))
       .withColumn("last_chunk",
         when(col("tokens") > 0,
-          floor((col("cum_before") + col("tokens") - 1) / budget))
-          .otherwise(floor(col("cum_before") / budget)))
+          expr(s"(cum_before + tokens - 1) DIV ${budget}L"))
+          .otherwise(expr(s"cum_before DIV ${budget}L")))
       .withColumn("straddles", col("last_chunk") > col("first_chunk"))
       .select("id", "shard", "tokens", "cum_before",
         "first_chunk", "last_chunk", "straddles")

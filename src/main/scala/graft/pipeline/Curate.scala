@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, ParaDedup, RepetitionOps, TextOps}
+import graft.ops.{DedupOps, ParaDedup, RepetitionOps}
 
 /**
  * The composed curation pipeline a training-data run executes between
@@ -99,29 +99,14 @@ object Curate {
         // persisted: read by the band explode and by BOTH sides of the
         // candidate-pair join — unpersisted, each reader would recompute
         // shingling + the 64-permutation MinHash over the whole corpus
-        val sigs = uniq.as[(String, String)].map { case (id, t) =>
-          val sh = TextOps.shingles(t, cfg.shingleN)
-          (id, TextOps.shingleHashes(sh), TextOps.minHash(sh, cfg.minhashK))
-        }.toDF("id", "sh", "sig")
+        val sigs = DedupOps.minhashSignatures(uniq, "id", "text",
+            cfg.shingleN, cfg.minhashK)
           .persist()
         toRelease += sigs
-        val bands = sigs.select("id", "sig").as[(String, Array[Long])]
-          .flatMap { case (id, sig) =>
-            TextOps.lshBands(sig, cfg.bandSize).zipWithIndex
-              .map { case (b, i) => (id, i, b) }
-          }.toDF("id", "band_idx", "band_key")
+        val bands = DedupOps.explodeBands(sigs, cfg.bandSize)
         val cands = DedupOps.candidatePairs(bands, Seq("band_idx", "band_key"), "id")
-        val sigCols = sigs.select(col("id"), col("sh"), col("sig"))
-        val verified = cands
-          .join(sigCols.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
-          .join(sigCols.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
-          .select("id_a", "id_b", "sh_a", "sig_a", "sh_b", "sig_b")
-          .as[(String, String, Array[Long], Array[Long], Array[Long], Array[Long])]
-          .flatMap { case (a, b, sha, siga, shb, sigb) =>
-            if (TextOps.minHashSimilarity(siga, sigb) < cfg.estFloor) None
-            else if (TextOps.jaccardSorted(sha, shb) < cfg.jaccardThreshold) None
-            else Some((a, b))
-          }.toDF("id_a", "id_b")
+        val verified = DedupOps.verifyPairs(cands, sigs, sigs,
+          cfg.estFloor, cfg.jaccardThreshold)
         DedupOps.clusterRepresentatives(verified)
           .filter(col("id") =!= col("label"))
           .select(col("id").cast("string").as("id"),

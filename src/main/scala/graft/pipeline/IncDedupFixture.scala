@@ -71,15 +71,20 @@ object IncDedupFixture {
     (2, "x5", false, "exact_dup_batch", "x3"),
     (2, "x6", true, "", ""))
 
+  /** Drives the DURABLE path end-to-end: each batch commits through the
+    * parquet-backed history store (fresh temp dir per call, so repeated
+    * bench reps never dedup against a previous run's history), and batch 2
+    * reopens the store from disk — the oracle therefore gates
+    * openStore/appendToStore round-tripping, not just the in-memory plan. */
   def fixtureDf(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val (led1, idx1) = IncrementalDedup.dedupeBatch(
-      s.createDataset(batch1).repartition(2).toDF("doc", "body"), "doc", "body",
-      IncrementalDedup.emptyIndex(s))
-    val (led2, _) = IncrementalDedup.dedupeBatch(
-      s.createDataset(batch2).repartition(2).toDF("doc", "body"), "doc", "body",
-      idx1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup-")
+      .toAbsolutePath.toString
+    val led1 = IncrementalDedup.dedupeAndCommit(
+      s.createDataset(batch1).repartition(2).toDF("doc", "body"), "doc", "body", dir)
+    val led2 = IncrementalDedup.dedupeAndCommit(
+      s.createDataset(batch2).repartition(2).toDF("doc", "body"), "doc", "body", dir)
     led1.withColumn("batch", lit(1))
       .union(led2.withColumn("batch", lit(2)))
       .select("batch", "id", "kept", "stage", "reason")

@@ -5,9 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 /** Incremental-dedup operator properties beyond the fixture oracle: the
-  * index grows append-only with accepted docs, a later batch deduplicates
-  * against batch-1 survivors (not raw batch-1 input), and every batch id
-  * gets exactly one ledger row. */
+  * delta contains exactly the accepted docs, later batches dedup against
+  * accumulated survivors, the parquet store round-trips across reopens,
+  * empty-shingle (no-content) docs never near-dup each other, and the
+  * history band join suppresses mega-buckets instead of fanning out. */
 class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -24,43 +25,107 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("index contains exactly the accepted docs; dropped docs never index") {
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-incdedup-spec-")
+      .toAbsolutePath.toString
+
+  test("delta contains exactly the accepted docs; dropped docs never index") {
     val s = spark; import s.implicits._
     val b1 = Seq(("a", "one two three"), ("b", "one two three"), ("c", "four five six"))
       .toDF("doc", "body")
-    val (led, idx) = IncrementalDedup.dedupeBatch(b1, "doc", "body",
+    val r = IncrementalDedup.dedupeBatch(b1, "doc", "body",
       IncrementalDedup.emptyIndex(spark))
-    assert(led.count() == 3)
-    val kept = led.filter("kept").select("id").as[String].collect().toSet
+    assert(r.ledger.count() == 3)
+    val kept = r.ledger.filter("kept").select("id").as[String].collect().toSet
     assert(kept == Set("a", "c")) // b is an exact dup of a
-    assert(idx.hashes.select("id").as[String].collect().toSet == Set("a", "c"))
-    assert(idx.sigs.select("id").as[String].collect().toSet == Set("a", "c"))
+    assert(r.delta.hashes.select("id").as[String].collect().toSet == Set("a", "c"))
+    assert(r.delta.sigs.select("id").as[String].collect().toSet == Set("a", "c"))
   }
 
   test("batch 3 dedups against survivors accumulated across earlier batches") {
     val s = spark; import s.implicits._
     val empty = IncrementalDedup.emptyIndex(spark)
-    val (_, i1) = IncrementalDedup.dedupeBatch(
+    val r1 = IncrementalDedup.dedupeBatch(
       Seq(("a", "alpha beta gamma delta")).toDF("doc", "body"), "doc", "body", empty)
-    val (_, i2) = IncrementalDedup.dedupeBatch(
+    val i1 = IncrementalDedup.extended(empty, r1.delta)
+    val r2 = IncrementalDedup.dedupeBatch(
       Seq(("b", "epsilon zeta eta theta")).toDF("doc", "body"), "doc", "body", i1)
-    val (led3, i3) = IncrementalDedup.dedupeBatch(
+    val i2 = IncrementalDedup.extended(i1, r2.delta)
+    val r3 = IncrementalDedup.dedupeBatch(
       Seq(("c", "alpha beta gamma delta"), ("d", "epsilon zeta eta theta"),
           ("e", "iota kappa lambda mu")).toDF("doc", "body"), "doc", "body", i2)
-    val rows = led3.collect().map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
+    val rows = r3.ledger.collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
     assert(rows("c") == (("exact_dup_hist", "a")))
     assert(rows("d") == (("exact_dup_hist", "b")))
     assert(rows("e") == (("", "")))
+    val i3 = IncrementalDedup.extended(i2, r3.delta)
     assert(i3.hashes.count() == 3) // a, b, e
   }
 
   test("empty batch against a populated index is a no-op") {
     val s = spark; import s.implicits._
-    val (_, i1) = IncrementalDedup.dedupeBatch(
+    val r1 = IncrementalDedup.dedupeBatch(
       Seq(("a", "alpha beta gamma delta")).toDF("doc", "body"), "doc", "body",
       IncrementalDedup.emptyIndex(spark))
-    val (led, i2) = IncrementalDedup.dedupeBatch(
+    val i1 = IncrementalDedup.extended(IncrementalDedup.emptyIndex(spark), r1.delta)
+    val r2 = IncrementalDedup.dedupeBatch(
       Seq.empty[(String, String)].toDF("doc", "body"), "doc", "body", i1)
-    assert(led.count() == 0 && i2.hashes.count() == 1 && i2.sigs.count() == 1)
+    assert(r2.ledger.count() == 0 && r2.delta.hashes.count() == 0)
+  }
+
+  test("parquet store: commits append, reopen sees accumulated history") {
+    val s = spark; import s.implicits._
+    val dir = tempDir()
+    val led1 = IncrementalDedup.dedupeAndCommit(
+      Seq(("a", "alpha beta gamma delta")).toDF("doc", "body"), "doc", "body", dir)
+    assert(led1.filter("kept").count() == 1)
+    // a new read of the store (fresh frames, file-scan leaves) sees batch 1
+    val led2 = IncrementalDedup.dedupeAndCommit(
+      Seq(("b", "alpha beta gamma delta"), ("c", "nu xi omicron pi"))
+        .toDF("doc", "body"), "doc", "body", dir)
+    val rows = led2.collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(rows("b") == (("exact_dup_hist", "a")))
+    assert(rows("c") == (("", "")))
+    val idx = IncrementalDedup.openStore(spark, dir)
+    assert(idx.hashes.select("id").as[String].collect().toSet == Set("a", "c"))
+    assert(idx.sigs.count() == 2)
+  }
+
+  test("no-content docs (empty shingle sets) are never near-duplicates") {
+    val s = spark; import s.implicits._
+    val dir = tempDir()
+    // distinct symbol-only texts: different hashes, ALL with zero shingles —
+    // unguarded, their identical sentinel signatures band together and
+    // jaccard(∅,∅)=1 falsely drops them
+    val led1 = IncrementalDedup.dedupeAndCommit(
+      Seq(("p", "!!!"), ("q", "???"), ("r", "genuine words with content here"))
+        .toDF("doc", "body"), "doc", "body", dir)
+    assert(led1.filter("kept").count() == 3)
+    // and vs history: another no-content doc must not near-dup p or q
+    val led2 = IncrementalDedup.dedupeAndCommit(
+      Seq(("t", ",,,")).toDF("doc", "body"), "doc", "body", dir)
+    assert(led2.filter("kept").count() == 1)
+  }
+
+  test("history mega-buckets are suppressed, small buckets still match") {
+    val s = spark; import s.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val sh = TextOps.shingleHashes(TextOps.shingles(body, 3))
+    val sig = TextOps.minHash(TextOps.shingles(body, 3), 64)
+    def histIndex(n: Int) = IncrementalDedup.Index(
+      Seq.empty[(String, String)].toDF("hash", "id"),
+      (1 to n).map(i => (s"h$i", sh, sig)).toDF("id", "sh", "sig"))
+    val batch = Seq(("b1", body)).toDF("doc", "body")
+    // 70 identical history sigs: every shared band bucket exceeds
+    // maxBucket=64 → suppressed → b1 survives the near-history stage
+    val big = IncrementalDedup.dedupeBatch(batch, "doc", "body", histIndex(70))
+    assert(big.ledger.filter("kept").count() == 1)
+    // 3 history sigs: buckets are small, the same doc near-dups normally
+    val small = IncrementalDedup.dedupeBatch(batch, "doc", "body", histIndex(3))
+    val row = small.ledger.collect().head
+    assert(!row.getBoolean(1) && row.getString(2) == "near_dup_hist")
   }
 }

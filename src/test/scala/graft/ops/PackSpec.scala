@@ -43,6 +43,21 @@ class PackSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 25L, 2L, 2L, false)))
   }
 
+  test("chunk arithmetic stays exact past 2^53 cumulative tokens") {
+    val s = spark; import s.implicits._
+    // doc 1 pushes cum_before to 2^53 + 511 — not double-representable, so
+    // floor((cum+...)/budget) through true division would round to 2^53+512
+    // and assign doc 2 first_chunk 2^44 + 1; integer DIV keeps it at 2^44
+    val big = (1L << 53) + 511L
+    val docs = Seq((1L, big), (2L, 1L)).toDF("doc", "toks")
+    val out = Pack.concatChunk(docs, "doc", "toks", budget = 512, numShards = 1)
+      .orderBy("id").collect()
+    val doc2 = out(1)
+    assert(doc2.getLong(3) == big)           // cum_before exact (long sum)
+    assert(doc2.getLong(4) == (1L << 44))    // first_chunk = big DIV 512
+    assert(doc2.getLong(5) == (1L << 44))
+  }
+
   test("placement is identical at different parallelism (deterministic shards)") {
     val s = spark; import s.implicits._
     val docs = (1L to 200L).map(i => (i, i % 37)).toDF("doc", "toks")
