@@ -751,6 +751,9 @@ object SparkEntry {
     // anti-join → distinct) — both against transcribed VALUES oracles.
     "sitemap_fixture" -> ((s, dir) => SitemapFixture.fixtureDf(s)),
     "sitemap_frontier" -> ((s, dir) => SitemapFixture.frontierDf(s)),
+    // same frontier through the Bloom-prefiltered seen-set (no false
+    // negatives ⇒ output must hash-match the exact path's oracle verbatim)
+    "sitemap_frontier_bloom" -> ((s, dir) => SitemapFixture.frontierBloomDf(s)),
 
     // fixture-anchored oracles for the 3 formerly rows-only text-analysis
     // ops (VERDICT r3 #4) — expected cells independently derived by hand /
@@ -2039,6 +2042,7 @@ object SparkEntry {
 
     "sitemap_fixture" -> SitemapFixture.fixtureOracle,
     "sitemap_frontier" -> SitemapFixture.frontierOracle,
+    "sitemap_frontier_bloom" -> SitemapFixture.frontierOracle,
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +

@@ -26,6 +26,9 @@ import graft.urlx.UrlOps
  *     not once per URL;
  *  3. the seen-set is a `left_anti` join on url — at 10^12 documents this
  *     is the same anti-join shape `runResumable` already uses for resume;
+ *     pass `bloomExpectedSeen > 0` to route it through [[unseenByBloom]]
+ *     so definitely-unseen URLs (the bulk of a fresh-discovery batch)
+ *     never enter that join's shuffle;
  *  4. `dropDuplicates(url)` keeps one row per URL (sitemaps repeat URLs
  *     across files routinely).
  *
@@ -53,7 +56,8 @@ object Frontier {
       blobs: DataFrame,
       robots: DataFrame,
       seen: DataFrame,
-      userAgent: String = "ScrapexBot/1.0"): DataFrame = {
+      userAgent: String = "ScrapexBot/1.0",
+      bloomExpectedSeen: Long = 0L): DataFrame = {
     import spark.implicits._
     val entries = blobs
       .select(col("sitemap_url"), col("body"))
@@ -93,12 +97,72 @@ object Frontier {
       }
       .toDF("url", "host", "lastmod", "priority")
 
-    gated
-      .join(seen.select(col("url").as("seen_url")),
+    val unseen =
+      if (bloomExpectedSeen > 0L) unseenByBloom(gated, seen, "url", bloomExpectedSeen)
+      else gated.join(seen.select(col("url").as("seen_url")),
         col("url") === col("seen_url"), "left_anti")
+    unseen
       .groupBy("url", "host")
       .agg(max(col("lastmod")).as("lastmod"), max(col("priority")).as("priority"))
       .select("url", "host", "lastmod", "priority")
+  }
+
+  /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`
+    * (the standard m = -n·ln(p)/ln(2)² sizing BloomFilter.create uses). */
+  def optimalNumBits(n: Long, fpp: Double): Long = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+  }
+
+  /** `candidates LEFT ANTI seen` on `urlCol` — same OUTPUT as the plain
+    * anti-join (bit-for-bit; Bloom filters have no false negatives), but
+    * only rows the filter cannot rule out ride the join:
+    *
+    *  1. build one Bloom filter over `xxhash64(seen.url)` with Spark's own
+    *     `BloomFilterAggregate` (map-side-combinable partial aggregates —
+    *     the seen-set streams through once, never collects as rows; the
+    *     driver holds only the fixed-size sketch, `numBits/8` bytes by
+    *     construction, regardless of seen-set cardinality);
+    *  2. candidates the probe rejects are DEFINITELY unseen — they bypass
+    *     the anti-join entirely (no shuffle, no seen-side lookup);
+    *  3. only might-contain rows (true dups + ~fpp false positives) are
+    *     verified by the exact anti-join.
+    *
+    * At 10^12 crawled URLs a frontier batch is mostly-unseen (fresh
+    * sitemaps/discovery), so the anti-join's candidate side shrinks from
+    * |batch| to ~|dups| + fpp·|batch| — the shuffle the plain shape pays on
+    * every row becomes a narrow scan for the common case. The seen side
+    * still scans once into the join for the verify rows (bucketed seen-set
+    * storage makes that side exchange-free, the same trade `runResumable`
+    * documents). `candidates` is consumed by two branches (definite +
+    * maybe); both are narrow over the same scan — persist upstream if it's
+    * expensive to recompute.
+    *
+    * Sizing: `expectedSeen` over-estimates are harmless (a few × more bits
+    * than needed); under-estimates only raise the false-positive rate,
+    * which costs verify-join traffic, never correctness. */
+  def unseenByBloom(
+      candidates: DataFrame,
+      seen: DataFrame,
+      urlCol: String = "url",
+      expectedSeen: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame = {
+    val spark = candidates.sparkSession
+    graft.plans.GraftExtensions.registerNative(spark)
+    val numBits = optimalNumBits(expectedSeen, fpp)
+    // one row, one binary cell of numBits/8 bytes — a sketch-sized,
+    // cardinality-independent driver transfer, not a data collect
+    val bloomBytes = seen
+      .select(expr(s"bloom_filter_agg(xxhash64($urlCol), ${expectedSeen}L, ${numBits}L)"))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) return candidates // empty seen set: all unseen
+    val mightContain =
+      call_function("bloom_might_contain", lit(bloomBytes), xxhash64(col(urlCol)))
+    val definitelyUnseen = candidates.filter(!mightContain)
+    val verified = candidates.filter(mightContain)
+      .join(seen.select(col(urlCol).as("__seen_url")),
+        col(urlCol) === col("__seen_url"), "left_anti")
+    definitelyUnseen.unionByName(verified)
   }
 
   /** Child sitemap URLs of index files — the caller's fetch-and-recurse

@@ -139,6 +139,27 @@ object SitemapFixture {
       .orderBy("url")
   }
 
+  /** Same composition, seen-set subtracted via [[Frontier.unseenByBloom]]
+    * (Bloom prefilter + exact verify join). Bloom filters have NO false
+    * negatives, so the output is BIT-IDENTICAL to the plain anti-join —
+    * this query therefore shares `frontierOracle` verbatim: the driver
+    * hash-compares the probabilistic scale path against the exact one. */
+  def frontierBloomDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val blobsDf = s.createDataset(
+        blobs.filter(_._1 != "robots").map { case (n, b) => (s"https://fixture.example.com/$n", b) })(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY))
+      .repartition(2)
+      .toDF("sitemap_url", "body")
+    val robotsTxt = new String(blobs.toMap.apply("robots"), "UTF-8")
+    val robots = s.createDataset(Seq(("shop.example.com", robotsTxt))).toDF("host", "robots_txt")
+    val seen = s.createDataset(Seq("https://txt.example.com/a")).toDF("url")
+    Frontier.fromSitemaps(s, blobsDf, robots, seen, bloomExpectedSeen = 1024L)
+      .select("url")
+      .orderBy("url")
+  }
+
   def frontierOracle: String =
     "SELECT * FROM (VALUES " +
       "('http://shop.example.com/bare'), " +

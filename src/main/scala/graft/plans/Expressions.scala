@@ -162,6 +162,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.cosineSim5Descriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
   }
 }
 
@@ -184,12 +186,47 @@ object GraftExtensions {
       "cosine_sim5(a, b) - cosine similarity rounded to 5 decimals (Math.round semantics)", ""),
     (children: Seq[Expression]) => CosineSim5(children(0), children(1)))
 
+  /** Spark ships a distributed Bloom-filter build/probe pair
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the machinery
+    * behind AQE's runtime row-group filters) but registers them only in the
+    * INTERNAL function registry — SQL/`expr` can't reach them. These two
+    * descriptors surface Spark's own expressions unchanged (no reimplemented
+    * sketch): `bloom_filter_agg(xxhash64(key)[, est_items[, num_bits]])`
+    * builds the filter as a map-side-combinable aggregate, and
+    * `bloom_might_contain(bloom, xxhash64(key))` probes it. Used by
+    * [[graft.pipeline.Frontier.unseenByBloom]] to keep definitely-unseen
+    * URLs out of the seen-set anti-join shuffle. */
+  private[plans] val bloomAggDescriptor = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+      null, "bloom_filter_agg",
+      "bloom_filter_agg(xxhash64(col)[, est_items[, num_bits]]) - distributed Bloom filter build", ""),
+    (children: Seq[Expression]) => children match {
+      case Seq(c)       => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n)    => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case other => throw new IllegalArgumentException(
+        s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
+    })
+
+  private[plans] val bloomMightContainDescriptor = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+      null, "bloom_might_contain",
+      "bloom_might_contain(bloom_binary, xxhash64(col)) - Bloom filter probe (no false negatives)", ""),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   /** Register ONLY the native Catalyst expressions — the right call from
     * library code that needs an expression (e.g. the ANN scoring tail):
     * no session-wide UDF names are touched, so a user's own extract_page /
     * normalize_url registrations are never clobbered as a side effect. */
   def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(tokenCountDescriptor, cosineSimDescriptor, cosineSim5Descriptor).foreach {
+    Seq(tokenCountDescriptor, cosineSimDescriptor, cosineSim5Descriptor,
+        bloomAggDescriptor, bloomMightContainDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

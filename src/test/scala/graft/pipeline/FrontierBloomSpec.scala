@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Bloom-prefiltered seen-set subtraction ([[Frontier.unseenByBloom]]):
+  * output equality with the exact anti-join (Bloom filters have no false
+  * negatives, so the union of definitely-unseen and verified rows must be
+  * the exact anti-join, row for row), the empty-seen fast path, payload
+  * column preservation, and the plan property the operator exists for —
+  * only might-contain rows reach the join. */
+class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def urls(prefix: String, n: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map(i => (s"https://$prefix.example.com/p/$i", i.toLong))
+      .toDF("url", "payload")
+  }
+
+  test("bloom path output == exact anti-join output (planted overlap)") {
+    val s = spark; import s.implicits._
+    val candidates = urls("a", 2000)
+    // seen overlaps candidates on every 7th URL plus 500 foreign URLs
+    val seen = candidates.filter(col("payload") % 7 === 0).select("url")
+      .union(urls("other", 500).select("url"))
+    val exact = candidates.join(seen.select(col("url").as("s")),
+        col("url") === col("s"), "left_anti")
+      .select("url", "payload")
+    val bloom = Frontier.unseenByBloom(candidates, seen, "url",
+        expectedSeen = 4096L)
+      .select("url", "payload")
+    assert(bloom.count() == exact.count())
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  test("small bloom (high fpp) still yields the exact result, just more verify traffic") {
+    val s = spark; import s.implicits._
+    val candidates = urls("b", 1000)
+    val seen = candidates.filter(col("payload") % 3 === 0).select("url")
+    // expectedSeen far below reality: the filter saturates, false-positive
+    // rate climbs toward 1 — correctness must not move
+    val bloom = Frontier.unseenByBloom(candidates, seen, "url",
+      expectedSeen = 8L, fpp = 0.5)
+    assert(bloom.count() == candidates.count() - seen.count())
+    assert(bloom.filter(col("payload") % 3 === 0).count() == 0)
+  }
+
+  test("empty seen set: all candidates pass without building a join") {
+    val s = spark; import s.implicits._
+    val candidates = urls("c", 50)
+    val seen = Seq.empty[String].toDF("url")
+    val out = Frontier.unseenByBloom(candidates, seen, "url", expectedSeen = 64L)
+    assert(out.count() == 50)
+    // the empty-seen fast path returns the input frame — no join in the plan
+    assert(!out.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
+  }
+
+  test("only might-contain rows reach the anti-join (shuffle shrinks)") {
+    val s = spark; import s.implicits._
+    // spark.range (a distributed leaf) — a Seq-backed LocalRelation would
+    // let ConvertToLocalRelation evaluate the bloom filters at plan time
+    // and the very nodes under test would fold away
+    val candidates = spark.range(2000)
+      .select(concat(lit("https://d.example.com/p/"), col("id")).as("url"),
+        col("id").as("payload"))
+    val seen = candidates.filter(col("payload") < 20).select("url")
+    val out = Frontier.unseenByBloom(candidates, seen, "url",
+      expectedSeen = 1024L, fpp = 0.01)
+    out.collect() // executes THIS frame's queryExecution, so its metrics fill
+                  // (count() would build and run a separate aggregate plan)
+    // the verify join's candidate side is the positive might_contain
+    // filter: it must carry only true dups (20) plus ~fpp false positives —
+    // two orders below |candidates| (AQE-aware traversal: descend into the
+    // adaptive plan's final physical plan)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(out.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
+    val verifyFilter = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") &&
+             !f.condition.toString.trim.toUpperCase.startsWith("NOT") => f
+    }
+    assert(verifyFilter.nonEmpty, nodes.map(_.nodeName).mkString(","))
+    val joined = verifyFilter.head.metrics("numOutputRows").value
+    assert(joined >= 20 && joined <= 200, s"verify-join candidate side saw $joined rows")
+  }
+
+  test("optimalNumBits: standard sizing, floors at 64, rejects bad args") {
+    assert(Frontier.optimalNumBits(1000, 0.03) == math.ceil(
+      -1000 * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
+    assert(Frontier.optimalNumBits(1, 0.5) == 64L)
+    intercept[IllegalArgumentException](Frontier.optimalNumBits(0, 0.03))
+    intercept[IllegalArgumentException](Frontier.optimalNumBits(10, 1.5))
+  }
+
+  test("fromSitemaps(bloomExpectedSeen>0) matches the exact frontier") {
+    val exact = SitemapFixture.frontierDf(spark).collect().map(_.getString(0)).toSeq
+    val bloom = SitemapFixture.frontierBloomDf(spark).collect().map(_.getString(0)).toSeq
+    assert(bloom == exact)
+  }
+
+  test("bloom_filter_agg / bloom_might_contain are reachable from SQL") {
+    graft.plans.GraftExtensions.registerNative(spark)
+    val s = spark; import s.implicits._
+    Seq("a", "b", "c").toDF("k").createOrReplaceTempView("bloom_keys")
+    val bf = spark.sql(
+      "SELECT bloom_filter_agg(xxhash64(k), 16L, 1024L) AS bf FROM bloom_keys")
+      .head.getAs[Array[Byte]](0)
+    assert(bf != null && bf.nonEmpty)
+    val probes = Seq("a", "zzz").toDF("k")
+    val hit = probes.select(
+      call_function("bloom_might_contain", lit(bf), xxhash64(col("k"))).as("hit"))
+      .as[Boolean].collect()
+    assert(hit(0)) // 'a' was inserted: must hit (no false negatives)
+  }
+}
