@@ -89,6 +89,36 @@ object IncrementalDedup {
     r.ledger
   }
 
+  /** Exactly-once micro-batch commit for Structured Streaming's
+    * `foreachBatch` (which is AT-LEAST-once: a failed trigger replays the
+    * same batchId). The store layout is batch-partitioned —
+    * `dir/{hashes,sigs}/ingest_batch=<batchId>/` — and a replay is
+    * idempotent by construction: it (a) opens the history EXCLUDING its
+    * own partition, so a torn previous attempt can never dedup the batch
+    * against itself, and (b) OVERWRITES only its own partition, so final
+    * state is identical however many times the batchId runs. `sigs` is
+    * written before `hashes` (the [[appendToStore]] ordering rationale).
+    * Do NOT mix this layout with [[appendToStore]]'s flat files in one
+    * store dir — partition discovery rejects the mixture. */
+  def dedupeAndCommitIdempotent(batch: DataFrame, idCol: String, textCol: String,
+                                dir: String, batchId: Long,
+                                shingleN: Int = 3, minhashK: Int = 64, bandSize: Int = 4,
+                                jaccardThreshold: Double = 0.8, estFloor: Double = 0.55,
+                                maxBucket: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val opened = openStore(spark, dir)
+    def ownPartitionExcluded(df: DataFrame): DataFrame =
+      if (df.columns.contains("ingest_batch"))
+        df.filter(col("ingest_batch") =!= batchId).drop("ingest_batch")
+      else df
+    val hist = Index(ownPartitionExcluded(opened.hashes), ownPartitionExcluded(opened.sigs))
+    val r = dedupeBatch(batch, idCol, textCol, hist,
+      shingleN, minhashK, bandSize, jaccardThreshold, estFloor, maxBucket)
+    r.delta.sigs.write.mode("overwrite").parquet(s"$dir/sigs/ingest_batch=$batchId")
+    r.delta.hashes.write.mode("overwrite").parquet(s"$dir/hashes/ingest_batch=$batchId")
+    r.ledger
+  }
+
   /** Dedup one batch against itself and the history; returns the batch
     * ledger `(id, kept, stage, reason)` with stage ∈ {"", exact_dup_hist,
     * exact_dup_batch, near_dup_hist, near_dup_batch} plus the index DELTA.

@@ -63,6 +63,33 @@ object StreamingExtract {
       .toDF("url", "status", "keep", "reasons")
   }
 
+  /** Continuous ingest with DURABLE cross-batch dedup: a `foreachBatch`
+    * sink function running each extracted micro-batch through
+    * [[graft.ops.IncrementalDedup.dedupeAndCommitIdempotent]]. The parquet
+    * history store — NOT Spark's state store — is the dedup state: it
+    * outlives the query, its checkpoint, and the session, is shared with
+    * batch ingest loops over the same store, and is never bounded by a
+    * watermark (the in-state `dedupStream`/`nearDupStream` trade recall
+    * for bounded state; this sink trades a per-batch store join for full
+    * history). foreachBatch is AT-LEAST-once on failure; the commit is
+    * keyed by micro-batch id and overwrite-idempotent, so a replayed
+    * trigger converges to the same store and ledger instead of
+    * double-counting. Ledger rows land batch-partitioned under
+    * `ledgerDir/ingest_batch=<id>/`, overwritten on replay for the same
+    * reason. Usage:
+    * {{{
+    * extractStream(spark, in).writeStream
+    *   .foreachBatch(StreamingExtract.incrementalDedupSink(store, ledger))
+    *   .option("checkpointLocation", ckpt).start()
+    * }}} */
+  def incrementalDedupSink(storeDir: String, ledgerDir: String)
+      : (Dataset[ScrapedRow], Long) => Unit = { (batch, batchId) =>
+    val ledger = graft.ops.IncrementalDedup.dedupeAndCommitIdempotent(
+      batch.toDF().select(col("url"), col("normalized_text")),
+      "url", "normalized_text", storeDir, batchId)
+    ledger.write.mode("overwrite").parquet(s"$ledgerDir/ingest_batch=$batchId")
+  }
+
   /** Stateful monitor: pages per host per 1-minute window, watermarked so
     * state is bounded (late data beyond 5 minutes dropped). */
   def hostRateStream(spark: SparkSession, inputDir: String): DataFrame = {

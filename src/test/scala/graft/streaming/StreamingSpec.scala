@@ -256,6 +256,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("durable incremental-dedup sink: cross-batch drops, replay idempotence") {
+    val sp = spark
+    import sp.implicits._
+    import graft.pipeline.IncDedupFixture
+    val in = java.nio.file.Files.createTempDirectory("graft_incsink_in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_incsink_st").toString
+    val ledger = java.nio.file.Files.createTempDirectory("graft_incsink_ld").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def pageOf(id: String, body: String) = graft.pipeline.PageRow(
+      s"https://inc.example.com/$id", ts,
+      s"<html><head><title>$id</title></head><body><p>$body</p></body></html>".getBytes("UTF-8"),
+      "", "en")
+
+    // micro-batch 0: the fixture's batch-1 corpus (h3 near-dups h1 in-batch)
+    IncDedupFixture.batch1.map { case (id, b) => pageOf(id, b) }
+      .toDS().repartition(1).write.mode("overwrite").parquet(in)
+    val q = StreamingExtract.extractStream(spark, in, maxFilesPerTrigger = 8)
+      .writeStream
+      .foreachBatch(StreamingExtract.incrementalDedupSink(store, ledger))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_incsink_ck").toString)
+      .start()
+    q.processAllAvailable()
+
+    // micro-batch 1: batch-2 corpus — x1 exact-copies h1, x2 near-dups h2,
+    // both accepted in micro-batch 0: the HISTORY must catch them
+    IncDedupFixture.batch2.map { case (id, b) => pageOf(id, b) }
+      .toDS().repartition(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    def ledgerRows() = spark.read.parquet(ledger)
+      .select("id", "kept", "stage", "ingest_batch").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getInt(3))).toSet
+    val rows = ledgerRows()
+    assert(rows.size == 9)
+    assert(rows.exists { case (id, kept, stage, b) =>
+      id.endsWith("/x1") && !kept && stage == "exact_dup_hist" && b == 1 })
+    assert(rows.exists { case (id, kept, stage, b) =>
+      id.endsWith("/x2") && !kept && stage == "near_dup_hist" && b == 1 })
+    assert(rows.exists { case (id, kept, stage, _) =>
+      id.endsWith("/h3") && !kept && stage == "near_dup_batch" })
+    assert(rows.count(_._2) == 4) // h1 h2 x3 x6 accepted, as in the fixture
+
+    val storeBefore = graft.ops.IncrementalDedup.openStore(spark, store)
+    val hashesBefore = storeBefore.hashes.collect().map(_.toString).sorted.toSeq
+
+    // REPLAY micro-batch 1 (foreachBatch is at-least-once): rerun the sink
+    // fn with the same batchId over the same extracted rows — ledger and
+    // store must be unchanged, not double-counted
+    val replayRows = IncDedupFixture.batch2.map { case (id, b) => pageOf(id, b) }
+    val replayed = spark.createDataset(replayRows)
+      .map(p => graft.pipeline.ExtractJob.scrapeAny(p.url, p.html))
+    StreamingExtract.incrementalDedupSink(store, ledger)(replayed, 1L)
+    assert(ledgerRows() == rows, "replayed batch must leave the ledger unchanged")
+    val hashesAfter = graft.ops.IncrementalDedup.openStore(spark, store)
+      .hashes.collect().map(_.toString).sorted.toSeq
+    assert(hashesAfter == hashesBefore, "replayed batch must leave the store unchanged")
+  }
+
   test("quality-gate stream verdicts equal the batch pass over the same pages") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
     val sp0 = spark
