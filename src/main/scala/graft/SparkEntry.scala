@@ -921,6 +921,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Deterministic seeded corpus shuffle (ops/Pack.seededShuffle): the
+    // shuffle-before-pack step — reproducible interleaving independent of
+    // cluster size. Cross-engine oracle: DuckDB computes the identical
+    // MINSTD-mod-Mersenne + xor-shift key chain and window rank.
+    "doc_shuffle" -> ((s, dir) =>
+      graft.ops.Pack.seededShuffle(docs(s, dir), "doc_id",
+          seed = 2026L, numShards = 8)
+        .orderBy("id")),
+
     // Corpus census: the per-(lang, source) aggregate a training-mix
     // curator reads first — doc counts, char mass, exact-dup profile.
     // Plain hash-agg (map-side combine); scale-safe at any corpus size.
@@ -1631,6 +1640,19 @@ object SparkEntry {
        "(CASE WHEN tokens > 0 THEN (cum_before + tokens - 1) // 512 " +
        "ELSE cum_before // 512 END) > cum_before // 512 AS straddles " +
        "FROM c ORDER BY id"),
+
+    "doc_shuffle" ->
+      // the identical MINSTD-mod-(2^31-1) + xor-shift chain, seed 2026,
+      // 8 shards; every intermediate < 2^31 so 64-bit products are exact
+      ("WITH t AS (SELECT doc_id AS id, " +
+       "((doc_id + 2026) % 2147483647 + 2147483647) % 2147483647 AS x0 FROM documents), " +
+       "a AS (SELECT id, (48271 * x0) % 2147483647 AS x1 FROM t), " +
+       "b AS (SELECT id, xor(x1, x1 >> 15) AS x2 FROM a), " +
+       "c AS (SELECT id, (69621 * x2) % 2147483647 AS x3 FROM b), " +
+       "k AS (SELECT id, xor(x3, x3 >> 13) AS skey FROM c) " +
+       "SELECT id, skey, skey % 8 AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, id) AS INT) AS pos " +
+       "FROM k ORDER BY id"),
 
     "doc_corpus_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +

@@ -23,6 +23,42 @@ import org.apache.spark.sql.functions._
  */
 object Pack {
 
+  /** Deterministic seeded corpus shuffle — the shuffle-before-pack step of
+    * a training run. Sequential crawl ids are heavily correlated (host,
+    * time, topic); training wants them interleaved, REPRODUCIBLY: the same
+    * (corpus, seed) must give the same order on any cluster size, so
+    * `rand()` is out. Each id gets a mix key from two MINSTD
+    * multiplicative rounds mod the Mersenne prime 2^31-1 with xor-shift
+    * stirring between them — every intermediate stays below 2^31, so the
+    * 64-bit products never overflow (ANSI-safe in Spark, and the identical
+    * expression runs in DuckDB: this operator is oracle-checked
+    * cross-engine, not just self-consistent). Not cryptographic; ids
+    * congruent mod 2^31-1 collide — the (skey, id) order stays total and
+    * deterministic regardless.
+    *
+    * Output: `(id, skey, shard, pos)` — `shard = skey mod numShards`
+    * (size-balanced since skey is uniform-ish), `pos` the 1-based rank by
+    * `(skey, id)` within the shard. At corpus scale `pos` is one shuffle +
+    * per-shard sort (each shard is a training file — the write pattern is
+    * `repartition($"shard").sortWithinPartitions($"skey", $"id")`, which
+    * skips the window entirely); the key derivation itself is a narrow
+    * codegen'd projection. */
+  def seededShuffle(docs: DataFrame, idCol: String, seed: Long,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val M = 2147483647L // 2^31 - 1
+    val base = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("x0", pmod(col("id") + lit(seed), lit(M)))
+      .withColumn("x1", expr(s"(48271L * x0) % ${M}L"))
+      .withColumn("x2", expr("x1 ^ shiftright(x1, 15)"))
+      .withColumn("x3", expr(s"(69621L * x2) % ${M}L"))
+      .withColumn("skey", expr("x3 ^ shiftright(x3, 13)"))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("id"))
+    base.withColumn("pos", row_number().over(w))
+      .select("id", "skey", "shard", "pos")
+  }
+
   def concatChunk(docs: DataFrame, idCol: String, tokenCol: String,
                   budget: Int, numShards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")

@@ -67,4 +67,43 @@ class PackSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("seededShuffle: same (corpus, seed) ⇒ same order at any parallelism") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 500L).map(i => Tuple1(i)).toDF("doc")
+    val a = Pack.seededShuffle(docs.repartition(2), "doc", 42L, 8)
+      .orderBy("id").collect().toSeq
+    val b = Pack.seededShuffle(docs.repartition(11), "doc", 42L, 8)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("seededShuffle: breaks sequential-id order and responds to the seed") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 1000L).map(i => Tuple1(i)).toDF("doc")
+    val bySeed = (seed: Long) => Pack.seededShuffle(docs, "doc", seed, 4)
+      .orderBy("shard", "pos").collect().map(_.getLong(0)).toSeq
+    val s1 = bySeed(1L)
+    val s2 = bySeed(2L)
+    assert(s1 != s2, "different seeds must produce different orders")
+    // sequential ids must land far apart: within the first shard's order,
+    // neighbors are consecutive ids only by coincidence (allow a few)
+    val consecutive = s1.sliding(2).count { case Seq(p, q) => q == p + 1; case _ => false }
+    assert(consecutive < 20, s"order still sequential: $consecutive adjacent id pairs")
+  }
+
+  test("seededShuffle: shards are size-balanced and pos is a contiguous rank") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 4000L).map(i => Tuple1(i)).toDF("doc")
+    val out = Pack.seededShuffle(docs, "doc", 7L, 8).collect()
+      .map(r => (r.getLong(2), r.getInt(3)))
+    val sizes = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes.size == 8)
+    assert(sizes.values.max <= sizes.values.min * 1.3,
+      s"shard skew: $sizes") // uniform-ish keys ⇒ ±30% at n=4000
+    sizes.foreach { case (shard, n) =>
+      val ranks = out.filter(_._1 == shard).map(_._2).sorted
+      assert(ranks.toSeq == (1 to n).toSeq, s"shard $shard ranks not contiguous")
+    }
+  }
 }
