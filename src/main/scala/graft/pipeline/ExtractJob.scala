@@ -405,8 +405,19 @@ object ExtractJob {
    * Checkpointed, resumable run (north rule): skips urls already present in
    * `outDir` via a left-anti join on the checkpoint's url set (column-pruned
    * read), appends new results, and writes the per-partition manifest.
+   *
+   * `bloomExpectedDone > 0` routes the skip through
+   * [[Frontier.unseenByBloom]]: the anti-join's candidate side carries the
+   * FULL page rows (html binary included), so on a mostly-fresh rerun the
+   * plain shape shuffles the whole corpus to discover almost nothing is
+   * done. The bloom path trades that shuffle for a second narrow pass over
+   * the input scan — only might-done rows (true resumed urls + ~fpp false
+   * positives) ride the verify join. Output rows are identical either way
+   * (no false negatives), pinned by SparkJobSpec.
    */
-  def runResumable(spark: SparkSession, pages: Dataset[PageRow], outDir: String, numPartitions: Int, runId: String): ManifestSummary = {
+  def runResumable(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+                   numPartitions: Int, runId: String,
+                   bloomExpectedDone: Long = 0L): ManifestSummary = {
     import spark.implicits._
     // checkpoint detection through the SAME filesystem abstraction the
     // reads/writes use — a java.io.File check is false for scheme-qualified
@@ -417,7 +428,10 @@ object ExtractJob {
     val todo: Dataset[PageRow] =
       if (hfs.exists(dataPath)) {
         val done = spark.read.parquet(dataPath.toString).select("url")
-        pages.join(done, Seq("url"), "left_anti").as[PageRow]
+        if (bloomExpectedDone > 0L)
+          Frontier.unseenByBloom(pages.toDF(), done, "url", bloomExpectedDone)
+            .as[PageRow]
+        else pages.join(done, Seq("url"), "left_anti").as[PageRow]
       } else pages
 
     val counters = newCounters(spark)
