@@ -57,6 +57,34 @@ object AnnIndex {
     centroids
   }
 
+  /** Incremental index ingest: assign NEW vectors to the EXISTING (frozen)
+    * coarse quantizer and append them to the bucketed assignment table —
+    * the standard IVF ingest shape. No retrain, no rewrite of the indexed
+    * corpus; commit cost is O(new vectors) however large the index has
+    * grown (the [[graft.ops.IncrementalDedup]] store economics). Queries
+    * see old + new immediately, and the append reuses the table's OWN
+    * bucket spec from the catalog so the probe join stays exchange-free —
+    * a mismatched hand-passed bucket count could silently split cells
+    * across incompatible bucketings. Quantizer drift (new data far from
+    * the frozen centroids piling into few cells) is a REBUILD decision:
+    * watch cell occupancy with a census over the assignment table. */
+  def append(emb: Dataset[(Long, Array[Float])], tableName: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$tableName has no bucket spec — not an AnnIndex table"))
+    val cB = spark.sparkContext.broadcast(loadCentroids(spark, tableName))
+    emb.toDF("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, Ann.nearestCentroid(v, cB.value)) }
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("append")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(tableName)
+  }
+
   /** Centroids of a built index, cell-ordered. */
   def loadCentroids(spark: SparkSession, tableName: String): Array[Array[Float]] = {
     import spark.implicits._
