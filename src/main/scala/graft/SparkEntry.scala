@@ -952,6 +952,17 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("nib"))
       .orderBy("doc_id")),
 
+    // Stratified deterministic sampling (Curate.stratifiedSample):
+    // training-mix composition — per-language keep rates, content-keyed so
+    // the sample is cluster-size independent and never splits a dup family.
+    // Cross-engine oracle: DuckDB applies the same hex-threshold CASE.
+    "doc_mix_sample" -> ((s, dir) =>
+      graft.pipeline.Curate.stratifiedSample(docs(s, dir), "text", "lang",
+          Map("en" -> 0.25, "zh" -> 0.75), defaultRate = 0.125)
+        .select(col("doc_id"), col("lang"),
+          expr("substring(sha2(text, 256), 1, 8)").as("h8"))
+        .orderBy("doc_id")),
+
     "media_features" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 2000)
@@ -1664,6 +1675,14 @@ object SparkEntry {
       ("SELECT doc_id, lang, substr(sha256(text), 1, 1) AS nib FROM documents " +
        "WHERE (lang = 'en' AND substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')) " +
        "OR (lang <> 'en' AND substr(sha256(text), 1, 1) = '0') ORDER BY doc_id"),
+
+    "doc_mix_sample" ->
+      // thresholds = lowercase 8-hex of floor(rate * 2^32): en 0.25 →
+      // 40000000, zh 0.75 → c0000000, default 0.125 → 20000000
+      ("SELECT doc_id, lang, substr(sha256(text), 1, 8) AS h8 FROM documents " +
+       "WHERE substr(sha256(text), 1, 8) < " +
+       "CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000' ELSE '20000000' END " +
+       "ORDER BY doc_id"),
 
     // Word-level repetition signals, reproduced exactly in DuckDB: words =
     // regexp-split on \s+ of trimmed text, sliced to the SAME

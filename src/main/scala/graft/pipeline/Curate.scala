@@ -40,6 +40,42 @@ object Curate {
       estFloor: Double = 0.55,
       jaccardThreshold: Double = 0.8)
 
+  /** Deterministic stratified sampling — training-mix composition: keep a
+    * different fraction of each stratum (language, source, quality tier) so
+    * the sampled corpus hits a target mix. The keep decision is a pure
+    * function of the CONTENT (first 8 hex chars of sha256(text), compared
+    * lexicographically against the stratum's rate threshold — lowercase
+    * fixed-width hex compares numerically), so:
+    *
+    *  - the same (corpus, rates) gives the same sample on any cluster size
+    *    or partitioning — no `sample()`/rand() nondeterminism;
+    *  - identical texts sample identically (content-keyed, like
+    *    `doc_sample`), so a sample never splits an exact-dup family;
+    *  - resolution is 2^32 (rate quantized to floor(rate·2^32)/2^32).
+    *
+    * Rates join in via one broadcast side table (strata counts are small by
+    * definition); unknown strata fall back to `defaultRate`. The filter is
+    * a narrow codegen'd projection over the scan — scale-free. */
+  def stratifiedSample(docs: DataFrame, textCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // "g" sorts above every hex char: rate 1.0 keeps ALL rows (a 2^32
+    // threshold doesn't fit 8 hex chars)
+    def thr(rate: Double): String =
+      if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+    val thrDf = rates.toSeq.map { case (k, v) => (k, thr(v)) }
+      .toDF("__stratum", "__thr")
+    docs
+      .join(broadcast(thrDf), docs(strataCol) === col("__stratum"), "left")
+      .withColumn("__thr", coalesce(col("__thr"), lit(thr(defaultRate))))
+      .filter(expr(s"substring(sha2($textCol, 256), 1, 8)") < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Run the ledger pipeline over `(idCol, textCol)` rows. The returned
     * ledger is materialized (eager localCheckpoint) so the internal
     * persisted intermediates can be released before returning — repeated

@@ -58,4 +58,40 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Curate.curate(input, "doc", "body", cfg).collect()
     assert(out.forall(r => !r.getBoolean(1) && r.getString(2) == "quality"))
   }
+
+  test("stratifiedSample: rates honored within binomial noise; deterministic") {
+    val s = spark; import s.implicits._
+    val docs = (1 to 4000).map(i =>
+      (i.toLong, s"document body number $i with unique content",
+       if (i % 2 == 0) "en" else "fr")).toDF("doc", "body", "lang")
+    val rates = Map("en" -> 0.5, "fr" -> 0.125)
+    val out = Curate.stratifiedSample(docs, "body", "lang", rates, 0.0)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum: en expect ~1000 (±150), fr ~250 (±80)
+    assert(byLang("en") > 850 && byLang("en") < 1150, s"en: ${byLang("en")}")
+    assert(byLang("fr") > 170 && byLang("fr") < 330, s"fr: ${byLang("fr")}")
+    // deterministic across partitioning
+    val again = Curate.stratifiedSample(docs.repartition(13), "body", "lang", rates, 0.0)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.select("doc").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("stratifiedSample: rate 1.0 keeps all, rate 0.0 keeps none, default applies") {
+    val s = spark; import s.implicits._
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"text $i", Seq("a", "b", "c")(i % 3))).toDF("doc", "body", "st")
+    val out = Curate.stratifiedSample(docs, "body", "st",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 1.0)
+    val byStratum = out.groupBy("st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum.getOrElse("a", 0L) == 100L)   // rate 1.0: every row
+    assert(!byStratum.contains("b"))               // rate 0.0: none
+    assert(byStratum.getOrElse("c", 0L) == 100L)   // default 1.0
+    // identical texts sample identically: duplicate of a kept doc is kept
+    val dup = (1 to 100).map(i => (i.toLong, "same body", "a"))
+      .toDF("doc", "body", "st")
+    val kept = Curate.stratifiedSample(dup, "body", "st", Map("a" -> 0.5), 0.0).count()
+    assert(kept == 0L || kept == 100L, "a dup family must sample atomically")
+  }
 }
