@@ -933,13 +933,8 @@ object SparkEntry {
     // Corpus census: the per-(lang, source) aggregate a training-mix
     // curator reads first — doc counts, char mass, exact-dup profile.
     // Plain hash-agg (map-side combine); scale-safe at any corpus size.
-    "doc_corpus_stats" -> ((s, dir) => docs(s, dir)
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).cast("long").as("sum_chars"),
-        countDistinct(expr("substring(sha2(text, 256), 1, 32)")).as("n_distinct_texts"),
-        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-      .orderBy("lang", "source")),
+    "doc_corpus_stats" -> ((s, dir) =>
+      graft.ops.Census.exact(docs(s, dir), Seq("lang", "source"))),
 
     // Content-hash Bernoulli sampling: a doc is kept iff the first hex
     // nibble of sha256(text) falls in the stratum's accept set (en ≈ 25%,
