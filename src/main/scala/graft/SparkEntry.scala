@@ -754,6 +754,14 @@ object SparkEntry {
     // same frontier through the Bloom-prefiltered seen-set (no false
     // negatives ⇒ output must hash-match the exact path's oracle verbatim)
     "sitemap_frontier_bloom" -> ((s, dir) => SitemapFixture.frontierBloomDf(s)),
+    // politeness interleave (Frontier.interleaveByHost) over the documents
+    // table with source standing in for host — host_seq is the per-host
+    // fetch round; a fetch loop consumes ORDER BY (host_seq, host)
+    "frontier_interleave" -> ((s, dir) =>
+      graft.pipeline.Frontier.interleaveByHost(
+          docs(s, dir).select(col("doc_id"), col("source")), "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("host_seq"))
+        .orderBy("host_seq", "source", "doc_id")),
 
     // fixture-anchored oracles for the 3 formerly rows-only text-analysis
     // ops (VERDICT r3 #4) — expected cells independently derived by hand /
@@ -2079,6 +2087,10 @@ object SparkEntry {
     "sitemap_fixture" -> SitemapFixture.fixtureOracle,
     "sitemap_frontier" -> SitemapFixture.frontierOracle,
     "sitemap_frontier_bloom" -> SitemapFixture.frontierOracle,
+    "frontier_interleave" ->
+      ("SELECT doc_id, source, CAST(row_number() OVER " +
+       "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS host_seq " +
+       "FROM documents ORDER BY host_seq, source, doc_id"),
 
     "embed_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5), " +

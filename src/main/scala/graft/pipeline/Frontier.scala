@@ -165,6 +165,24 @@ object Frontier {
     definitelyUnseen.unionByName(verified)
   }
 
+  /** Politeness interleave — the SCHEDULING step after frontier
+    * construction: adds `host_seq`, the 1-based fetch round of each URL
+    * within its host (deterministic: ordered by `urlCol`). A fetch loop
+    * consumes the frontier `ORDER BY (host_seq, host)` — round 1 visits
+    * every host once, then round 2, … — so consecutive requests to one
+    * host are always a full round apart and a mega-host cannot dominate
+    * the head of the queue. Deliberately NO global row number: a global
+    * `row_number()` window is a single-task sort, while `orderBy` on
+    * (host_seq, host) is Spark's range-partitioned sort — the scale
+    * shape. The per-host window itself shuffles by host, same key the
+    * frontier already grouped on. */
+  def interleaveByHost(frontier: DataFrame, hostCol: String = "host",
+                       urlCol: String = "url"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(urlCol))
+    frontier.withColumn("host_seq", row_number().over(w).cast("long"))
+  }
+
   /** Child sitemap URLs of index files — the caller's fetch-and-recurse
     * worklist `(parent, child)`. */
   def childSitemaps(spark: SparkSession, blobs: DataFrame): DataFrame = {

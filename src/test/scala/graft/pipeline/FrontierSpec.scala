@@ -93,6 +93,33 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(urls == Set("https://shop.example.com/open/page"))
   }
 
+  test("interleaveByHost: rounds rotate hosts; a mega-host cannot dominate the head") {
+    val s = spark; import s.implicits._
+    // 1 mega-host with 50 urls + 5 small hosts with 2 each
+    val rows = (1 to 50).map(i => (f"https://mega.example.com/p$i%03d", "mega.example.com")) ++
+      (1 to 5).flatMap(h => (1 to 2).map(i =>
+        (s"https://h$h.example.com/p$i", s"h$h.example.com")))
+    val frontier = rows.toDF("url", "host")
+    val out = Frontier.interleaveByHost(frontier)
+      .orderBy("host_seq", "host", "url").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // rounds 1 and 2: all 6 hosts present, so the first 12 fetches visit
+    // every host twice with no host twice in a row
+    val first12 = out.take(12)
+    assert(first12.count(_._1 == "mega.example.com") == 2)
+    first12.sliding(2).foreach { case Array((h1, _), (h2, _)) =>
+      assert(h1 != h2, s"adjacent fetches hit the same host: $h1")
+    }
+    // per-host seq is contiguous from 1
+    out.groupBy(_._1).foreach { case (h, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"host $h")
+    }
+    // deterministic across partitioning
+    val again = Frontier.interleaveByHost(frontier.repartition(7))
+      .orderBy("host_seq", "host", "url").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("repeated URLs across sitemaps collapse deterministically to max lastmod/priority") {
     val s = spark; import s.implicits._
     val sm1 = ("<urlset><url><loc>https://x.example.com/a</loc>" +
