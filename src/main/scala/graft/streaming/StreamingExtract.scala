@@ -84,10 +84,25 @@ object StreamingExtract {
     * }}} */
   def incrementalDedupSink(storeDir: String, ledgerDir: String)
       : (Dataset[ScrapedRow], Long) => Unit = { (batch, batchId) =>
+    val rows = batch.toDF()
+      .select(col("url"), col("status"), col("normalized_text"))
+      .localCheckpoint(true) // two consumers below; a foreachBatch frame
+                             // re-executes its micro-batch source otherwise
+    // only successfully-extracted, non-empty documents enter dedup: failed
+    // and empty rows all share normalized_text = "" and would collapse into
+    // one "kept" row + N bogus exact-dups (the same rule dedupStream pins:
+    // error rows pass through, never collapse)
+    val dedupable = rows
+      .filter(col("status") === "ok" && length(col("normalized_text")) > 0)
+      .select("url", "normalized_text")
     val ledger = graft.ops.IncrementalDedup.dedupeAndCommitIdempotent(
-      batch.toDF().select(col("url"), col("normalized_text")),
-      "url", "normalized_text", storeDir, batchId)
-    ledger.write.mode("overwrite").parquet(s"$ledgerDir/ingest_batch=$batchId")
+      dedupable, "url", "normalized_text", storeDir, batchId)
+    val passthrough = rows
+      .filter(col("status") =!= "ok" || length(col("normalized_text")) === 0)
+      .select(col("url").as("id"), lit(true).as("kept"),
+        lit("error_passthrough").as("stage"), col("status").as("reason"))
+    ledger.unionByName(passthrough)
+      .write.mode("overwrite").parquet(s"$ledgerDir/ingest_batch=$batchId")
   }
 
   /** Stateful monitor: pages per host per 1-minute window, watermarked so

@@ -269,8 +269,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"<html><head><title>$id</title></head><body><p>$body</p></body></html>".getBytes("UTF-8"),
       "", "en")
 
+    // an empty-html page per batch: both must PASS THROUGH kept (they share
+    // normalized_text = "" — unguarded they'd collapse as exact dups)
+    def brokenPage(id: String) = graft.pipeline.PageRow(
+      s"https://inc.example.com/$id", ts, Array.empty[Byte], "", "en")
+
     // micro-batch 0: the fixture's batch-1 corpus (h3 near-dups h1 in-batch)
-    IncDedupFixture.batch1.map { case (id, b) => pageOf(id, b) }
+    (IncDedupFixture.batch1.map { case (id, b) => pageOf(id, b) } :+ brokenPage("bad1"))
       .toDS().repartition(1).write.mode("overwrite").parquet(in)
     val q = StreamingExtract.extractStream(spark, in, maxFilesPerTrigger = 8)
       .writeStream
@@ -282,7 +287,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // micro-batch 1: batch-2 corpus — x1 exact-copies h1, x2 near-dups h2,
     // both accepted in micro-batch 0: the HISTORY must catch them
-    IncDedupFixture.batch2.map { case (id, b) => pageOf(id, b) }
+    (IncDedupFixture.batch2.map { case (id, b) => pageOf(id, b) } :+ brokenPage("bad2"))
       .toDS().repartition(1).write.mode("append").parquet(in)
     q.processAllAvailable()
     q.stop()
@@ -291,14 +296,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id", "kept", "stage", "ingest_batch").collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getInt(3))).toSet
     val rows = ledgerRows()
-    assert(rows.size == 9)
+    assert(rows.size == 11)
+    // the two empty-content pages pass through kept in THEIR OWN batches —
+    // they never enter the dedup chain, so bad2 cannot exact-dup bad1
+    assert(rows.exists { case (id, kept, stage, b) =>
+      id.endsWith("/bad1") && kept && stage == "error_passthrough" && b == 0 })
+    assert(rows.exists { case (id, kept, stage, b) =>
+      id.endsWith("/bad2") && kept && stage == "error_passthrough" && b == 1 })
     assert(rows.exists { case (id, kept, stage, b) =>
       id.endsWith("/x1") && !kept && stage == "exact_dup_hist" && b == 1 })
     assert(rows.exists { case (id, kept, stage, b) =>
       id.endsWith("/x2") && !kept && stage == "near_dup_hist" && b == 1 })
     assert(rows.exists { case (id, kept, stage, _) =>
       id.endsWith("/h3") && !kept && stage == "near_dup_batch" })
-    assert(rows.count(_._2) == 4) // h1 h2 x3 x6 accepted, as in the fixture
+    assert(rows.count(_._2) == 6) // h1 h2 x3 x6 accepted + 2 passthroughs
 
     val storeBefore = graft.ops.IncrementalDedup.openStore(spark, store)
     val hashesBefore = storeBefore.hashes.collect().map(_.toString).sorted.toSeq
@@ -306,7 +317,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // REPLAY micro-batch 1 (foreachBatch is at-least-once): rerun the sink
     // fn with the same batchId over the same extracted rows — ledger and
     // store must be unchanged, not double-counted
-    val replayRows = IncDedupFixture.batch2.map { case (id, b) => pageOf(id, b) }
+    val replayRows = IncDedupFixture.batch2.map { case (id, b) => pageOf(id, b) } :+
+      brokenPage("bad2")
     val replayed = spark.createDataset(replayRows)
       .map(p => graft.pipeline.ExtractJob.scrapeAny(p.url, p.html))
     StreamingExtract.incrementalDedupSink(store, ledger)(replayed, 1L)
