@@ -76,12 +76,14 @@ object AnnIndex {
     val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
       s"$tableName has no bucket spec — not an AnnIndex table"))
     val cB = spark.sparkContext.broadcast(loadCentroids(spark, tableName))
-    emb.toDF("vec_id", "embedding").as[(Long, Array[Float])]
+    val assigned = emb.toDF("vec_id", "embedding").as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, Ann.nearestCentroid(v, cB.value)) }
       .toDF("vec_id", "embedding", "cell")
       .write.mode("append")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
-      .sortBy(spec.sortColumnNames.head)
+    // mirror the table's own sort spec (absent on a bucketed-only table)
+    spec.sortColumnNames.headOption
+      .fold(assigned)(s => assigned.sortBy(s, spec.sortColumnNames.tail: _*))
       .saveAsTable(tableName)
   }
 

@@ -107,11 +107,22 @@ object Frontier {
       .select("url", "host", "lastmod", "priority")
   }
 
+  /** One filter may hold at most 2^31 bits (256 MiB): the sketch is a
+    * DRIVER-side literal broadcast into the probe filter, so its size must
+    * stay bounded no matter what `expectedSeen` a caller passes. 2^31 bits
+    * covers ~3×10^8 items at 3% fpp; beyond that, shard the seen-set by
+    * `pmod(xxhash64(url), k)` and build k filters (or accept a higher fpp —
+    * under-sizing costs verify-join traffic, never correctness). */
+  val MaxBloomBits: Long = 1L << 31
+
   /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`
-    * (the standard m = -n·ln(p)/ln(2)² sizing BloomFilter.create uses). */
+    * (the standard m = -n·ln(p)/ln(2)² sizing BloomFilter.create uses),
+    * clamped to [[MaxBloomBits]] — a clamped filter degrades fpp, not
+    * correctness. */
   def optimalNumBits(n: Long, fpp: Double): Long = {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
-    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      .max(64L).min(MaxBloomBits)
   }
 
   /** `candidates LEFT ANTI seen` on `urlCol` — same OUTPUT as the plain

@@ -112,6 +112,9 @@ class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Frontier.optimalNumBits(1000, 0.03) == math.ceil(
       -1000 * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
     assert(Frontier.optimalNumBits(1, 0.5) == 64L)
+    // a web-scale expectedSeen clamps to the driver-safe sketch ceiling
+    // (degrading fpp, never correctness) instead of sizing a GB literal
+    assert(Frontier.optimalNumBits(1L << 40, 0.01) == Frontier.MaxBloomBits)
     intercept[IllegalArgumentException](Frontier.optimalNumBits(0, 0.03))
     intercept[IllegalArgumentException](Frontier.optimalNumBits(10, 1.5))
   }
