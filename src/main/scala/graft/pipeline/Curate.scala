@@ -76,6 +76,24 @@ object Curate {
       .drop("__stratum", "__thr")
   }
 
+  /** Closed-form sampling rates from a census against a per-stratum mass
+    * budget: `rate(s) = min(1, target(s) / available(s))`. Collects only
+    * the census (one row per stratum — small by definition), never data;
+    * strata missing a target get no rate (pair with
+    * [[stratifiedSample]]'s `defaultRate`). A target above the available
+    * mass caps at 1.0 — sampling cannot mint data; upsampling/epochs are a
+    * training-loop decision, not a corpus one. Rates are mass-ratio
+    * approximations: the sampled MASS lands within binomial noise of the
+    * target (CurateSpec pins it end-to-end census → rates → sample). */
+  def ratesForBudget(census: DataFrame, strataCol: String, massCol: String,
+                     targets: Map[String, Double]): Map[String, Double] =
+    census.select(col(strataCol).cast("string"), col(massCol).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .flatMap { case (s, avail) =>
+        targets.get(s).map(t =>
+          s -> (if (avail <= 0.0) 0.0 else math.min(1.0, t / avail)))
+      }
+
   /** Run the ledger pipeline over `(idCol, textCol)` rows. The returned
     * ledger is materialized (eager localCheckpoint) so the internal
     * persisted intermediates can be released before returning — repeated

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, length, sum}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -93,5 +94,28 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc", "body", "st")
     val kept = Curate.stratifiedSample(dup, "body", "st", Map("a" -> 0.5), 0.0).count()
     assert(kept == 0L || kept == 100L, "a dup family must sample atomically")
+  }
+
+  test("census → ratesForBudget → sample: sampled mass lands near the targets") {
+    val s = spark; import s.implicits._
+    // two strata with known char mass: en 2000 docs × 40 chars = 80k,
+    // fr 1000 docs × 40 chars = 40k
+    val docs = ((1 to 2000).map(i => (i.toLong, f"en document body padded $i%017d", "en")) ++
+      (1 to 1000).map(i => (i.toLong + 10000, f"fr document body padded $i%017d", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val census = graft.ops.Census.exact(docs, Seq("lang"))
+    val rates = Curate.ratesForBudget(census, "lang", "sum_chars",
+      Map("en" -> 20000.0, "fr" -> 999999.0)) // fr target above available
+    assert(rates("fr") == 1.0, "cannot mint data: rate caps at 1.0")
+    val avail = census.collect()
+      .map(r => r.getString(0) -> r.getLong(2).toDouble).toMap // sum_chars
+    assert(math.abs(rates("en") - 20000.0 / avail("en")) < 1e-12)
+    val sampled = Curate.stratifiedSample(docs, "text", "lang", rates, 0.0)
+    val mass = sampled.groupBy("lang")
+      .agg(sum(length(col("text"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("fr").toDouble == avail("fr")) // rate 1.0 keeps everything
+    assert(mass("en") > 12000 && mass("en") < 28000,
+      s"en mass ${mass("en")} vs target 20000") // binomial noise window
   }
 }
