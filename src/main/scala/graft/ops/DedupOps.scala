@@ -98,14 +98,27 @@ object DedupOps {
       }.toDF("id_a", "id_b")
   }
 
+  /** THE mega-bucket suppression rule, defined once: drop every band row
+    * whose bucket holds more than `maxBucket` members. Oversized buckets
+    * are template boilerplate — joining one costs O(|bucket|²) pair rows of
+    * near-zero precision. Shared by [[candidatePairs]] (in-batch self-join)
+    * and [[graft.ops.IncrementalDedup]] (both sides of the vs-history
+    * join), so the two chains cannot drift on count semantics or the
+    * threshold comparison. */
+  def suppressMegaBuckets(bands: DataFrame, bucketCols: Seq[String],
+                          maxBucket: Int): DataFrame = {
+    val keyCols = bucketCols.map(col)
+    val smallKeys = bands.groupBy(keyCols: _*).count()
+      .filter(col("count") <= maxBucket).drop("count")
+    bands.join(smallKeys, bucketCols)
+  }
+
   def candidatePairs(
       bands: DataFrame,
       bucketCols: Seq[String],
       idCol: String,
       maxBucket: Int = 64): DataFrame = {
-    val keyCols = bucketCols.map(col)
-    val bucketSizes = bands.groupBy(keyCols: _*).count()
-    val small = bands.join(bucketSizes.filter(col("count") <= maxBucket), bucketCols)
+    val small = suppressMegaBuckets(bands, bucketCols, maxBucket)
       .select((bucketCols :+ idCol).map(col): _*)
     val a = small.toDF(bucketCols :+ "id_a": _*)
     val b = small.toDF(bucketCols :+ "id_b": _*)

@@ -16,11 +16,20 @@ import org.apache.spark.sql.functions._
  *
  * A batch flows: exact-vs-history (equi-join on hash) → exact-in-batch
  * (min-id keeper per hash) → near-vs-history (batch bands ⋈ history
- * bands → estimate prefilter → exact-Jaccard verify; the history side
- * never moves — only its matching band rows shuffle, and buckets larger
- * than `maxBucket` on EITHER side are suppressed before the join, the
- * same template-boilerplate guard [[DedupOps.candidatePairs]] applies
- * in-batch) → near-in-batch (banded self-join → verify → CC survivors).
+ * bands → estimate prefilter → exact-Jaccard verify; history bands are
+ * first LEFT-SEMI-restricted to buckets the batch touches, so nothing
+ * history-wide is ever COUNTED — and when the batch is small relative to
+ * history, AQE broadcasts the batch keys and history bands never shuffle
+ * at all. Buckets larger than `maxBucket` on EITHER side are suppressed
+ * via the ONE shared [[DedupOps.suppressMegaBuckets]] rule) →
+ * near-in-batch (banded self-join → verify → CC survivors). Beyond-10^12
+ * note: the per-batch history cost that remains is recomputing bands from
+ * `sigs` (a narrow map) and, for batches too large to broadcast, one
+ * history-band shuffle into the join; eliminating that last shuffle means
+ * persisting the band relation as a third store table BUCKETED by
+ * band_key (the [[AnnIndex]] layout) — 16 stored rows per doc bought us
+ * nothing at current scale, so it stays a documented design seam, not
+ * code.
  *
  * [[dedupeBatch]] returns the batch ledger plus the index DELTA — the
  * accepted documents' index rows ONLY, materialized at O(batch) cost.
@@ -158,21 +167,27 @@ object IncrementalDedup {
       .persist()
     val batchBands = DedupOps.explodeBands(sigs, bandSize).persist()
 
-    // buckets larger than maxBucket on either side are template
-    // boilerplate: joining them costs O(|batch bucket| × |hist bucket|)
-    // pair rows of near-zero precision (at history scale, unboundedly
-    // many), so both sides get the candidatePairs suppression rule
-    def capped(bands: DataFrame): DataFrame = {
-      val small = bands.groupBy("band_idx", "band_key").count()
-        .filter(col("count") <= maxBucket).drop("count")
-      bands.join(small, Seq("band_idx", "band_key"))
-    }
-
-    // vs history: batch id on the left, history id on the right
-    val histPairs = capped(batchBands)
-      .join(capped(DedupOps.explodeBands(index.sigs, bandSize))
+    val bucketKey = Seq("band_idx", "band_key")
+    // vs history: batch id on the left, history id on the right. Both
+    // sides get the ONE shared mega-bucket rule (template boilerplate =
+    // O(|batch bucket| × |hist bucket|) near-zero-precision pairs). The
+    // history side is restricted to buckets the batch TOUCHES before
+    // anything is counted: a history-wide groupBy would shuffle all
+    // history bands every batch — O(history) per commit, breaking the
+    // O(batch) commit contract. Restricting first keeps per-bucket counts
+    // exact (an inner join on the bucket key keeps EVERY row of a touched
+    // bucket), shrinks the count to batch-sized input, and lets AQE
+    // broadcast the touched-key list when batch ≪ history.
+    val cappedBatch = DedupOps.suppressMegaBuckets(batchBands, bucketKey, maxBucket)
+      .persist() // two consumers: the touched-key semi-join and the join itself
+    // left_semi: restricts WITHOUT multiplying and dedupes its build side
+    // internally — no separate distinct() shuffle
+    val histTouched = DedupOps.explodeBands(index.sigs, bandSize)
+      .join(cappedBatch.select("band_idx", "band_key"), bucketKey, "left_semi")
+    val histPairs = cappedBatch
+      .join(DedupOps.suppressMegaBuckets(histTouched, bucketKey, maxBucket)
           .select(col("id").as("hist_id"), col("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
+        bucketKey)
       .select(col("id").as("id_a"), col("hist_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val nearHistDrops = DedupOps.verifyPairs(histPairs, sigs, index.sigs,
@@ -210,6 +225,7 @@ object IncrementalDedup {
     hashed.unpersist(false)
     sigs.unpersist(false)
     batchBands.unpersist(false)
+    cappedBatch.unpersist(false)
     nearHistDrops.unpersist(false)
     (BatchResult(ledger, Index(deltaHashes, deltaSigs)))
   }

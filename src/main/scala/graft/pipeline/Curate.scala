@@ -72,7 +72,13 @@ object Curate {
     docs
       .join(broadcast(thrDf), docs(strataCol) === col("__stratum"), "left")
       .withColumn("__thr", coalesce(col("__thr"), lit(thr(defaultRate))))
-      .filter(expr(s"substring(sha2($textCol, 256), 1, 8)") < col("__thr"))
+      // coalesce: NULL text must follow its stratum's rate like any other
+      // row (sha2(NULL) is NULL and a NULL predicate silently drops the
+      // row even at rate 1.0); it samples as the empty-string hash, so all
+      // no-content rows still move atomically. Column functions, not an
+      // interpolated expr — a textCol needing quoting must keep working.
+      .filter(substring(sha2(coalesce(col(textCol), lit("")), 256), 1, 8)
+        < col("__thr"))
       .drop("__stratum", "__thr")
   }
 

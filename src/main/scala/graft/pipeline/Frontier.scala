@@ -98,7 +98,12 @@ object Frontier {
       .toDF("url", "host", "lastmod", "priority")
 
     val unseen =
-      if (bloomExpectedSeen > 0L) unseenByBloom(gated, seen, "url", bloomExpectedSeen)
+      if (bloomExpectedSeen > 0L)
+        // the bloom path consumes its candidates twice (definite + verify
+        // branches); gated is the expensive lineage here (per-blob XML
+        // parse + robots gating), so cut it once — the rows are tiny
+        // (url/host/lastmod/priority, no blob payloads)
+        unseenByBloom(gated.localCheckpoint(true), seen, "url", bloomExpectedSeen)
       else gated.join(seen.select(col("url").as("seen_url")),
         col("url") === col("seen_url"), "left_anti")
     unseen
@@ -161,10 +166,23 @@ object Frontier {
     val spark = candidates.sparkSession
     graft.plans.GraftExtensions.registerNative(spark)
     val numBits = optimalNumBits(expectedSeen, fpp)
+    // BloomFilterAggregate SILENTLY Math.min-caps its arguments against
+    // these two session confs (defaults 4e6 items / 2^26 bits — runtime-
+    // join-filter sizes); left alone, a web-scale expectedSeen would build
+    // a saturated 8 MiB filter whose fpp→1 turns this path into the plain
+    // anti-join plus pure overhead. Raise them (never lower) to what this
+    // filter actually needs.
+    def raiseConf(key: String, atLeast: Long): Unit = {
+      val cur = spark.conf.getOption(key).map(_.toLong).getOrElse(0L)
+      if (cur < atLeast) spark.conf.set(key, atLeast.toString)
+    }
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedSeen)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     // one row, one binary cell of numBits/8 bytes — a sketch-sized,
     // cardinality-independent driver transfer, not a data collect
     val bloomBytes = seen
-      .select(expr(s"bloom_filter_agg(xxhash64($urlCol), ${expectedSeen}L, ${numBits}L)"))
+      .select(call_function("bloom_filter_agg",
+        xxhash64(col(urlCol)), lit(expectedSeen), lit(numBits)))
       .head.getAs[Array[Byte]](0)
     if (bloomBytes == null) return candidates // empty seen set: all unseen
     val mightContain =

@@ -94,6 +94,12 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc", "body", "st")
     val kept = Curate.stratifiedSample(dup, "body", "st", Map("a" -> 0.5), 0.0).count()
     assert(kept == 0L || kept == 100L, "a dup family must sample atomically")
+    // NULL text follows its stratum's rate (sha2(NULL) is NULL and a NULL
+    // filter predicate would silently drop the row even at rate 1.0)
+    val withNull = Seq((1L, "real text", "a"), (2L, null.asInstanceOf[String], "a"))
+      .toDF("doc", "body", "st")
+    assert(Curate.stratifiedSample(withNull, "body", "st", Map("a" -> 1.0), 0.0)
+      .count() == 2L, "rate 1.0 must keep null-text rows too")
   }
 
   test("census → ratesForBudget → sample: sampled mass lands near the targets") {

@@ -125,6 +125,29 @@ class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloom == exact)
   }
 
+  test("web-scale sizing survives Spark's runtime-filter conf caps") {
+    val s = spark; import s.implicits._
+    // BloomFilterAggregate silently Math.min-caps against
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    // (defaults 4e6 / 2^26) — unseenByBloom must raise them or a large
+    // expectedSeen builds a saturated 8 MiB filter with fpp→1. Request a
+    // filter that NEEDS > 2^26 bits and verify by direct construction that
+    // the sketch really got that big (the binary literal is the proof).
+    graft.plans.GraftExtensions.registerNative(spark)
+    val expected = 20000000L // → ~1.46e8 bits at 3% fpp, 2.2x the cap
+    val numBits = Frontier.optimalNumBits(expected, 0.03)
+    assert(numBits > (1L << 26))
+    val seen = Seq("https://x.example.com/1").toDF("url")
+    val out = Frontier.unseenByBloom(urls("capchk", 10), seen, "url",
+      expectedSeen = expected)
+    assert(out.count() == 10) // correctness regardless
+    val bf = seen.select(call_function("bloom_filter_agg",
+        xxhash64(col("url")), lit(expected), lit(numBits)))
+      .head.getAs[Array[Byte]](0)
+    assert(bf.length.toLong * 8 >= numBits,
+      s"sketch is ${bf.length} bytes — the conf cap shrank it")
+  }
+
   test("bloom_filter_agg / bloom_might_contain are reachable from SQL") {
     graft.plans.GraftExtensions.registerNative(spark)
     val s = spark; import s.implicits._
