@@ -917,6 +917,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The WHOLE training-set assembly in one call (Curate.trainingSet):
+    // curation → decontamination → mix sampling → seeded shuffle →
+    // packing, in its SQL-expressible configuration (para/quality/near-dup
+    // neutralized; those stages carry their own oracles) — DuckDB replays
+    // the full composition: exact dedup (lexicographic min keeper — the
+    // ledger ids are strings), 5-gram decontamination vs the planted
+    // doc_id%17 benchmark, per-lang hex-threshold sampling, the shuffle
+    // key chain, and the pack windows over (shard, skey) order.
+    "training_run" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+      val permissive = graft.ops.RepetitionOps.Thresholds(
+        minWords = 0, maxWords = Int.MaxValue, minMeanWordLen = 0.0,
+        maxMeanWordLen = 1e18, maxSymbolRatio = 1e18,
+        maxBulletLineFrac = 1e18, maxEllipsisLineFrac = 1e18,
+        minAlphaWordFrac = 0.0, minStopHits = 0, maxDupLineFrac = 1e18,
+        maxDupParaFrac = 1e18, maxDupLineCharFrac = 1e18,
+        maxDupParaCharFrac = 1e18, maxTop2CharFrac = 1e18,
+        maxTop3CharFrac = 1e18, maxTop4CharFrac = 1e18,
+        maxDupNCharFrac = Seq.fill(6)(1e18))
+      val cfg = graft.pipeline.Curate.TrainingConfig(
+        curate = graft.pipeline.Curate.Config(
+          paraMinDocFreq = 1 << 30, thresholds = permissive, nearDup = false),
+        decontamN = 5, mixRates = Map("en" -> 0.5), defaultRate = 0.25,
+        shuffleSeed = 2026L, packBudget = 512, numShards = 4)
+      val r = graft.pipeline.Curate.trainingSet(
+        d.select("doc_id", "text", "lang"), "doc_id", "text", "lang",
+        Some(bench), cfg)
+      r.ledger
+        .select(col("id").cast("long").as("doc_id"), col("kept"),
+          col("stage"), col("reason"))
+        .join(r.packed.select(col("id").as("doc_id"), col("shard"),
+          col("tokens"), col("cum_before"), col("first_chunk"),
+          col("last_chunk"), col("straddles")), Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    }),
+
     // Training-sequence packing (ops/Pack — concat-and-chunk): tokens =
     // ceil(len/4) (the chunking heuristic), 4 shards, 512-token chunks.
     // Cross-engine semantic oracle: DuckDB runs the same cumulative-sum
@@ -1638,6 +1675,53 @@ object SparkEntry {
        "SELECT d.doc_id, CAST(coalesce(sh.shared_grams, 0) AS BIGINT) AS shared_grams, " +
        "coalesce(sh.shared_grams, 0) > 0 AS contaminated " +
        "FROM documents d LEFT JOIN sh USING (doc_id) WHERE d.doc_id % 17 <> 0 ORDER BY doc_id"),
+
+    "training_run" ->
+      // the FULL composed pipeline replayed in DuckDB: exact dedup with the
+      // lexicographic-min keeper (ledger ids are strings), 5-gram
+      // decontamination vs the doc_id%17 benchmark, per-lang hex-threshold
+      // sampling (en 0.5 → 80000000, default 0.25 → 40000000), the
+      // doc_shuffle key chain (seed 2026), pack windows over (shard, skey)
+      ("WITH h AS (SELECT doc_id, text, lang, substr(sha256(trim(text)), 1, 32) AS hsh FROM documents), " +
+       "k AS (SELECT hsh, min(CAST(doc_id AS VARCHAR)) AS keeper FROM h GROUP BY hsh), " +
+       "led1 AS (SELECT h.doc_id, h.text, h.lang, k.keeper, " +
+       "CAST(h.doc_id AS VARCHAR) = k.keeper AS kept1 FROM h JOIN k USING (hsh)), " +
+       "w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+       "g AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4] || ' ' || p[5] AS gram " +
+       "FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-4], ws[2:len(ws)-3], ws[3:len(ws)-2], ws[4:len(ws)-1], ws[5:])) AS p " +
+       "FROM w WHERE len(ws) >= 5)), " +
+       "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0), " +
+       "cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) " +
+       "JOIN led1 ON led1.doc_id = g.doc_id AND led1.kept1), " +
+       "disp AS (SELECT led1.doc_id, led1.keeper, led1.kept1, " +
+       "cont.doc_id IS NOT NULL AS contaminated, " +
+       "substr(sha256(led1.text), 1, 8) < CASE led1.lang WHEN 'en' THEN '80000000' ELSE '40000000' END AS in_sample " +
+       "FROM led1 LEFT JOIN cont ON led1.doc_id = cont.doc_id), " +
+       "fin AS (SELECT doc_id, " +
+       "(kept1 AND NOT contaminated AND in_sample) AS kept, " +
+       "CASE WHEN NOT kept1 THEN 'exact_dup' WHEN contaminated THEN 'contaminated' " +
+       "WHEN NOT in_sample THEN 'mix_sampled_out' ELSE '' END AS stage, " +
+       "CASE WHEN NOT kept1 THEN keeper ELSE '' END AS reason FROM disp), " +
+       "t AS (SELECT d.doc_id AS id, " +
+       "((d.doc_id + 2026) % 2147483647 + 2147483647) % 2147483647 AS x0, " +
+       "CASE WHEN trim(d.text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS tokens " +
+       "FROM documents d JOIN fin ON fin.doc_id = d.doc_id AND fin.kept), " +
+       "a AS (SELECT id, tokens, (48271 * x0) % 2147483647 AS x1 FROM t), " +
+       "b AS (SELECT id, tokens, xor(x1, x1 >> 15) AS x2 FROM a), " +
+       "c1 AS (SELECT id, tokens, (69621 * x2) % 2147483647 AS x3 FROM b), " +
+       "kx AS (SELECT id, tokens, xor(x3, x3 >> 13) AS skey FROM c1), " +
+       "shp AS (SELECT id, tokens, skey, skey % 4 AS shard FROM kx), " +
+       "c AS (SELECT id, skey, shard, tokens, CAST(coalesce(sum(tokens) OVER " +
+       "(PARTITION BY shard ORDER BY skey, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM shp), " +
+       "p AS (SELECT id, shard, tokens, cum_before, " +
+       "cum_before // 512 AS first_chunk, " +
+       "CAST(CASE WHEN tokens > 0 THEN (cum_before + tokens - 1) // 512 " +
+       "ELSE cum_before // 512 END AS BIGINT) AS last_chunk, " +
+       "(CASE WHEN tokens > 0 THEN (cum_before + tokens - 1) // 512 " +
+       "ELSE cum_before // 512 END) > cum_before // 512 AS straddles FROM c) " +
+       "SELECT f.doc_id, f.kept, f.stage, f.reason, p.shard, p.tokens, " +
+       "p.cum_before, p.first_chunk, p.last_chunk, p.straddles " +
+       "FROM fin f LEFT JOIN p ON p.id = f.doc_id ORDER BY f.doc_id"),
 
     "doc_pack" ->
       // ((id % 4) + 4) % 4 matches Spark's pmod (always non-negative) even

@@ -61,12 +61,25 @@ object Pack {
 
   def concatChunk(docs: DataFrame, idCol: String, tokenCol: String,
                   budget: Int, numShards: Int): DataFrame = {
-    require(budget > 0, "budget must be positive")
     require(numShards > 0, "numShards must be positive")
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("tokens"))
       .withColumn("shard", pmod(col("id"), lit(numShards.toLong)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    concatChunkBy(base, "id", "tokens", "shard", "id", budget)
+      .select("id", "shard", "tokens", "cum_before",
+        "first_chunk", "last_chunk", "straddles")
+  }
+
+  /** [[concatChunk]] over EXPLICIT shard and order columns — composed
+    * pipelines pack in SHUFFLED order ([[seededShuffle]]'s `skey` / shard),
+    * not id order. `idCol` stays the deterministic tiebreak; any id type. */
+  def concatChunkBy(docs: DataFrame, idCol: String, tokenCol: String,
+                    shardCol: String, orderCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = docs.select(col(idCol).as("id"),
+      col(tokenCol).cast("long").as("tokens"),
+      col(shardCol).as("shard"), col(orderCol).as("ord"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
@@ -80,7 +93,7 @@ object Pack {
           expr(s"(cum_before + tokens - 1) DIV ${budget}L"))
           .otherwise(expr(s"cum_before DIV ${budget}L")))
       .withColumn("straddles", col("last_chunk") > col("first_chunk"))
-      .select("id", "shard", "tokens", "cum_before",
+      .select("id", "shard", "ord", "tokens", "cum_before",
         "first_chunk", "last_chunk", "straddles")
   }
 }

@@ -100,6 +100,96 @@ object Curate {
           s -> (if (avail <= 0.0) 0.0 else math.min(1.0, t / avail)))
       }
 
+  /** [[trainingSet]] knobs beyond the curation [[Config]]. */
+  final case class TrainingConfig(
+      curate: Config = Config(),
+      decontamN: Int = 5,
+      mixRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      shuffleSeed: Long = 2026L,
+      packBudget: Int = 2048,
+      numShards: Int = 16)
+
+  /** One row per input id in `ledger` (final disposition across ALL
+    * stages); `packed` = chunk placement of every surviving document. */
+  final case class TrainingResult(ledger: DataFrame, packed: DataFrame)
+
+  /** The WHOLE training-set assembly in one call — the composition a run
+    * executes between extraction and tokenization:
+    *
+    *   curation ledger ([[curate]]: para-dedup → quality → exact dedup →
+    *   near-dup) → benchmark decontamination
+    *   ([[graft.ops.Decontaminate.flag]], skipped when `benchmark` is
+    *   None) → training-mix sampling ([[stratifiedSample]] by
+    *   `strataCol`) → reproducible shuffle
+    *   ([[graft.ops.Pack.seededShuffle]] — requires numeric-castable ids)
+    *   → concat-and-chunk packing in SHUFFLED order
+    *   ([[graft.ops.Pack.concatChunkBy]], tokens = the native
+    *   `token_count` of the original text).
+    *
+    * The ledger extends the curation ledger's stage vocabulary with
+    * `contaminated` and `mix_sampled_out`; every input id appears exactly
+    * once, `kept` marks survivors of ALL stages. Both outputs are
+    * materialized (localCheckpoint) so internal persists release before
+    * returning. Each stage is the already-oracle-gated operator — this
+    * method adds composition, not new semantics; the `training_run` driver
+    * query replays the SQL-expressible configuration end-to-end in DuckDB. */
+  def trainingSet(docs: DataFrame, idCol: String, textCol: String,
+                  strataCol: String, benchmark: Option[DataFrame],
+                  cfg: TrainingConfig = TrainingConfig()): TrainingResult = {
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.registerNative(spark)
+    val base = docs.select(col(idCol).cast("string").as("id"),
+        col(textCol).cast("string").as("text"),
+        col(strataCol).cast("string").as("stratum"))
+      .persist()
+
+    val curLedger = curate(base, "id", "text", cfg.curate)
+    val curKept = base.join(curLedger.filter(col("kept")).select("id"), Seq("id"))
+
+    val postDrops = {
+      val contaminated = benchmark match {
+        case Some(b) =>
+          graft.ops.Decontaminate.flag(curKept, b, "id", "text", "text", cfg.decontamN)
+            .filter(col("contaminated"))
+            .select(col("id").cast("string").as("id"),
+              lit("contaminated").as("post_stage"))
+        case None => base.select(col("id"), lit("x").as("post_stage")).limit(0)
+      }
+      val afterDecon = curKept.join(contaminated.select("id"), Seq("id"), "left_anti")
+      val sampled = stratifiedSample(afterDecon, "text", "stratum",
+        cfg.mixRates, cfg.defaultRate)
+      val sampledOut = afterDecon
+        .join(sampled.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit("mix_sampled_out").as("post_stage"))
+      contaminated.unionByName(sampledOut)
+    }
+
+    val ledger = curLedger
+      .join(postDrops, Seq("id"), "left")
+      .select(col("id"),
+        (col("kept") && col("post_stage").isNull).as("kept"),
+        coalesce(col("post_stage"), col("stage")).as("stage"),
+        when(col("post_stage").isNotNull, lit("")).otherwise(col("reason")).as("reason"),
+        col("paras_removed"))
+      .localCheckpoint(true)
+
+    val finalKept = base
+      .join(ledger.filter(col("kept")).select("id"), Seq("id"))
+    val shuffled = graft.ops.Pack.seededShuffle(
+      finalKept.select(col("id").cast("long").as("docid")), "docid",
+      cfg.shuffleSeed, cfg.numShards)
+    val withTokens = shuffled
+      .join(finalKept.select(col("id").cast("long").as("id"),
+        expr("token_count(text)").cast("long").as("tokens")), Seq("id"))
+    val packed = graft.ops.Pack.concatChunkBy(withTokens,
+        "id", "tokens", "shard", "skey", cfg.packBudget)
+      .localCheckpoint(true)
+
+    base.unpersist(false)
+    TrainingResult(ledger, packed)
+  }
+
   /** Run the ledger pipeline over `(idCol, textCol)` rows. The returned
     * ledger is materialized (eager localCheckpoint) so the internal
     * persisted intermediates can be released before returning — repeated

@@ -102,6 +102,45 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 2L, "rate 1.0 must keep null-text rows too")
   }
 
+  test("trainingSet: full config — ledger total, stage precedence, packed = kept") {
+    val s = spark; import s.implicits._
+    // three DISTINCT ~60-word bodies: a shared 5-gram anywhere would
+    // cross-contaminate, so no two share any five consecutive words
+    def body(theme: String): String =
+      (0 until 60).map { i =>
+        if (i % 7 == 0) "the"
+        else if (i % 7 == 3) "and"
+        else s"$theme${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      }.mkString(" ")
+    val docs = Seq(
+      (1L, body("harbour"), "en"),
+      (2L, body("harbour"), "en"),   // exact dup of 1
+      (3L, body("leaked"), "en"),    // identical to the benchmark passage
+      (4L, "tiny", "en"),            // quality: too_few_words
+      (5L, body("orchard"), "fr"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq(Tuple1(body("leaked"))).toDF("text")
+    val cfg = Curate.TrainingConfig(
+      curate = Curate.Config(nearDup = false),
+      decontamN = 5, mixRates = Map.empty, defaultRate = 1.0,
+      packBudget = 16, numShards = 2)
+    val r = Curate.trainingSet(docs, "doc_id", "text", "lang",
+      Some(bench.select(org.apache.spark.sql.functions.monotonically_increasing_id().as("bid"),
+        col("text"))), cfg)
+    val led = r.ledger.collect()
+      .map(x => x.getString(0) -> ((x.getBoolean(1), x.getString(2)))).toMap
+    assert(led.size == 5, "every input id exactly once")
+    assert(led("1") == ((true, "")))
+    assert(led("2") == ((false, "exact_dup")))
+    assert(led("3") == ((false, "contaminated")))
+    assert(led("4")._2 == "quality" && !led("4")._1)
+    assert(led("5") == ((true, "")))
+    // packed carries exactly the kept ids, each with positive tokens
+    val packed = r.packed.collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(packed.keySet == Set(1L, 5L))
+    assert(packed.values.forall(_ > 0))
+  }
+
   test("census → ratesForBudget → sample: sampled mass lands near the targets") {
     val s = spark; import s.implicits._
     // two strata with known char mass: en 2000 docs × 40 chars = 80k,
