@@ -592,6 +592,11 @@ object SparkEntry {
     // multi-page /Contents arrays with inherited resources, Type0 fonts
     // through their ToUnicode CMap, PDF 1.5 object streams, and the
     // never-throws corrupt/not-PDF gates. Parsing runs INSIDE mapPartitions
+    // DOCX extraction surface (round 6): blocks, metadata, links, error
+    // dispositions over the frozen DocxGen corpus — transcribed VALUES
+    // oracle, generator and parser share nothing beyond the OOXML spec.
+    "docx_fixture" -> ((s, dir) => DocxFixture.fixtureDf(s)),
+
     // (the executor-side shape of the real pipeline); expected rows are a
     // transcribed VALUES oracle — the generator and parser share no code
     // beyond the PDF spec itself, so agreement pins both.
@@ -2029,6 +2034,8 @@ object SparkEntry {
        "CAST(hamming AS BIGINT) AS hamming FROM (VALUES " +
        "(0,1,0),(2,3,1),(4,5,1),(6,7,0),(8,9,3),(10,11,2),(12,13,0),(14,15,2),(16,17,1),(18,19,0)" +
        ") AS t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b"),
+
+    "docx_fixture" -> DocxFixture.fixtureOracle,
 
     // transcribed from the frozen PdfGen corpus (PdfParser scaladoc
     // documents the supported subset; blocks ordered page-major, top-down)

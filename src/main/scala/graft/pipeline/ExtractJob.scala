@@ -288,6 +288,10 @@ object ExtractJob {
     if (html != null && html.length >= 4 && html(0) == '%' &&
         html(1) == 'P' && html(2) == 'D' && html(3) == 'F')
       ScrapePipeline.scrapePdf(html, url)
+    else if (graft.sources.Docx.isZip(html))
+      // ZIP container → the DOCX route (round 6); a ZIP that is not a
+      // DOCX surfaces as its own not_docx error code, never as HTML soup
+      ScrapePipeline.scrapeDocx(html, url)
     else ScrapePipeline.scrapeHtml(decodeHtml(html), url)
 
   /** Byte-ratio plan selection for unbucketed input (BASELINE.md: choosing

@@ -265,6 +265,93 @@ object ScrapePipeline {
         }.mkString("\n")))
   }
 
+  /** DOCX route (round 6 — the office-document leg beside HTML/PDF):
+    * [[graft.sources.Docx.parseDetailed]] blocks through the SAME
+    * normalize/meta assembly as [[scrapePdf]], so every downstream stage
+    * (dedup keys, quality, langid, embedding) is content-type-agnostic.
+    * A ZIP that is not a DOCX gets its own `not_docx` error code — the
+    * lineage counters must distinguish "unsupported container" from
+    * "no text exists" (the encrypted_pdf lesson). */
+  def scrapeDocx(
+      bytes: Array[Byte],
+      url: String,
+      normalizeOptions: NormalizeOptions = NormalizeOptions(),
+      maxContentLength: Int = 50000): ScrapedRow = {
+    if (!UrlOps.isValidUrl(url))
+      return errorRow(url, "invalid_url", Some("Invalid URL provided"))
+    val normalizedUrl = UrlOps.normalizeUrl(url)
+    val res = graft.sources.Docx.parseDetailed(bytes)
+    if (res.status == "not_docx")
+      return errorRow(normalizedUrl, "not_docx",
+        Some("ZIP container without word/document.xml"))
+        .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "docx")
+    if (res.blocks.isEmpty)
+      return errorRow(normalizedUrl, "empty_html", Some("DOCX yielded no text blocks"))
+        .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "docx")
+    val blocks = res.blocks
+    val textContent = blocks.map(_.text).mkString("\n\n")
+    var markdown = blocks.map { b =>
+      if (b.kind == "heading") "# " + b.text.replace("\n", " ")
+      else b.text
+    }.mkString("\n\n")
+    if (markdown.length > maxContentLength) // C3 parity: same cap + marker
+      markdown = markdown.substring(0, maxContentLength) + "\n\n[Content truncated...]"
+    // core.xml Dublin-Core metadata — the DOCX analogue of PDF /Info:
+    // explicit dc:title beats the first-heading heuristic
+    val title = res.meta.get("title")
+      .orElse(blocks.find(_.kind == "heading").map(_.text.linesIterator.next()))
+      .getOrElse("")
+    val contentBlocks = blocks.map { b =>
+      ContentBlock(
+        blockType = b.kind match {
+          case "heading" => "heading"
+          case "table" => "list" // short cell rows must survive B2, like fields
+          case _ => "paragraph"
+        },
+        text = b.text,
+        level = if (b.kind == "heading") Some(1) else None,
+        html = None, attrs = Map.empty, parentTags = Seq("docx"), depth = 1)
+    }
+    val nr = Normalizer.normalizeText(contentBlocks, normalizeOptions, Some(normalizedUrl))
+    ScrapedRow(
+      url = normalizedUrl,
+      canonical_url = normalizedUrl,
+      domain = UrlOps.extractDomain(normalizedUrl),
+      title = title,
+      description = res.meta.getOrElse("subject", ""),
+      image = None,
+      favicon = None,
+      content = markdown,
+      text_content = textContent,
+      excerpt = graft.extract.ContentExtractor.createExcerpt(textContent),
+      word_count = graft.util.Js.countTokens(textContent),
+      author = res.meta.get("author"),
+      published_at = res.meta.get("created"),
+      modified_at = res.meta.get("modified"),
+      site_name = None, language = None,
+      content_type = "docx",
+      keywords = res.meta.get("keywords")
+        .map(_.split("[,;]").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      json_ld = None,
+      // hyperlink relationship targets — M4 parity: http(s) only, capped 100
+      links = {
+        val domain = UrlOps.extractDomain(normalizedUrl)
+        res.links.filter(u => u.startsWith("http://") || u.startsWith("https://"))
+          .take(100)
+          .map(u => LinkRow(u, "", UrlOps.extractDomain(u) != domain))
+      },
+      normalized_text = nr.text,
+      norm_hash = nr.meta.hash,
+      norm_meta = NormMetaRow(
+        nr.meta.charCount, nr.meta.tokenEstimate, nr.meta.language,
+        nr.meta.boilerplateRemoved, nr.meta.classifierUsed, nr.meta.hash,
+        nr.meta.blocksTotal, nr.meta.blocksAccepted,
+        nr.meta.truncated || res.truncated),
+      status = "ok",
+      error = None,
+      custom = Map.empty)
+  }
+
   private def errorRow(url: String, status: String, error: Option[String]): ScrapedRow =
     ScrapedRow(url, url, "", "", "", None, None, "", "", "", 0, None, None, None,
       None, None, "unknown", Nil, None, Nil, "", "",

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DOCX extractor over the frozen DocxGen corpus plus adversarial
+  * containers: block/kind/text mapping, run composition (tab/br),
+  * tables, hyperlink rels, core metadata, and the bomb/garbage classes
+  * (totality: parseDetailed never throws). */
+class DocxSpec extends AnyFunSuite {
+
+  test("report: headings, runs with tab/br, table flattening, links, meta") {
+    val r = Docx.parseDetailed(DocxGen.report)
+    assert(r.status == "ok" && !r.truncated)
+    val kinds = r.blocks.map(b => (b.kind, b.text))
+    assert(kinds(0) == (("heading", "Quarterly Review")))
+    assert(kinds(1) == (("heading", "Findings")))
+    assert(kinds(2) == (("text", "Revenue grew modestly across the northern region.")))
+    assert(kinds(3) == (("text", "Before\tafter tab\nnew line")))
+    assert(kinds(4) == (("table", "Metric | Value\nMargin | 12%")))
+    assert(kinds(5) == (("text", "details here")))
+    assert(r.links == Vector("https://data.example.com/q3"))
+    assert(r.meta("title") == "Q3 Operations Report")
+    assert(r.meta("author") == "Ops Team")
+    assert(r.meta("keywords") == "revenue, margin")
+    assert(r.meta("created") == "2024-10-01T08:00:00Z")
+  }
+
+  test("minimal: one paragraph, empty meta and links") {
+    val r = Docx.parseDetailed(DocxGen.minimal)
+    assert(r.status == "ok")
+    assert(r.blocks.map(_.text) == Vector("Just one plain paragraph."))
+    assert(r.meta.isEmpty && r.links.isEmpty)
+  }
+
+  test("a ZIP without word/document.xml is not_docx; non-ZIP bytes too") {
+    assert(Docx.parseDetailed(DocxGen.plainZip).status == "not_docx")
+    assert(Docx.parseDetailed("<html>x</html>".getBytes("UTF-8")).status == "not_docx")
+    assert(Docx.parseDetailed(Array.emptyByteArray).status == "not_docx")
+    assert(Docx.parseDetailed(null).status == "not_docx")
+    // PK magic followed by garbage: a corrupt archive, still total
+    val garbage = Array[Byte]('P', 'K', 3, 4) ++ Array.fill(64)(0x5a.toByte)
+    assert(Docx.parseDetailed(garbage).status == "not_docx")
+  }
+
+  test("entry-count bomb: caps at MaxEntries and flags truncated") {
+    val r = Docx.parseDetailed(DocxGen.manyEntriesZip(Docx.MaxEntries + 10))
+    // document.xml is buried past the cap: the archive truncates without it
+    assert(r.status == "not_docx" || r.truncated)
+  }
+
+  test("inflate bomb: per-entry cap flags truncated, never OOMs") {
+    val r = Docx.parseDetailed(DocxGen.bigEntry(Docx.MaxEntryBytes + (4 << 20)))
+    assert(r.truncated, "oversized document.xml must flag truncated")
+  }
+
+  test("scrapeAny routes ZIP → docx; dedup keys comparable across routes") {
+    val text = "Shared body sentence one.\nShared body sentence two."
+    val docx = graft.pipeline.ExtractJob.scrapeAny(
+      "https://docs.example.com/a.docx", DocxGen.fromText(text))
+    assert(docx.content_type == "docx" && docx.status == "ok")
+    assert(docx.word_count > 0)
+    val html = graft.pipeline.ExtractJob.scrapeAny(
+      "https://docs.example.com/a.html",
+      ("<html><body><p>Shared body sentence one.</p>" +
+        "<p>Shared body sentence two.</p></body></html>").getBytes("UTF-8"))
+    assert(html.norm_hash == docx.norm_hash,
+      s"cross-route exact-dedup keys must match: ${html.norm_hash} vs ${docx.norm_hash}")
+  }
+
+  test("not_docx zip through the pipeline carries its own error code") {
+    val row = graft.pipeline.ExtractJob.scrapeAny(
+      "https://docs.example.com/x.zip", DocxGen.plainZip)
+    assert(row.status == "not_docx" && row.content_type == "docx")
+  }
+
+  test("truncation surfaces in norm_meta on the pipeline row") {
+    val row = graft.pipeline.ScrapePipeline.scrapeDocx(
+      DocxGen.bigEntry(Docx.MaxEntryBytes + (4 << 20)), "https://docs.example.com/big.docx")
+    assert(row.norm_meta.truncated)
+  }
+}

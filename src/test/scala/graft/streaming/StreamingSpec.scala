@@ -40,7 +40,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).map { name =>
       graft.pipeline.PageRow(s"https://docs.example.com/$name.pdf", ts,
         graft.sources.PdfGen.fixtureDocs.toMap.apply(name), "", "en")
-    }
+    } :+ graft.pipeline.PageRow("https://docs.example.com/report.docx", ts,
+      graft.sources.DocxGen.report, "", "en") // round 6: the DOCX route too
     PagesGen.generate(spark, 40).union(spark.createDataset(pdfRows))
       .repartition(4).write.mode("overwrite").parquet(dir)
 
@@ -65,10 +66,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(p => graft.pipeline.ExtractJob.scrapeAny(p.url, p.html))
         .map(r => (r.url, r.title, r.norm_hash)).toSet
     }
-    assert(streamed.size == 44)
+    assert(streamed.size == 45)
     assert(streamed == batch)
     assert(streamed.exists { case (u, t, _) =>
       u == "https://docs.example.com/plain.pdf" && t == "Annual Report" })
+    assert(streamed.exists { case (u, t, _) =>
+      u == "https://docs.example.com/report.docx" && t == "Q3 Operations Report" })
     // decryption and /Info metadata hold identically under streaming
     assert(streamed.exists(_._1 == "https://docs.example.com/rc4enc.pdf"))
     assert(streamed.exists { case (u, t, _) =>
