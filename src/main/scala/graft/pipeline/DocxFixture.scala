@@ -18,11 +18,18 @@ object DocxFixture {
   def corpus: Seq[(String, Array[Byte])] = Seq(
     "report" -> DocxGen.report,
     "minimal" -> DocxGen.minimal,
+    "deck" -> DocxGen.deck,
+    "workbook" -> DocxGen.workbook,
     "plain_zip" -> DocxGen.plainZip,
     "not_zip" -> "<html>nope</html>".getBytes("UTF-8"))
 
   /** Transcribed expected rows. */
   def expectedRows: Seq[(String, Long, String, String)] = Seq(
+    ("deck", 0L, "heading", "Launch Plan"),
+    ("deck", 1L, "text", "Ship the beta in October"),
+    ("deck", 2L, "heading", "Risks"),
+    ("deck", 3L, "text", "Vendor delay"),
+    ("deck", 4L, "text", "Hiring gap"),
     ("minimal", 0L, "text", "Just one plain paragraph."),
     ("not_zip", -1L, "status", "not_docx"),
     ("plain_zip", -1L, "status", "not_docx"),
@@ -38,7 +45,8 @@ object DocxFixture {
     ("report", 103L, "meta:keywords", "revenue, margin"),
     ("report", 104L, "meta:created", "2024-10-01T08:00:00Z"),
     ("report", 105L, "meta:modified", "2024-10-02T09:30:00Z"),
-    ("report", 200L, "link", "https://data.example.com/q3"))
+    ("report", 200L, "link", "https://data.example.com/q3"),
+    ("workbook", 0L, "table", "Region | Sales<NL>North | 1250<NL>South | 990"))
 
   private def visible(s: String): String =
     s.replace("\t", "<TAB>").replace("\n", "<NL>")

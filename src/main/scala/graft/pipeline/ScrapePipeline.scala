@@ -286,8 +286,8 @@ object ScrapePipeline {
         Some("ZIP container without word/document.xml"))
         .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "docx")
     if (res.blocks.isEmpty)
-      return errorRow(normalizedUrl, "empty_html", Some("DOCX yielded no text blocks"))
-        .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "docx")
+      return errorRow(normalizedUrl, "empty_html", Some("document yielded no text blocks"))
+        .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = res.flavor)
     val blocks = res.blocks
     val textContent = blocks.map(_.text).mkString("\n\n")
     var markdown = blocks.map { b =>
@@ -310,7 +310,7 @@ object ScrapePipeline {
         },
         text = b.text,
         level = if (b.kind == "heading") Some(1) else None,
-        html = None, attrs = Map.empty, parentTags = Seq("docx"), depth = 1)
+        html = None, attrs = Map.empty, parentTags = Seq(res.flavor), depth = 1)
     }
     val nr = Normalizer.normalizeText(contentBlocks, normalizeOptions, Some(normalizedUrl))
     ScrapedRow(
@@ -329,7 +329,7 @@ object ScrapePipeline {
       published_at = res.meta.get("created"),
       modified_at = res.meta.get("modified"),
       site_name = None, language = None,
-      content_type = "docx",
+      content_type = res.flavor, // docx | pptx | xlsx
       keywords = res.meta.get("keywords")
         .map(_.split("[,;]").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
       json_ld = None,

@@ -83,6 +83,42 @@ object DocxGen {
     "[Content_Types].xml" -> contentTypes,
     "word/document.xml" -> doc(text.split("\n").map(l => p(l)).mkString)))
 
+  /** Two-slide deck: title placeholder + body paragraphs per slide. */
+  def deck: Array[Byte] = zip(Seq(
+    "[Content_Types].xml" -> contentTypes,
+    "ppt/presentation.xml" ->
+      """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>""",
+    "ppt/slides/slide1.xml" ->
+      ("""<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" """ +
+       """xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"><p:cSld><p:spTree>""" +
+       """<p:sp><p:nvSpPr><p:nvPr><p:ph type="ctrTitle"/></p:nvPr></p:nvSpPr>""" +
+       """<p:txBody><a:p><a:r><a:t>Launch Plan</a:t></a:r></a:p></p:txBody></p:sp>""" +
+       """<p:sp><p:txBody><a:p><a:r><a:t>Ship the beta in </a:t></a:r><a:r><a:t>October</a:t></a:r></a:p></p:txBody></p:sp>""" +
+       """</p:spTree></p:cSld></p:sld>"""),
+    "ppt/slides/slide2.xml" ->
+      ("""<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" """ +
+       """xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"><p:cSld><p:spTree>""" +
+       """<p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>""" +
+       """<p:txBody><a:p><a:r><a:t>Risks</a:t></a:r></a:p></p:txBody></p:sp>""" +
+       """<p:sp><p:txBody><a:p><a:r><a:t>Vendor delay</a:t></a:r></a:p>""" +
+       """<a:p><a:r><a:t>Hiring gap</a:t></a:r></a:p></p:txBody></p:sp>""" +
+       """</p:spTree></p:cSld></p:sld>""")))
+
+  /** One-sheet workbook: shared strings, an inline string, and numbers. */
+  def workbook: Array[Byte] = zip(Seq(
+    "[Content_Types].xml" -> contentTypes,
+    "xl/workbook.xml" ->
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"/>""",
+    "xl/sharedStrings.xml" ->
+      ("""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+       """<si><t>Region</t></si><si><t>Sales</t></si><si><t>North</t></si></sst>"""),
+    "xl/worksheets/sheet1.xml" ->
+      ("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+       """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+       """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1250</v></c></row>""" +
+       """<row r="3"><c r="A3" t="inlineStr"><is><t>South</t></is></c><c r="B3"><v>990</v></c></row>""" +
+       """</sheetData></worksheet>""")))
+
   /** A ZIP that is NOT a DOCX (no word/document.xml). */
   def plainZip: Array[Byte] = zip(Seq(
     "readme.txt" -> "nothing wordprocessing about this archive"))

@@ -53,6 +53,35 @@ class DocxSpec extends AnyFunSuite {
     assert(r.truncated, "oversized document.xml must flag truncated")
   }
 
+  test("pptx: slides in numeric order, title placeholders become headings") {
+    val r = Docx.parseDetailed(DocxGen.deck)
+    assert(r.status == "ok" && r.flavor == "pptx")
+    assert(r.blocks.map(b => (b.page, b.kind, b.text)) == Vector(
+      (0, "heading", "Launch Plan"),
+      (0, "text", "Ship the beta in October"), // runs concatenate
+      (1, "heading", "Risks"),
+      (1, "text", "Vendor delay"),
+      (1, "text", "Hiring gap")))
+  }
+
+  test("xlsx: shared strings, inline strings, and literal values per sheet") {
+    val r = Docx.parseDetailed(DocxGen.workbook)
+    assert(r.status == "ok" && r.flavor == "xlsx")
+    assert(r.blocks.map(b => (b.kind, b.text)) == Vector(
+      ("table", "Region | Sales\nNorth | 1250\nSouth | 990")))
+  }
+
+  test("pptx/xlsx route through scrapeAny with their own content_type") {
+    val deck = graft.pipeline.ExtractJob.scrapeAny(
+      "https://docs.example.com/d.pptx", DocxGen.deck)
+    assert(deck.status == "ok" && deck.content_type == "pptx")
+    assert(deck.title == "Launch Plan") // first heading, no core.xml title
+    val wb = graft.pipeline.ExtractJob.scrapeAny(
+      "https://docs.example.com/w.xlsx", DocxGen.workbook)
+    assert(wb.status == "ok" && wb.content_type == "xlsx")
+    assert(wb.text_content.contains("North | 1250"))
+  }
+
   test("scrapeAny routes ZIP → docx; dedup keys comparable across routes") {
     val text = "Shared body sentence one.\nShared body sentence two."
     val docx = graft.pipeline.ExtractJob.scrapeAny(
