@@ -585,6 +585,12 @@ object SparkEntry {
     // is a chain bug, not fixture bad luck.
     "simhash_fixture" -> ((s, dir) => SimhashFixture.query(s, simhashPairsFrom)),
 
+    // Office-document extraction surface (round 6): blocks, metadata,
+    // links, error dispositions of all three OOXML flavors over the frozen
+    // DocxGen corpus — transcribed VALUES oracle, generator and parser
+    // share nothing beyond the OOXML spec.
+    "docx_fixture" -> ((s, dir) => DocxFixture.fixtureDf(s)),
+
     // PDF/layout parse (north-rule stage, round 5: real from-scratch
     // implementation replacing the declared stub — graft.sources.PdfParser):
     // the frozen PdfGen corpus exercises uncompressed + FlateDecode content
@@ -592,11 +598,6 @@ object SparkEntry {
     // multi-page /Contents arrays with inherited resources, Type0 fonts
     // through their ToUnicode CMap, PDF 1.5 object streams, and the
     // never-throws corrupt/not-PDF gates. Parsing runs INSIDE mapPartitions
-    // DOCX extraction surface (round 6): blocks, metadata, links, error
-    // dispositions over the frozen DocxGen corpus — transcribed VALUES
-    // oracle, generator and parser share nothing beyond the OOXML spec.
-    "docx_fixture" -> ((s, dir) => DocxFixture.fixtureDf(s)),
-
     // (the executor-side shape of the real pipeline); expected rows are a
     // transcribed VALUES oracle — the generator and parser share no code
     // beyond the PDF spec itself, so agreement pins both.

@@ -40,7 +40,7 @@ final case class ScrapedRow(
     normalized_text: String,
     norm_hash: String,
     norm_meta: NormMetaRow,
-    status: String,          // ok | invalid_url | empty_html | encrypted_pdf
+    status: String,          // ok | invalid_url | empty_html | encrypted_pdf | not_docx
     error: Option[String],
     /** `custom?: Record<string,unknown>` (types.ts:83): values from custom
       * extractors / ask() as canonical JSON or plain strings, deep-merged
@@ -193,30 +193,59 @@ object ScrapePipeline {
     if (blocks.isEmpty)
       return errorRow(normalizedUrl, "empty_html", Some("PDF yielded no text blocks"))
         .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "pdf")
+    layoutDocRow(normalizedUrl, blocks, res.meta, res.links, "pdf",
+      res.truncated, normalizeOptions, maxContentLength,
+      markdownLine = b =>
+        if (b.kind == "heading") "# " + b.text.replace("\n", " ")
+        else if (b.kind == "field") "- " + b.text // AcroForm field values
+        else b.text,
+      blockType = {
+        case "heading" => "heading"
+        case "field" => "list" // short "name: value" rows must survive B2
+        case _ => "paragraph"
+      },
+      // /Outlines bookmarks (round 6): section structure as a custom value
+      // ("depth|title" lines) — the PDF analogue of a custom extractor
+      custom =
+        if (res.outline.isEmpty) Map.empty
+        else Map("pdf_outline" -> res.outline.map { case (d, t) =>
+          s"$d|${t.replace("\n", " ")}"
+        }.mkString("\n")))
+  }
+
+  /** The shared layout-route row assembler — scrapePdf and scrapeDocx both
+    * produce "ordered layout blocks + Dublin-Core-ish meta + links"; the
+    * C3 content cap/marker, the explicit-meta-beats-first-heading title
+    * rule, the M4 http(s)/100 link filter, and the B2/B7 normalize chain
+    * are route-invariant and live HERE once (a copy per route silently
+    * desyncs the cross-route dedup-key equality the specs pin). */
+  private def layoutDocRow(
+      normalizedUrl: String,
+      blocks: Vector[graft.sources.LayoutBlock],
+      meta: Map[String, String],
+      linkUrls: Seq[String],
+      contentType: String,
+      parserTruncated: Boolean,
+      normalizeOptions: NormalizeOptions,
+      maxContentLength: Int,
+      markdownLine: graft.sources.LayoutBlock => String,
+      blockType: String => String,
+      custom: Map[String, String]): ScrapedRow = {
     val textContent = blocks.map(_.text).mkString("\n\n")
-    var markdown = blocks.map { b =>
-      if (b.kind == "heading") "# " + b.text.replace("\n", " ")
-      else if (b.kind == "field") "- " + b.text // AcroForm field values
-      else b.text
-    }.mkString("\n\n")
+    var markdown = blocks.map(markdownLine).mkString("\n\n")
     if (markdown.length > maxContentLength) // C3 parity: same cap + marker
       markdown = markdown.substring(0, maxContentLength) + "\n\n[Content truncated...]"
-    // /Info document metadata (round 6) — the PDF analogue of M1's meta
-    // tags: explicit DocInfo wins over the first-heading heuristic, exactly
-    // like <meta> beats <h1> on the HTML route
-    val title = res.meta.get("title")
+    // explicit document metadata (PDF /Info, OOXML core.xml) beats the
+    // first-heading heuristic, exactly like <meta> beats <h1> on HTML
+    val title = meta.get("title")
       .orElse(blocks.find(_.kind == "heading").map(_.text.linesIterator.next()))
       .getOrElse("")
     val contentBlocks = blocks.map { b =>
       ContentBlock(
-        blockType = b.kind match {
-          case "heading" => "heading"
-          case "field" => "list" // short "name: value" rows must survive B2
-          case _ => "paragraph"
-        },
+        blockType = blockType(b.kind),
         text = b.text,
         level = if (b.kind == "heading") Some(1) else None,
-        html = None, attrs = Map.empty, parentTags = Seq("pdf"), depth = 1)
+        html = None, attrs = Map.empty, parentTags = Seq(contentType), depth = 1)
     }
     val nr = Normalizer.normalizeText(contentBlocks, normalizeOptions, Some(normalizedUrl))
     ScrapedRow(
@@ -224,26 +253,26 @@ object ScrapePipeline {
       canonical_url = normalizedUrl,
       domain = UrlOps.extractDomain(normalizedUrl),
       title = title,
-      description = res.meta.getOrElse("subject", ""),
+      description = meta.getOrElse("subject", ""),
       image = None,
       favicon = None,
       content = markdown,
       text_content = textContent,
       excerpt = graft.extract.ContentExtractor.createExcerpt(textContent),
       word_count = graft.util.Js.countTokens(textContent),
-      author = res.meta.get("author"),
-      published_at = res.meta.get("created"),
-      modified_at = res.meta.get("modified"),
+      author = meta.get("author"),
+      published_at = meta.get("created"),
+      modified_at = meta.get("modified"),
       site_name = None, language = None,
-      content_type = "pdf",
-      keywords = res.meta.get("keywords")
+      content_type = contentType,
+      keywords = meta.get("keywords")
         .map(_.split("[,;]").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
       json_ld = None,
-      // /Link annotation URIs (round 6) — M4 parity: http(s) only, deduped
-      // by the parser, capped at the same 100 as the HTML route
+      // M4 parity: http(s) only, deduped by the parser, capped at the
+      // same 100 as the HTML route
       links = {
         val domain = UrlOps.extractDomain(normalizedUrl)
-        res.links.filter(u => u.startsWith("http://") || u.startsWith("https://"))
+        linkUrls.filter(u => u.startsWith("http://") || u.startsWith("https://"))
           .take(100)
           .map(u => LinkRow(u, "", UrlOps.extractDomain(u) != domain))
       },
@@ -253,16 +282,10 @@ object ScrapePipeline {
         nr.meta.charCount, nr.meta.tokenEstimate, nr.meta.language,
         nr.meta.boilerplateRemoved, nr.meta.classifierUsed, nr.meta.hash,
         nr.meta.blocksTotal, nr.meta.blocksAccepted,
-        nr.meta.truncated || res.truncated),
+        nr.meta.truncated || parserTruncated),
       status = "ok",
       error = None,
-      // /Outlines bookmarks (round 6): section structure as a custom value
-      // ("depth|title" lines) — the PDF analogue of a custom extractor
-      custom =
-        if (res.outline.isEmpty) Map.empty
-        else Map("pdf_outline" -> res.outline.map { case (d, t) =>
-          s"$d|${t.replace("\n", " ")}"
-        }.mkString("\n")))
+      custom = custom)
   }
 
   /** DOCX route (round 6 — the office-document leg beside HTML/PDF):
@@ -288,67 +311,17 @@ object ScrapePipeline {
     if (res.blocks.isEmpty)
       return errorRow(normalizedUrl, "empty_html", Some("document yielded no text blocks"))
         .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = res.flavor)
-    val blocks = res.blocks
-    val textContent = blocks.map(_.text).mkString("\n\n")
-    var markdown = blocks.map { b =>
-      if (b.kind == "heading") "# " + b.text.replace("\n", " ")
-      else b.text
-    }.mkString("\n\n")
-    if (markdown.length > maxContentLength) // C3 parity: same cap + marker
-      markdown = markdown.substring(0, maxContentLength) + "\n\n[Content truncated...]"
-    // core.xml Dublin-Core metadata — the DOCX analogue of PDF /Info:
-    // explicit dc:title beats the first-heading heuristic
-    val title = res.meta.get("title")
-      .orElse(blocks.find(_.kind == "heading").map(_.text.linesIterator.next()))
-      .getOrElse("")
-    val contentBlocks = blocks.map { b =>
-      ContentBlock(
-        blockType = b.kind match {
-          case "heading" => "heading"
-          case "table" => "list" // short cell rows must survive B2, like fields
-          case _ => "paragraph"
-        },
-        text = b.text,
-        level = if (b.kind == "heading") Some(1) else None,
-        html = None, attrs = Map.empty, parentTags = Seq(res.flavor), depth = 1)
-    }
-    val nr = Normalizer.normalizeText(contentBlocks, normalizeOptions, Some(normalizedUrl))
-    ScrapedRow(
-      url = normalizedUrl,
-      canonical_url = normalizedUrl,
-      domain = UrlOps.extractDomain(normalizedUrl),
-      title = title,
-      description = res.meta.getOrElse("subject", ""),
-      image = None,
-      favicon = None,
-      content = markdown,
-      text_content = textContent,
-      excerpt = graft.extract.ContentExtractor.createExcerpt(textContent),
-      word_count = graft.util.Js.countTokens(textContent),
-      author = res.meta.get("author"),
-      published_at = res.meta.get("created"),
-      modified_at = res.meta.get("modified"),
-      site_name = None, language = None,
-      content_type = res.flavor, // docx | pptx | xlsx
-      keywords = res.meta.get("keywords")
-        .map(_.split("[,;]").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
-      json_ld = None,
-      // hyperlink relationship targets — M4 parity: http(s) only, capped 100
-      links = {
-        val domain = UrlOps.extractDomain(normalizedUrl)
-        res.links.filter(u => u.startsWith("http://") || u.startsWith("https://"))
-          .take(100)
-          .map(u => LinkRow(u, "", UrlOps.extractDomain(u) != domain))
+    layoutDocRow(normalizedUrl, res.blocks, res.meta, res.links,
+      res.flavor /* docx | pptx | xlsx */, res.truncated,
+      normalizeOptions, maxContentLength,
+      markdownLine = b =>
+        if (b.kind == "heading") "# " + b.text.replace("\n", " ")
+        else b.text,
+      blockType = {
+        case "heading" => "heading"
+        case "table" => "list" // short cell rows must survive B2, like fields
+        case _ => "paragraph"
       },
-      normalized_text = nr.text,
-      norm_hash = nr.meta.hash,
-      norm_meta = NormMetaRow(
-        nr.meta.charCount, nr.meta.tokenEstimate, nr.meta.language,
-        nr.meta.boilerplateRemoved, nr.meta.classifierUsed, nr.meta.hash,
-        nr.meta.blocksTotal, nr.meta.blocksAccepted,
-        nr.meta.truncated || res.truncated),
-      status = "ok",
-      error = None,
       custom = Map.empty)
   }
 

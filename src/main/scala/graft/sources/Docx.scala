@@ -1,8 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
-
 import graft.dom.{Element, TextNode}
 import graft.feed.XmlParser
 
@@ -68,47 +65,117 @@ object Docx {
   private val SlideRe = "ppt/slides/slide([0-9]+)\\.xml".r
   private val SheetRe = "xl/worksheets/sheet([0-9]+)\\.xml".r
 
+  /** Central-directory entry: name + where its compressed data lives. */
+  private final case class CdEntry(name: String, method: Int,
+      compressedSize: Long, localHeaderOffset: Long)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i) | (u16(b, i + 2).toLong << 16)) & 0xffffffffL
+
+  /** Walk the central directory (at the END of the archive — no entry data
+    * is touched, let alone inflated; EOCD count is u16, so ≤65535 entries —
+    * no ZIP64, documented). Returns None for a blob without a parseable
+    * EOCD/CD, i.e. not a usable ZIP; the Boolean is true when the walk was
+    * CUT by [[MaxEntries]] (caps must surface, never silently). */
+  private def centralDirectory(bytes: Array[Byte]): Option[(Vector[CdEntry], Boolean)] = {
+    // EOCD: scan backward for PK\x05\x06 within the max comment span
+    val lo = math.max(0, bytes.length - 22 - 65535)
+    var eocd = -1
+    var i = bytes.length - 22
+    while (i >= lo && eocd < 0) {
+      if (bytes(i) == 'P' && bytes(i + 1) == 'K' && bytes(i + 2) == 5 && bytes(i + 3) == 6)
+        eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return None
+    val count = u16(bytes, eocd + 10)
+    val cdOff = u32(bytes, eocd + 16)
+    if (cdOff >= bytes.length) return None
+    val out = Vector.newBuilder[CdEntry]
+    var p = cdOff.toInt
+    var k = 0
+    while (k < count && k < MaxEntries && p + 46 <= bytes.length) {
+      if (!(bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 1 && bytes(p + 3) == 2))
+        return Some((out.result(), true)) // salvage what parsed so far
+      val method = u16(bytes, p + 10)
+      val csize = u32(bytes, p + 20)
+      val nameLen = u16(bytes, p + 28)
+      val extraLen = u16(bytes, p + 30)
+      val commentLen = u16(bytes, p + 32)
+      val lho = u32(bytes, p + 42)
+      if (p + 46 + nameLen > bytes.length) return Some((out.result(), true))
+      val name = new String(bytes, p + 46, nameLen, "UTF-8")
+      out += CdEntry(name, method, csize, lho)
+      p += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    Some((out.result(), k < count))
+  }
+
+  /** Inflate ONE entry's data slice with the per-entry/total output caps —
+    * only wanted parts ever reach this, so the archive's unwanted bulk
+    * (media, bloated junk entries) costs zero inflate work. */
+  private def readEntry(bytes: Array[Byte], e: CdEntry, budgetLeft: Long): (String, Boolean) = {
+    val p = e.localHeaderOffset.toInt
+    if (p < 0 || p + 30 > bytes.length ||
+        !(bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 3 && bytes(p + 3) == 4))
+      return ("", true)
+    val nameLen = u16(bytes, p + 26)
+    val extraLen = u16(bytes, p + 28)
+    val dataOff = p + 30 + nameLen + extraLen
+    val csize = math.min(e.compressedSize, math.max(0L, bytes.length - dataOff)).toInt
+    if (dataOff >= bytes.length || csize <= 0) return ("", true)
+    val cap = math.min(MaxEntryBytes.toLong, budgetLeft).toInt
+    if (e.method == 0) { // STORED
+      val n = math.min(csize, cap)
+      (new String(bytes, dataOff, n, "UTF-8"), n < csize)
+    } else { // DEFLATED
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, dataOff, csize)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var truncated = false
+        var done = false
+        while (!done && !truncated) {
+          val n = inf.inflate(buf)
+          if (n > 0) {
+            if (out.size + n > cap) truncated = true
+            else out.write(buf, 0, n)
+          } else done = inf.finished() || inf.needsDictionary() || inf.needsInput()
+        }
+        (out.toString("UTF-8"), truncated)
+      } catch {
+        case _: Exception => ("", true)
+      } finally inf.end()
+    }
+  }
+
   def parseDetailed(bytes: Array[Byte]): DocxResult = {
     if (!isZip(bytes)) return notOffice
+    val (cd, cdCut) = centralDirectory(bytes) match {
+      case None => return notOffice
+      case Some(x) => x
+    }
+    def wanted(name: String): Boolean =
+      name == "word/document.xml" || name == "docProps/core.xml" ||
+        name == "word/_rels/document.xml.rels" ||
+        name == "ppt/presentation.xml" || name == "xl/workbook.xml" ||
+        name == "xl/sharedStrings.xml" ||
+        SlideRe.pattern.matcher(name).matches() ||
+        SheetRe.pattern.matcher(name).matches()
     val parts = scala.collection.mutable.Map.empty[String, String]
-    var truncated = false
-    try {
-      val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-      var entry = zin.getNextEntry
-      var entries = 0
-      var total = 0L
-      val buf = new Array[Byte](8192)
-      while (entry != null && entries < MaxEntries && total < MaxTotalBytes) {
-        entries += 1
-        val name = entry.getName
-        val wanted = name == "word/document.xml" || name == "docProps/core.xml" ||
-          name == "word/_rels/document.xml.rels" ||
-          name == "ppt/presentation.xml" || name == "xl/workbook.xml" ||
-          name == "xl/sharedStrings.xml" ||
-          SlideRe.pattern.matcher(name).matches() ||
-          SheetRe.pattern.matcher(name).matches()
-        if (wanted) {
-          val out = new java.io.ByteArrayOutputStream()
-          var n = zin.read(buf)
-          var over = false
-          while (n >= 0 && !over) {
-            if (out.size + n > MaxEntryBytes || total + out.size + n > MaxTotalBytes) {
-              truncated = true; over = true
-            } else {
-              out.write(buf, 0, n)
-              n = zin.read(buf)
-            }
-          }
-          total += out.size
-          parts(name) = out.toString("UTF-8")
-        }
-        entry = zin.getNextEntry
-      }
-      if (entry != null) truncated = true // entry/budget cap hit mid-archive
-    } catch {
-      case _: Exception => // corrupt archive: fall through with what we have
-        if (parts.isEmpty) return notOffice
-        truncated = true
+    var truncated = cdCut
+    var total = 0L
+    cd.iterator.filter(e => wanted(e.name)).foreach { e =>
+      if (total < MaxTotalBytes && !parts.contains(e.name)) {
+        val (s, trunc) = readEntry(bytes, e, MaxTotalBytes - total)
+        total += s.length
+        if (trunc) truncated = true
+        if (s.nonEmpty) parts(e.name) = s
+      } else truncated = true
     }
 
     val meta: Map[String, String] = parts.get("docProps/core.xml") match {
@@ -132,6 +199,10 @@ object Docx {
       parseSlides(parts, meta, truncated)
     else if (parts.contains("xl/workbook.xml"))
       parseSheets(parts, meta, truncated)
+    else if (truncated)
+      // a cap cut the walk/reads before any main part appeared: surface
+      // the truncation instead of a clean-looking "not an office file"
+      notOffice.copy(truncated = true)
     else notOffice
   }
 
@@ -191,11 +262,19 @@ object Docx {
         val isHeading = style.startsWith("Heading") || style == "Title"
         blocks.emit(if (isHeading) "heading" else "text", sb.toString)
       case el: Element if el.tag == "w:tbl" =>
-        val rows = XmlParser.find(el, "w:tr").map { tr =>
-          XmlParser.find(tr, "w:tc").map { tc =>
-            val sb = new java.lang.StringBuilder
-            runText(tc, sb)
-            sb.toString.trim.replace('\n', ' ')
+        // DIRECT children only: XmlParser.find is a descendant search, so a
+        // table nested inside a cell would re-surface as extra rows/cells —
+        // nested-table text is included exactly once, inside its outer cell
+        // (runText recurses through it)
+        val rows = directChildren(el, "w:tr").map { tr =>
+          directChildren(tr, "w:tc").map { tc =>
+            // block-level children (paragraphs, nested tables) joined with
+            // a space — bare recursion would weld their words together
+            tc.children.collect { case c: Element =>
+              val sb = new java.lang.StringBuilder
+              runText(c, sb)
+              sb.toString.trim
+            }.filter(_.nonEmpty).mkString(" ").replace('\n', ' ')
           }.mkString(" | ")
         }
         blocks.emit("table", rows.mkString("\n"))
@@ -218,8 +297,17 @@ object Docx {
         val phType = XmlParser.findFirst(sp, "p:ph").flatMap(_.attr("type")).getOrElse("")
         val isTitle = phType == "title" || phType == "ctrTitle"
         XmlParser.find(sp, "a:p").foreach { p =>
-          val text = XmlParser.find(p, "a:t").map(tText).mkString
-          blocks.emit(if (isTitle) "heading" else "text", text, page)
+          // ordered walk so a:br line breaks separate runs (bare a:t
+          // concatenation would merge words across breaks)
+          val sb = new java.lang.StringBuilder
+          def walk(e: Element): Unit = e.children.foreach {
+            case c: Element if c.tag == "a:br" => sb.append('\n')
+            case c: Element if c.tag == "a:t" => sb.append(tText(c))
+            case c: Element => walk(c)
+            case _ =>
+          }
+          walk(p)
+          blocks.emit(if (isTitle) "heading" else "text", sb.toString, page)
         }
       }
     }
@@ -259,6 +347,9 @@ object Docx {
     }
     finish(blocks, meta, Vector.empty, "xlsx")
   }
+
+  private def directChildren(e: Element, tag: String): Vector[Element] =
+    e.children.collect { case c: Element if c.tag == tag => c }.toVector
 
   private def tText(t: Element): String =
     t.children.collect { case tn: TextNode => tn.data }.mkString

@@ -40,9 +40,12 @@ object DocxGen {
       """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
       s"<w:body>$bodyXml</w:body></w:document>"
 
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   private def p(text: String, style: String = ""): String = {
     val pr = if (style.isEmpty) "" else s"""<w:pPr><w:pStyle w:val="$style"/></w:pPr>"""
-    s"""<w:p>$pr<w:r><w:t xml:space="preserve">$text</w:t></w:r></w:p>"""
+    s"""<w:p>$pr<w:r><w:t xml:space="preserve">${esc(text)}</w:t></w:r></w:p>"""
   }
 
   /** Report: title-styled heading, Heading1, body paragraphs with a tab
@@ -118,6 +121,27 @@ object DocxGen {
        """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1250</v></c></row>""" +
        """<row r="3"><c r="A3" t="inlineStr"><is><t>South</t></is></c><c r="B3"><v>990</v></c></row>""" +
        """</sheetData></worksheet>""")))
+
+  /** Table nested inside a cell (common Word output): the inner table's
+    * text must surface exactly once (inside the outer cell), never as
+    * extra rows/cells of the outer table. */
+  def nestedTableDoc: Array[Byte] = zip(Seq(
+    "[Content_Types].xml" -> contentTypes,
+    "word/document.xml" -> doc(
+      """<w:tbl><w:tr><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>""" +
+      """<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p></w:tc></w:tr></w:tbl>""" +
+      """</w:tc><w:tc><w:p><w:r><w:t>right</w:t></w:r></w:p></w:tc></w:tr></w:tbl>""")))
+
+  /** Slide paragraph with an a:br between runs. */
+  def deckWithBreak: Array[Byte] = zip(Seq(
+    "[Content_Types].xml" -> contentTypes,
+    "ppt/presentation.xml" ->
+      """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>""",
+    "ppt/slides/slide1.xml" ->
+      ("""<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" """ +
+       """xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"><p:cSld><p:spTree>""" +
+       """<p:sp><p:txBody><a:p><a:r><a:t>Hello</a:t></a:r><a:br/><a:r><a:t>World</a:t></a:r></a:p></p:txBody></p:sp>""" +
+       """</p:spTree></p:cSld></p:sld>""")))
 
   /** A ZIP that is NOT a DOCX (no word/document.xml). */
   def plainZip: Array[Byte] = zip(Seq(

@@ -42,10 +42,47 @@ class DocxSpec extends AnyFunSuite {
     assert(Docx.parseDetailed(garbage).status == "not_docx")
   }
 
-  test("entry-count bomb: caps at MaxEntries and flags truncated") {
+  test("entry-count bomb: caps at MaxEntries and flags truncated, never silently") {
     val r = Docx.parseDetailed(DocxGen.manyEntriesZip(Docx.MaxEntries + 10))
-    // document.xml is buried past the cap: the archive truncates without it
-    assert(r.status == "not_docx" || r.truncated)
+    // document.xml is buried past the cap: whatever the classification,
+    // the cut MUST surface as truncated (no silent caps)
+    assert(r.truncated, s"cap cut the walk but truncated=false (status ${r.status})")
+  }
+
+  test("nested table text surfaces exactly once, inside its outer cell") {
+    val r = Docx.parseDetailed(DocxGen.nestedTableDoc)
+    assert(r.blocks.map(b => (b.kind, b.text)) == Vector(
+      ("table", "outer inner | right")))
+  }
+
+  test("pptx a:br separates runs instead of merging words") {
+    val r = Docx.parseDetailed(DocxGen.deckWithBreak)
+    assert(r.blocks.map(_.text) == Vector("Hello\nWorld"))
+  }
+
+  test("unwanted-entry bulk costs no inflate work (central-directory reads)") {
+    // a 1000:1-compressible 24 MiB junk entry before document.xml: the old
+    // streaming reader inflated it to discard it; the CD reader must not —
+    // pin by wall time (decompressing tens of MB of zeros is measurable,
+    // skipping them is not)
+    val junk = "z" * (24 << 20)
+    val bytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bo)
+      def add(n: String, c: String): Unit = {
+        val e = new java.util.zip.ZipEntry(n); e.setTime(0L)
+        z.putNextEntry(e); z.write(c.getBytes("UTF-8")); z.closeEntry()
+      }
+      add("media/huge.bin", junk)
+      add("word/document.xml",
+        """<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>after the junk</w:t></w:r></w:p></w:body></w:document>""")
+      z.close(); bo.toByteArray
+    }
+    val t0 = System.nanoTime()
+    val r = Docx.parseDetailed(bytes)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r.status == "ok" && r.blocks.head.text == "after the junk")
+    assert(ms < 250, f"parse took $ms%.0f ms — unwanted entries are being inflated")
   }
 
   test("inflate bomb: per-entry cap flags truncated, never OOMs") {
