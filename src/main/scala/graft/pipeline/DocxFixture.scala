@@ -20,11 +20,21 @@ object DocxFixture {
     "minimal" -> DocxGen.minimal,
     "deck" -> DocxGen.deck,
     "workbook" -> DocxGen.workbook,
+    "book" -> DocxGen.book,
     "plain_zip" -> DocxGen.plainZip,
     "not_zip" -> "<html>nope</html>".getBytes("UTF-8"))
 
   /** Transcribed expected rows. */
   def expectedRows: Seq[(String, Long, String, String)] = Seq(
+    ("book", 0L, "heading", "Winter"),
+    ("book", 1L, "text", "Ice sealed the harbour mouth in January."),
+    ("book", 2L, "text", "The keeper logged each frozen morning."),
+    ("book", 3L, "heading", "Spring"),
+    ("book", 4L, "text", "The first sloop cleared the point in April."),
+    ("book", 100L, "meta:title", "The Harbour Year"),
+    ("book", 101L, "meta:author", "A. Keeper"),
+    ("book", 102L, "meta:subject", "maritime"),
+    ("book", 104L, "meta:created", "2024-02-02"),
     ("deck", 0L, "heading", "Launch Plan"),
     ("deck", 1L, "text", "Ship the beta in October"),
     ("deck", 2L, "heading", "Risks"),

@@ -46,6 +46,7 @@ object Docx {
   val MaxParagraphs: Int = 20000
   val MaxSlides: Int = 1000
   val MaxSheets: Int = 256
+  val MaxChapters: Int = 500
 
   final case class DocxResult(
       blocks: Vector[LayoutBlock],
@@ -166,17 +167,25 @@ object Docx {
         name == "xl/sharedStrings.xml" ||
         SlideRe.pattern.matcher(name).matches() ||
         SheetRe.pattern.matcher(name).matches()
+    val cdIndex: Map[String, CdEntry] = cd.iterator.map(e => e.name -> e).toMap
     val parts = scala.collection.mutable.Map.empty[String, String]
     var truncated = cdCut
     var total = 0L
-    cd.iterator.filter(e => wanted(e.name)).foreach { e =>
-      if (total < MaxTotalBytes && !parts.contains(e.name)) {
-        val (s, trunc) = readEntry(bytes, e, MaxTotalBytes - total)
-        total += s.length
-        if (trunc) truncated = true
-        if (s.nonEmpty) parts(e.name) = s
-      } else truncated = true
+    // budget-tracked on-demand read from the CD index — the EPUB flavor
+    // discovers its chapter names only after reading the OPF, so reads
+    // must be dynamic, not a static wanted-set
+    def readPart(name: String): Option[String] = parts.get(name).orElse {
+      cdIndex.get(name).flatMap { e =>
+        if (total >= MaxTotalBytes) { truncated = true; None }
+        else {
+          val (s, trunc) = readEntry(bytes, e, MaxTotalBytes - total)
+          total += s.length
+          if (trunc) truncated = true
+          if (s.nonEmpty) { parts(e.name) = s; Some(s) } else None
+        }
+      }
     }
+    cd.iterator.filter(e => wanted(e.name)).foreach(e => readPart(e.name))
 
     val meta: Map[String, String] = parts.get("docProps/core.xml") match {
       case None => Map.empty
@@ -199,11 +208,68 @@ object Docx {
       parseSlides(parts, meta, truncated)
     else if (parts.contains("xl/workbook.xml"))
       parseSheets(parts, meta, truncated)
+    else if (cdIndex.contains("META-INF/container.xml"))
+      parseEpub(readPart, () => truncated)
     else if (truncated)
       // a cap cut the walk/reads before any main part appeared: surface
       // the truncation instead of a clean-looking "not an office file"
       notOffice.copy(truncated = true)
     else notOffice
+  }
+
+  /** EPUB flavor (round 6): an EPUB is a ZIP with `META-INF/container.xml`
+    * naming an OPF package file, whose manifest/spine order the XHTML
+    * chapters. Chapters run through the repo's OWN HTML machinery
+    * ([[graft.dom.HtmlParser]] + [[graft.content.BlockParser]]) — the
+    * book route reuses the page route's block semantics, so headings and
+    * paragraphs normalize identically to web pages. OPF Dublin-Core maps
+    * onto the shared meta keys. Chapter count capped at [[MaxChapters]]
+    * (surfaced as truncated). */
+  private def parseEpub(readPart: String => Option[String],
+                        truncatedNow: () => Boolean): DocxResult = {
+    val blocks = new Blocks(truncatedNow())
+    val containerXml = readPart("META-INF/container.xml").getOrElse("")
+    val opfPath = XmlParser.find(XmlParser.parse(containerXml), "rootfile")
+      .flatMap(_.attr("full-path")).headOption.getOrElse("")
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i => opfPath.substring(0, i + 1)
+    }
+    val opf = readPart(opfPath).getOrElse("")
+    if (opf.isEmpty) return notOffice.copy(truncated = truncatedNow())
+    val opfRoot = XmlParser.parse(opf)
+    def dc(tag: String): Option[String] = {
+      val t = XmlParser.findText(opfRoot, tag).trim
+      if (t.isEmpty) None else Some(t)
+    }
+    val meta = Seq(
+      "title" -> dc("dc:title"), "author" -> dc("dc:creator"),
+      "subject" -> dc("dc:subject"), "created" -> dc("dc:date")
+    ).collect { case (k, Some(v)) => k -> v }.toMap
+    val manifest: Map[String, (String, String)] =
+      XmlParser.find(opfRoot, "item").flatMap { it =>
+        for (id <- it.attr("id"); href <- it.attr("href"))
+          yield id -> ((href, it.attr("media-type").getOrElse("")))
+      }.toMap
+    val spine = XmlParser.find(opfRoot, "itemref").flatMap(_.attr("idref"))
+    val chapters = spine.flatMap(manifest.get)
+      .filter { case (_, mt) => mt.contains("html") || mt.isEmpty }
+      .map(_._1)
+    if (chapters.size > MaxChapters) blocks.truncated = true
+    chapters.take(MaxChapters).zipWithIndex.foreach { case (href, page) =>
+      readPart(opfDir + href).foreach { xhtml =>
+        val doc = try graft.dom.HtmlParser.parse(xhtml) catch {
+          case _: Exception => blocks.truncated = true; null
+        }
+        if (doc != null)
+          graft.content.BlockParser.parseBlocks(doc).foreach { cb =>
+            blocks.emit(
+              if (cb.blockType == "heading") "heading" else "text",
+              cb.text, page)
+          }
+      }
+    }
+    finish(blocks, meta, Vector.empty, "epub")
   }
 
   /** Block collector with the shared caps + synthetic geometry. */

@@ -143,6 +143,28 @@ object DocxGen {
        """<p:sp><p:txBody><a:p><a:r><a:t>Hello</a:t></a:r><a:br/><a:r><a:t>World</a:t></a:r></a:p></p:txBody></p:sp>""" +
        """</p:spTree></p:cSld></p:sld>""")))
 
+  /** Two-chapter EPUB: container → OPF (manifest + spine + Dublin Core) →
+    * XHTML chapters. */
+  def book: Array[Byte] = zip(Seq(
+    "mimetype" -> "application/epub+zip",
+    "META-INF/container.xml" ->
+      ("""<?xml version="1.0"?><container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+       """<rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/></rootfiles></container>"""),
+    "OEBPS/content.opf" ->
+      ("""<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" xmlns:dc="http://purl.org/dc/elements/1.1/" version="3.0">""" +
+       """<metadata><dc:title>The Harbour Year</dc:title><dc:creator>A. Keeper</dc:creator>""" +
+       """<dc:subject>maritime</dc:subject><dc:date>2024-02-02</dc:date></metadata>""" +
+       """<manifest><item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>""" +
+       """<item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>""" +
+       """<item id="css" href="style.css" media-type="text/css"/></manifest>""" +
+       """<spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>"""),
+    "OEBPS/ch1.xhtml" ->
+      ("""<html><body><h1>Winter</h1><p>Ice sealed the harbour mouth in January.</p>""" +
+       """<p>The keeper logged each frozen morning.</p></body></html>"""),
+    "OEBPS/ch2.xhtml" ->
+      """<html><body><h1>Spring</h1><p>The first sloop cleared the point in April.</p></body></html>""",
+    "OEBPS/style.css" -> "p { margin: 0 }"))
+
   /** A ZIP that is NOT a DOCX (no word/document.xml). */
   def plainZip: Array[Byte] = zip(Seq(
     "readme.txt" -> "nothing wordprocessing about this archive"))

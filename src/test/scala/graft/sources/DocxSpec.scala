@@ -108,6 +108,22 @@ class DocxSpec extends AnyFunSuite {
       ("table", "Region | Sales\nNorth | 1250\nSouth | 990")))
   }
 
+  test("epub: spine-ordered chapters through the HTML block machinery") {
+    val r = Docx.parseDetailed(DocxGen.book)
+    assert(r.status == "ok" && r.flavor == "epub")
+    assert(r.meta("title") == "The Harbour Year" && r.meta("author") == "A. Keeper")
+    assert(r.blocks.map(b => (b.page, b.kind, b.text)) == Vector(
+      (0, "heading", "Winter"),
+      (0, "text", "Ice sealed the harbour mouth in January."),
+      (0, "text", "The keeper logged each frozen morning."),
+      (1, "heading", "Spring"),
+      (1, "text", "The first sloop cleared the point in April.")))
+    val row = graft.pipeline.ExtractJob.scrapeAny(
+      "https://books.example.com/harbour.epub", DocxGen.book)
+    assert(row.status == "ok" && row.content_type == "epub")
+    assert(row.title == "The Harbour Year")
+  }
+
   test("pptx/xlsx route through scrapeAny with their own content_type") {
     val deck = graft.pipeline.ExtractJob.scrapeAny(
       "https://docs.example.com/d.pptx", DocxGen.deck)
