@@ -590,6 +590,8 @@ object SparkEntry {
     // DocxGen corpus — transcribed VALUES oracle, generator and parser
     // share nothing beyond the OOXML spec.
     "docx_fixture" -> ((s, dir) => DocxFixture.fixtureDf(s)),
+    // RTF extraction surface (round 6): same pattern over planted RTFs
+    "rtf_fixture" -> ((s, dir) => RtfFixture.fixtureDf(s)),
 
     // PDF/layout parse (north-rule stage, round 5: real from-scratch
     // implementation replacing the declared stub — graft.sources.PdfParser):
@@ -2037,6 +2039,7 @@ object SparkEntry {
        ") AS t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b"),
 
     "docx_fixture" -> DocxFixture.fixtureOracle,
+    "rtf_fixture" -> RtfFixture.fixtureOracle,
 
     // transcribed from the frozen PdfGen corpus (PdfParser scaladoc
     // documents the supported subset; blocks ordered page-major, top-down)

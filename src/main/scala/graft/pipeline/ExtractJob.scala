@@ -289,9 +289,11 @@ object ExtractJob {
         html(1) == 'P' && html(2) == 'D' && html(3) == 'F')
       ScrapePipeline.scrapePdf(html, url)
     else if (graft.sources.Docx.isZip(html))
-      // ZIP container → the DOCX route (round 6); a ZIP that is not a
-      // DOCX surfaces as its own not_docx error code, never as HTML soup
+      // ZIP container → the office/ebook route (round 6); a ZIP that is
+      // none of the flavors surfaces as not_docx, never as HTML soup
       ScrapePipeline.scrapeDocx(html, url)
+    else if (graft.sources.Rtf.isRtf(html))
+      ScrapePipeline.scrapeRtf(html, url)
     else ScrapePipeline.scrapeHtml(decodeHtml(html), url)
 
   /** Byte-ratio plan selection for unbucketed input (BASELINE.md: choosing

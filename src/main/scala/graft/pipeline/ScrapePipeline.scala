@@ -213,6 +213,30 @@ object ScrapePipeline {
         }.mkString("\n")))
   }
 
+  /** RTF route (round 6): `{\rtf` blobs through
+    * [[graft.sources.Rtf.parseDetailed]] — one linear control-word pass,
+    * `\info` metadata onto the shared meta keys, paragraphs as text blocks
+    * (RTF headings are style-table references; honest all-text beats
+    * guessed structure), the same shared assembler as PDF/office. */
+  def scrapeRtf(
+      bytes: Array[Byte],
+      url: String,
+      normalizeOptions: NormalizeOptions = NormalizeOptions(),
+      maxContentLength: Int = 50000): ScrapedRow = {
+    if (!UrlOps.isValidUrl(url))
+      return errorRow(url, "invalid_url", Some("Invalid URL provided"))
+    val normalizedUrl = UrlOps.normalizeUrl(url)
+    val res = graft.sources.Rtf.parseDetailed(bytes)
+    if (res.blocks.isEmpty)
+      return errorRow(normalizedUrl, "empty_html", Some("RTF yielded no text"))
+        .copy(domain = UrlOps.extractDomain(normalizedUrl), content_type = "rtf")
+    layoutDocRow(normalizedUrl, res.blocks, res.meta, Nil, "rtf",
+      res.truncated, normalizeOptions, maxContentLength,
+      markdownLine = _.text,
+      blockType = _ => "paragraph",
+      custom = Map.empty)
+  }
+
   /** The shared layout-route row assembler — scrapePdf and scrapeDocx both
     * produce "ordered layout blocks + Dublin-Core-ish meta + links"; the
     * C3 content cap/marker, the explicit-meta-beats-first-heading title

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RTF extractor: control-word stream → paragraphs, skipped destinations,
+  * escapes, unicode with \uc fallbacks, \info metadata, totality. */
+class RtfSpec extends AnyFunSuite {
+
+  private def rtf(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  test("paragraphs, tabs, escapes; font/color tables never leak") {
+    val doc = """{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}{\colortbl;\red0\green0\blue0;}
+      |\f0\fs24 First paragraph with \b bold\b0  inside.\par
+      |Second\tab column \{braced\} and 50\'25 done.\par}""".stripMargin
+    val r = Rtf.parseDetailed(rtf(doc))
+    assert(r.status == "ok" && !r.truncated)
+    assert(r.blocks.map(_.text) == Vector(
+      "First paragraph with bold inside.",
+      "Second\tcolumn {braced} and 50% done."))
+  }
+
+  test("\\u unicode with \\uc fallback skip; \\~ nbsp") {
+    // ordinary escaped string: Scala pre-processes \uXXXX inside RAW
+    // strings, so \uc1/\u233 cannot appear in one
+    val doc = "{\\rtf1\\uc1 caf\\u233 e au\\~lait\\par}"
+    val r = Rtf.parseDetailed(rtf(doc))
+    assert(r.blocks.map(_.text) == Vector("caf\u00e9 au\u00a0lait")) // \\~ = NBSP
+  }
+
+  test("\\info title/author captured as meta, not body text") {
+    val doc = """{\rtf1{\info{\title Harbour Notes}{\author A. Keeper}{\creatim\yr2024}}Body only.\par}"""
+    val r = Rtf.parseDetailed(rtf(doc))
+    assert(r.blocks.map(_.text) == Vector("Body only."))
+    assert(r.meta("title") == "Harbour Notes")
+    assert(r.meta("author") == "A. Keeper")
+    assert(!r.meta.contains(""))
+  }
+
+  test("\\* ignorable destinations and pict data are skipped") {
+    val doc = """{\rtf1{\*\generator Writer 7;}{\pict 0a0b0c0d}kept\par}"""
+    val r = Rtf.parseDetailed(rtf(doc))
+    assert(r.blocks.map(_.text) == Vector("kept"))
+  }
+
+  test("totality: garbage, non-rtf, empty, runaway braces") {
+    assert(Rtf.parseDetailed("plain text".getBytes("UTF-8")).status == "not_rtf")
+    assert(Rtf.parseDetailed(Array.emptyByteArray).status == "not_rtf")
+    assert(Rtf.parseDetailed(null).status == "not_rtf")
+    val runaway = "{\\rtf1 " + ("{" * 10000) + "deep" + "}" * 10000 + "\\par}"
+    val r = Rtf.parseDetailed(rtf(runaway))
+    assert(r.truncated, "group-depth cap must surface")
+    val empty = Rtf.parseDetailed(rtf("""{\rtf1{\fonttbl{\f0 X;}}}"""))
+    assert(empty.status == "empty")
+  }
+
+  test("routes through scrapeAny with content_type rtf and honest title") {
+    val doc = """{\rtf1{\info{\title Meeting Minutes}}The quarterly goals were reviewed in detail.\par Attendees agreed on the plan.\par}"""
+    val row = graft.pipeline.ExtractJob.scrapeAny(
+      "https://files.example.com/minutes.rtf", rtf(doc))
+    assert(row.status == "ok" && row.content_type == "rtf")
+    assert(row.title == "Meeting Minutes")
+    assert(row.word_count > 5)
+    // non-rtf text still goes down the HTML route
+    val html = graft.pipeline.ExtractJob.scrapeAny(
+      "https://files.example.com/x.html", "<html><body><p>hi there</p></body></html>".getBytes("UTF-8"))
+    assert(html.content_type != "rtf")
+  }
+}
