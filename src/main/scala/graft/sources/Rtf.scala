@@ -126,11 +126,15 @@ object Rtf {
               case "uc" => ucSkip = if (hasNum) value.toInt.max(0) else 1
               case "u" =>
                 val cp = if (value < 0) value + 65536 else value
-                if (cp > 0 && cp <= 0x10FFFF) {
+                if (cp > 0 && cp <= 0x10FFFF)
                   Character.toChars(cp.toInt).foreach(emitChar)
-                  // the NEXT ucSkip chars are the ANSI fallback: drop them
-                  pendingUcSkip = ucSkip
-                }
+                // the NEXT ucSkip chars are the ANSI fallback: drop them
+                // even when the codepoint was unrepresentable
+                pendingUcSkip = ucSkip
+              case "bin" =>
+                // \binN is followed by N RAW bytes — not control-word
+                // encoded; scanning them as text would inject garbage
+                if (hasNum && value > 0) k = math.min(n.toLong, k.toLong + value).toInt
               case "info" => inInfo = true; infoDepth = depth
               case w if inInfo && MetaDests.contains(w) =>
                 val key = MetaDests(w)

@@ -42,6 +42,21 @@ class RtfSpec extends AnyFunSuite {
     assert(r.blocks.map(_.text) == Vector("kept"))
   }
 
+  test("\\bin raw bytes are skipped, never scanned as text") {
+    val head = """{\rtf1{\*\objdata\bin8 """
+    val bytes = head.getBytes("ISO-8859-1") ++
+      Array[Byte]('\\', 'p', 'a', 'r', ' ', 'X', '{', '}') ++ // raw junk incl. rtf-looking bytes
+      """}visible\par}""".getBytes("ISO-8859-1")
+    val r = Rtf.parseDetailed(bytes)
+    assert(r.blocks.map(_.text) == Vector("visible"))
+  }
+
+  test("\\u fallback skip applies even for unrepresentable codepoints") {
+    val doc = "{\\rtf1\\uc2 a\\u0 XYb\\par}" // \u0 invalid: emit nothing, skip 2
+    val r = Rtf.parseDetailed(doc.getBytes("ISO-8859-1"))
+    assert(r.blocks.map(_.text) == Vector("ab"), s"got ${r.blocks.map(_.text)}")
+  }
+
   test("totality: garbage, non-rtf, empty, runaway braces") {
     assert(Rtf.parseDetailed("plain text".getBytes("UTF-8")).status == "not_rtf")
     assert(Rtf.parseDetailed(Array.emptyByteArray).status == "not_rtf")
