@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,9 +9,10 @@ import org.apache.spark.sql.functions._
  * stream is cut every `budget` tokens — the packing GPT-style training
  * pipelines run (documents may straddle a cut; the alternative greedy
  * bin-packing trades determinism for fewer straddles). Each document's
- * placement is closed-form from the exclusive cumulative token sum, so
- * the whole operator is two window functions — no stateful scan, no
- * driver loop, and the identical assignment at any parallelism.
+ * placement is closed-form from the exclusive cumulative token sum,
+ * computed by [[PrefixSum]]'s distributed two-phase scan — no per-shard
+ * single-task window, no driver loop, and the identical assignment at any
+ * parallelism.
  *
  * Shard assignment is `id % numShards` (deterministic, cluster-size
  * independent); within a shard, order is ascending id. Output: one row
@@ -38,11 +38,11 @@ object Pack {
     *
     * Output: `(id, skey, shard, pos)` — `shard = skey mod numShards`
     * (size-balanced since skey is uniform-ish), `pos` the 1-based rank by
-    * `(skey, id)` within the shard. At corpus scale `pos` is one shuffle +
-    * per-shard sort (each shard is a training file — the write pattern is
-    * `repartition($"shard").sortWithinPartitions($"skey", $"id")`, which
-    * skips the window entirely); the key derivation itself is a narrow
-    * codegen'd projection. */
+    * `(skey, id)` within the shard. `pos` is computed by
+    * [[PrefixSum.rankAndRunningSum]] — a range-shuffle + per-partition
+    * streaming rank, NOT a `Window.partitionBy(shard)` (which would pull
+    * an entire corpus/numShards-row shard into ONE task's sort); the key
+    * derivation itself is a narrow codegen'd projection. */
   def seededShuffle(docs: DataFrame, idCol: String, seed: Long,
                     numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
@@ -54,8 +54,8 @@ object Pack {
       .withColumn("x3", expr(s"(69621L * x2) % ${M}L"))
       .withColumn("skey", expr("x3 ^ shiftright(x3, 13)"))
       .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("id"))
-    base.withColumn("pos", row_number().over(w))
+    PrefixSum.rankAndRunningSum(base, Seq("shard"), Seq("skey", "id"), "pos")
+      .withColumn("pos", col("pos").cast("int"))
       .select("id", "skey", "shard", "pos")
   }
 
@@ -79,10 +79,11 @@ object Pack {
     val base = docs.select(col(idCol).as("id"),
       col(tokenCol).cast("long").as("tokens"),
       col(shardCol).as("shard"), col(orderCol).as("ord"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base
-      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+    // exclusive per-shard running token sum via the distributed two-phase
+    // prefix sum — never a Window.partitionBy(shard) single-task scan
+    PrefixSum.rankAndRunningSum(base, Seq("shard"), Seq("ord", "id"),
+        "__rank", valueCol = Some("tokens"), sumName = "cum_before")
+      .drop("__rank")
       // integer DIV, not floor(x / y): true division casts through double,
       // and a shard's cumulative token sum past 2^53 (≈9e15 — reachable at
       // the corpus scale this targets with few shards) would round through

@@ -37,13 +37,22 @@ import org.apache.spark.sql.functions._
 object ParaDedup {
 
   /** Returns `(id, text_deduped, paras_total, paras_removed, chars_removed)`
-    * — one row per input row, ids stringified. */
+    * — one row per input row, ids stringified.
+    *
+    * The paragraph segmentation is consumed twice (doc-freq aggregate +
+    * mark join), so it is persisted. With `toRelease` (the
+    * [[graft.pipeline.Curate.ledgerPlan]] pattern) the result stays LAZY
+    * and the caller releases the persist after materializing; without it,
+    * the result is materialized here (eager localCheckpoint) and the
+    * persist released before returning — standalone callers leak no
+    * cached blocks. */
   def dedupParagraphs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minDocFreq: Int = 3,
-      splitRegex: String = "\n{2,}"): DataFrame = {
+      splitRegex: String = "\n{2,}",
+      toRelease: scala.collection.mutable.ArrayBuffer[DataFrame] = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -57,6 +66,9 @@ object ParaDedup {
       }
       .toDF("id", "idx", "para")
       .withColumn("phash", xxhash64(col("para")))
+      // consumed twice (doc-freq aggregate + mark join): persist so the
+      // flatMap segmentation runs once, not once per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // document frequency per distinct paragraph; only the boilerplate tail
     // (df >= threshold) survives the aggregate — a small relation
@@ -77,12 +89,18 @@ object ParaDedup {
       sum(when(col("drop"), length(col("para")).cast("long")).otherwise(0L)).as("chars_removed"))
 
     // re-attach paragraph-less documents (empty/whitespace text)
-    base.select(col("id"))
+    val out = base.select(col("id"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"),
         coalesce(col("paras_total"), lit(0L)).as("paras_total"),
         coalesce(col("paras_removed"), lit(0L)).as("paras_removed"),
         coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+    if (toRelease != null) { toRelease += segs; out }
+    else {
+      val materialized = out.localCheckpoint(true)
+      segs.unpersist(false)
+      materialized
+    }
   }
 }

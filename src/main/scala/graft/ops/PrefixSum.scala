@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed per-group ordered rank + exclusive running sum — the exact
+ * semantics of `row_number()` / `sum().over(rowsBetween(unboundedPreceding,
+ * -1))` over `Window.partitionBy(group).orderBy(order)`, WITHOUT the
+ * window's fatal scale shape: a window partition is one task, so one
+ * mega-group (a 10^8-URL host, a corpus/16-row pack shard) serializes
+ * through a single task's sort. This operator never materializes a group
+ * in one task; cost is one range-shuffle + per-partition sorts + an
+ * O(#partitions) driver table, at ANY group-size skew:
+ *
+ *  1. range-partition by (group ++ order) — the range partitioner splits
+ *     INSIDE a group because order columns are part of the key, so a
+ *     mega-group spreads over many partitions while partitions stay
+ *     key-contiguous;
+ *  2. phase A: one pass emits, per partition, the (sum, count) partials of
+ *     only the runs touching its first/last row — key-contiguity makes
+ *     every other group fully partition-local (offset 0). At most 2 rows
+ *     per partition reach the driver, regardless of data volume;
+ *  3. the driver folds partials into per-(partition, group) offsets —
+ *     cumulative (sum, count) of the same group in earlier partitions —
+ *     and broadcasts the tiny map;
+ *  4. phase B: a second pass over the SAME shuffled partitions (shuffle
+ *     files are reused — both jobs share one lineage) assigns
+ *     `rank = offset.count + local_count + 1` and `running = offset.sum +
+ *     local_sum` in a narrow streaming map.
+ *
+ * Output values are identical to the window forms (ranks are exact global
+ * ranks within the group by the order columns; ties — callers should pass
+ * a total order — get arbitrary-but-valid distinct ranks, same caveat as
+ * `row_number`). Used by [[Pack.seededShuffle]]/[[Pack.concatChunkBy]] and
+ * [[graft.pipeline.Frontier.interleaveByHost]]; oracle-pinned byte-identical
+ * against the window semantics by `doc_pack`/`doc_shuffle`/`training_run`/
+ * `frontier_interleave`.
+ */
+object PrefixSum {
+
+  /** Adds `rankName` (1-based LongType rank within group by order) and, when
+    * `valueCol` is set, `sumName` (exclusive running LongType sum of
+    * `valueCol` in the same order). Input column order is preserved;
+    * `valueCol` must be numeric (cast to long). */
+  def rankAndRunningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      rankName: String,
+      valueCol: Option[String] = None,
+      sumName: String = "running_sum",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty, "need group and order columns")
+    val spark = df.sparkSession
+    val withVal = valueCol match {
+      case Some(v) => df.withColumn("__psv", col(v).cast("long"))
+      case None    => df.withColumn("__psv", lit(1L))
+    }
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val p = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val parted = withVal
+      .repartitionByRange(p, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val schema = parted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val vIdx = schema.fieldIndex("__psv")
+
+    // one RDD object → phase A and phase B share the shuffle output
+    val rdd = parted.rdd
+
+    // phase A: boundary-run partials — (pid, groupKey, sum, count) for the
+    // runs containing the partition's first and last rows only. Any group
+    // not in this set is fully inside one partition (keys are contiguous
+    // after a range partition) and needs no offset.
+    val singleGroup = gIdx.length == 1
+    val g0 = gIdx(0)
+    def keyOf(row: Row): Any =
+      if (singleGroup) row.get(g0) else gIdx.toList.map(row.get)
+    val partials: Array[(Int, Any, Long, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Any, Long, Long)]
+          var first: (Any, Long, Long) = null
+          var started = false
+          var curKey: Any = null
+          var runSum = 0L; var runCount = 0L
+          while (it.hasNext) {
+            val row = it.next()
+            val k = keyOf(row)
+            if (!started) { curKey = k; started = true }
+            else if (k != curKey) {
+              if (first == null) first = (curKey, runSum, runCount)
+              curKey = k; runSum = 0L; runCount = 0L
+            }
+            runSum += row.getLong(vIdx); runCount += 1L
+          }
+          if (first == null) {
+            // whole partition is one run — it is both first and last
+            out += ((pid, curKey, runSum, runCount))
+          } else {
+            out += ((pid, first._1, first._2, first._3))
+            out += ((pid, curKey, runSum, runCount))
+          }
+          out.iterator
+        }
+      }
+      .collect()
+
+    // driver fold: offsets(pid, key) = cumulative (sum, count) of `key` in
+    // partitions before pid. Only groups spanning a boundary get entries —
+    // ≤ 2 × #partitions of them by construction.
+    val offsets = scala.collection.mutable.HashMap
+      .empty[(Int, Any), (Long, Long)]
+    partials.groupBy(_._2).foreach { case (key, ps) =>
+      var cumSum = 0L; var cumCount = 0L
+      ps.sortBy(_._1).foreach { case (pid, _, s, c) =>
+        if (cumCount > 0L || cumSum > 0L) offsets((pid, key)) = (cumSum, cumCount)
+        cumSum += s; cumCount += c
+      }
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
+
+    // phase B: streaming assignment over the same partitions
+    val outSchema = StructType(
+      schema.fields.filterNot(_.name == "__psv"))
+      .add(rankName, LongType, nullable = false)
+      .add(sumName, LongType, nullable = false)
+    val dropIdx = vIdx
+    val outLen = outSchema.length
+    val resRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bOffsets.value
+      var started = false
+      var curKey: Any = null
+      var runSum = 0L; var runCount = 0L
+      it.map { row =>
+        val k = keyOf(row)
+        if (!started || k != curKey) {
+          started = true; curKey = k
+          val off = offs.getOrElse((pid, k), (0L, 0L))
+          runSum = off._1; runCount = off._2
+        }
+        val rank = runCount + 1L
+        val cumBefore = runSum
+        runCount += 1L
+        runSum += row.getLong(vIdx)
+        val arr = new Array[Any](outLen)
+        val n = row.length
+        var i = 0; var j = 0
+        while (i < n) {
+          if (i != dropIdx) { arr(j) = row.get(i); j += 1 }
+          i += 1
+        }
+        arr(j) = rank; arr(j + 1) = cumBefore
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      }
+    }
+    val res = spark.createDataFrame(resRdd, outSchema)
+    if (valueCol.isDefined) res else res.drop(sumName)
+  }
+}

@@ -211,8 +211,10 @@ object Curate {
     val spark = input.sparkSession
     import spark.implicits._
 
-    // stage 1: cross-document boilerplate-paragraph removal
-    val cleaned = ParaDedup.dedupParagraphs(input, idCol, textCol, cfg.paraMinDocFreq)
+    // stage 1: cross-document boilerplate-paragraph removal (lazy: its
+    // internal segs persist lands in toRelease with the rest)
+    val cleaned = ParaDedup.dedupParagraphs(input, idCol, textCol,
+      cfg.paraMinDocFreq, toRelease = toRelease)
 
     // stage 2: quality verdict on the cleaned text. `judged` feeds three
     // consumers (quality drops, the dedup stages, the final ledger join),

@@ -115,20 +115,32 @@ object Frontier {
   /** One filter may hold at most 2^31 bits (256 MiB): the sketch is a
     * DRIVER-side literal broadcast into the probe filter, so its size must
     * stay bounded no matter what `expectedSeen` a caller passes. 2^31 bits
-    * covers ~3×10^8 items at 3% fpp; beyond that, shard the seen-set by
-    * `pmod(xxhash64(url), k)` and build k filters (or accept a higher fpp —
-    * under-sizing costs verify-join traffic, never correctness). */
+    * covers ~3×10^8 items at 3% fpp; past that, [[unseenByBloom]] SHARDS
+    * the seen-set by `pmod(xxhash64(url), k)` into k independently-sized
+    * filters — the sharding is automatic from `expectedSeen`, so the fpp
+    * a caller asks for is the fpp they get at any seen-set cardinality. */
   val MaxBloomBits: Long = 1L << 31
 
-  /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`
-    * (the standard m = -n·ln(p)/ln(2)² sizing BloomFilter.create uses),
-    * clamped to [[MaxBloomBits]] — a clamped filter degrades fpp, not
-    * correctness. */
-  def optimalNumBits(n: Long, fpp: Double): Long = {
+  /** Unclamped optimal Bloom bit count: the standard m = -n·ln(p)/ln(2)²
+    * sizing BloomFilter.create uses. */
+  def rawNumBits(n: Long, fpp: Double): Long = {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
-    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-      .max(64L).min(MaxBloomBits)
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
   }
+
+  /** [[rawNumBits]] clamped to [[MaxBloomBits]] — a clamped filter degrades
+    * fpp, not correctness. */
+  def optimalNumBits(n: Long, fpp: Double): Long =
+    rawNumBits(n, fpp).min(MaxBloomBits)
+
+  /** Shard count so each shard's optimally-sized filter fits
+    * [[MaxBloomBits]]: k = ceil(rawBits / MaxBloomBits). 1 below ~3×10^8
+    * items at 3% fpp; a 10^12-URL seen-set gets ~3.4k shards of 256 MiB
+    * each (built distributed, collected one sketch at a time — the driver
+    * never holds more than the k sketches it broadcasts). */
+  def bloomShards(expectedSeen: Long, fpp: Double): Int =
+    math.max(1L, (rawNumBits(expectedSeen, fpp) + MaxBloomBits - 1) / MaxBloomBits)
+      .toInt
 
   /** `candidates LEFT ANTI seen` on `urlCol` — same OUTPUT as the plain
     * anti-join (bit-for-bit; Bloom filters have no false negatives), but
@@ -156,37 +168,80 @@ object Frontier {
     *
     * Sizing: `expectedSeen` over-estimates are harmless (a few × more bits
     * than needed); under-estimates only raise the false-positive rate,
-    * which costs verify-join traffic, never correctness. */
+    * which costs verify-join traffic, never correctness. Past
+    * [[MaxBloomBits]]-worth of items the seen-set is SHARDED by
+    * `pmod(xxhash64(url), k)` ([[bloomShards]]): k filters built in ONE
+    * grouped pass over the seen-set (each group's aggregate is still
+    * map-side combinable), candidates probe only their own shard's filter
+    * via a CASE chain of foldable sketch literals — one probe per row, and
+    * per-shard sizing keeps the requested fpp at any cardinality. */
   def unseenByBloom(
       candidates: DataFrame,
       seen: DataFrame,
       urlCol: String = "url",
       expectedSeen: Long = 1L << 20,
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03,
+      shards: Int = 0): DataFrame = {
     val spark = candidates.sparkSession
     graft.plans.GraftExtensions.registerNative(spark)
-    val numBits = optimalNumBits(expectedSeen, fpp)
+    val k = if (shards > 0) shards else bloomShards(expectedSeen, fpp)
+    val perShardExpected = math.max(1L, (expectedSeen + k - 1) / k)
+    val numBits = optimalNumBits(perShardExpected, fpp)
     // BloomFilterAggregate SILENTLY Math.min-caps its arguments against
     // these two session confs (defaults 4e6 items / 2^26 bits — runtime-
     // join-filter sizes); left alone, a web-scale expectedSeen would build
     // a saturated 8 MiB filter whose fpp→1 turns this path into the plain
-    // anti-join plus pure overhead. Raise them (never lower) to what this
-    // filter actually needs.
-    def raiseConf(key: String, atLeast: Long): Unit = {
+    // anti-join plus pure overhead. Raise them (never lower) for the build,
+    // then RESTORE: these confs also size AQE's own runtime join filters,
+    // and leaving them raised changes memory posture for every unrelated
+    // query in the session.
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> perShardExpected,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = confKeys.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confKeys.foreach { case (key, atLeast) =>
       val cur = spark.conf.getOption(key).map(_.toLong).getOrElse(0L)
       if (cur < atLeast) spark.conf.set(key, atLeast.toString)
     }
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedSeen)
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    // one row, one binary cell of numBits/8 bytes — a sketch-sized,
+    // k rows, one binary cell of numBits/8 bytes each — a sketch-sized,
     // cardinality-independent driver transfer, not a data collect
-    val bloomBytes = seen
-      .select(call_function("bloom_filter_agg",
-        xxhash64(col(urlCol)), lit(expectedSeen), lit(numBits)))
-      .head.getAs[Array[Byte]](0)
-    if (bloomBytes == null) return candidates // empty seen set: all unseen
+    val filters: Map[Long, Array[Byte]] =
+      try {
+        if (k == 1)
+          Option(seen
+            .select(call_function("bloom_filter_agg",
+              xxhash64(col(urlCol)), lit(perShardExpected), lit(numBits)))
+            .head.getAs[Array[Byte]](0))
+            .map(b => Map(0L -> b)).getOrElse(Map.empty)
+        else seen
+          .groupBy(pmod(xxhash64(col(urlCol)), lit(k.toLong)).as("__shard"))
+          .agg(call_function("bloom_filter_agg",
+            xxhash64(col(urlCol)), lit(perShardExpected), lit(numBits))
+            .as("__sketch"))
+          .collect()
+          .flatMap(r => Option(r.getAs[Array[Byte]](1)).map(r.getLong(0) -> _))
+          .toMap
+      } finally saved.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None)    => spark.conf.unset(key)
+      }
+    if (filters.isEmpty) return candidates // empty seen set: all unseen
     val mightContain =
-      call_function("bloom_might_contain", lit(bloomBytes), xxhash64(col(urlCol)))
+      if (k == 1)
+        call_function("bloom_might_contain",
+          lit(filters(0L)), xxhash64(col(urlCol)))
+      else {
+        // CASE over the row's own shard: exactly one sketch probe per row,
+        // each bloom_might_contain's filter argument a foldable literal
+        val shardOf = pmod(xxhash64(col(urlCol)), lit(k.toLong))
+        filters.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+          case (acc, (s, bytes)) =>
+            when(shardOf === lit(s),
+              call_function("bloom_might_contain",
+                lit(bytes), xxhash64(col(urlCol))))
+              .otherwise(acc)
+        }
+      }
     val definitelyUnseen = candidates.filter(!mightContain)
     val verified = candidates.filter(mightContain)
       .join(seen.select(col(urlCol).as("__seen_url")),
@@ -203,14 +258,16 @@ object Frontier {
     * the head of the queue. Deliberately NO global row number: a global
     * `row_number()` window is a single-task sort, while `orderBy` on
     * (host_seq, host) is Spark's range-partitioned sort — the scale
-    * shape. The per-host window itself shuffles by host, same key the
-    * frontier already grouped on. */
+    * shape. The per-host rank itself comes from
+    * [[graft.ops.PrefixSum.rankAndRunningSum]], not a
+    * `Window.partitionBy(host)` — a window partition is one task, so the
+    * very mega-host this operator exists to tame (10^8 URLs on one host)
+    * would serialize through a single task's sort; the range partitioner
+    * splits INSIDE the host on the url key instead. */
   def interleaveByHost(frontier: DataFrame, hostCol: String = "host",
-                       urlCol: String = "url"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(hostCol)).orderBy(col(urlCol))
-    frontier.withColumn("host_seq", row_number().over(w).cast("long"))
-  }
+                       urlCol: String = "url"): DataFrame =
+    graft.ops.PrefixSum.rankAndRunningSum(
+      frontier, Seq(hostCol), Seq(urlCol), "host_seq")
 
   /** Child sitemap URLs of index files — the caller's fetch-and-recurse
     * worklist `(parent, child)`. */

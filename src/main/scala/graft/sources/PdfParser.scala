@@ -1308,7 +1308,9 @@ object PdfParser extends LayoutParser {
         // column. Bounded: first 256 annots per page.
         val annotBlocks = Vector.newBuilder[LayoutBlock]
         doc.resolve(pageDict.get("Annots").getOrElse(CosNull)) match {
-          case CosArr(annots) => annots.take(256).foreach { a =>
+          case CosArr(annots) =>
+            if (annots.length > 256) guardTripped = true // cap surfaces as truncated
+            annots.take(256).foreach { a =>
             doc.resolveDict(a).foreach { ad =>
               val rect = doc.resolve(ad.get("Rect").getOrElse(CosNull)) match {
                 case CosArr(Seq(CosNum(x0), CosNum(y0), CosNum(x1), CosNum(y1))) =>

@@ -45,6 +45,13 @@ object Rtf {
     "datastore", "xmlnstbl", "listtable", "listoverridetable", "levelnumbers",
     "header", "footer", "footnote", "generator", "operator", "filetbl")
 
+  /** `\'hh` bytes are ANSI-codepage text; the de-facto crawl default is
+    * windows-1252 (0x80–0x9F carries smart quotes/dashes there, vs invisible
+    * C1 controls in ISO-8859-1). */
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private def cp1252Char(b: Int): Char =
+    new String(Array((b & 0xFF).toByte), Cp1252).charAt(0)
+
   private val MetaDests = Map(
     "title" -> "title", "author" -> "author", "subject" -> "subject",
     "creatim" -> "", "doccomm" -> "")
@@ -97,7 +104,7 @@ object Rtf {
           if (c1 == '\\' || c1 == '{' || c1 == '}') { emitChar(c1); i += 2 }
           else if (c1 == '\'' && i + 3 < n) {
             val hex = s.substring(i + 2, i + 4)
-            try emitChar(Integer.parseInt(hex, 16).toChar)
+            try emitChar(cp1252Char(Integer.parseInt(hex, 16)))
             catch { case _: NumberFormatException => }
             i += 4
           } else if (c1 == '~') { emitChar(' '); i += 2 } // nbsp, faithfully
@@ -115,9 +122,14 @@ object Rtf {
             if (k < n && s.charAt(k) == '-') { neg = true; k += 1 }
             var num = 0L
             var hasNum = false
-            while (k < n && Character.isDigit(s.charAt(k)) && num < 1000000L) {
-              num = num * 10 + (s.charAt(k) - '0'); k += 1; hasNum = true
+            // consume ALL digits even once the value saturates — leaving
+            // trailing digits unconsumed would misalign \binN's raw-byte
+            // skip (and scan the payload as body text)
+            while (k < n && Character.isDigit(s.charAt(k))) {
+              if (num <= Int.MaxValue) num = num * 10 + (s.charAt(k) - '0')
+              k += 1; hasNum = true
             }
+            if (num > Int.MaxValue) num = Int.MaxValue
             if (k < n && s.charAt(k) == ' ') k += 1 // delimiter space eats
             val value = if (neg) -num else num
             word match {

@@ -398,7 +398,9 @@ object Warc {
             if (out.size() + n > MaxPayload) return None
             out.write(buf, 0, n)
           }
-          if (out.size() == 0) None else Some(out.toByteArray)
+          // needsInput before finished = truncated stream; a partial body
+          // must not pass as complete (the gzip path flags the same via EOF)
+          if (!inf.finished() || out.size() == 0) None else Some(out.toByteArray)
         } catch { case _: Throwable => None }
       case _: EOFException => None
       case _: Throwable    => None

@@ -78,4 +78,22 @@ class ParaDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("d") == (("", 2L, 2L, 4L)))
     assert(out("a") == (("", 1L, 1L, 2L)))
   }
+
+  test("segmentation runs once: both consumers scan the persisted segs (round 7)") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 40).map(i => (s"d$i", s"shared line\n\nunique $i"))
+      .toDF("doc_id", "body")
+    val toRelease = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val out = ParaDedup.dedupParagraphs(docs, "doc_id", "body", 3,
+      toRelease = toRelease)
+    val p = out.queryExecution.executedPlan.toString
+    // doc-freq aggregate + mark join both read the cached segmentation —
+    // the flatMap split/hash runs once, not once per consumer
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"segs not reused from cache:\n${p.take(3000)}")
+    assert(out.count() == 40)
+    assert(toRelease.size == 1)
+    toRelease.foreach(_.unpersist(false))
+  }
 }

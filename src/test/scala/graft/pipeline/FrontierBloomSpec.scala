@@ -137,15 +137,63 @@ class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = 20000000L // → ~1.46e8 bits at 3% fpp, 2.2x the cap
     val numBits = Frontier.optimalNumBits(expected, 0.03)
     assert(numBits > (1L << 26))
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsBefore = spark.conf.getOption(itemsKey)
+    val bitsBefore = spark.conf.getOption(bitsKey)
     val seen = Seq("https://x.example.com/1").toDF("url")
     val out = Frontier.unseenByBloom(urls("capchk", 10), seen, "url",
       expectedSeen = expected)
     assert(out.count() == 10) // correctness regardless
-    val bf = seen.select(call_function("bloom_filter_agg",
-        xxhash64(col("url")), lit(expected), lit(numBits)))
-      .head.getAs[Array[Byte]](0)
-    assert(bf.length.toLong * 8 >= numBits,
-      s"sketch is ${bf.length} bytes — the conf cap shrank it")
+    // the raise is scoped to the sketch build: both confs restored after
+    // (they also size AQE's runtime join filters session-wide)
+    assert(spark.conf.getOption(itemsKey) == itemsBefore,
+      "maxNumItems conf leaked past unseenByBloom")
+    assert(spark.conf.getOption(bitsKey) == bitsBefore,
+      "maxNumBits conf leaked past unseenByBloom")
+    // with the confs raised the way unseenByBloom raises them internally,
+    // the sketch really reaches its requested size (the conf cap is real:
+    // without the raise this build returns an 8 MiB saturated filter)
+    spark.conf.set(itemsKey, expected.toString)
+    spark.conf.set(bitsKey, numBits.toString)
+    try {
+      val bf = seen.select(call_function("bloom_filter_agg",
+          xxhash64(col("url")), lit(expected), lit(numBits)))
+        .head.getAs[Array[Byte]](0)
+      assert(bf.length.toLong * 8 >= numBits,
+        s"sketch is ${bf.length} bytes — the conf cap shrank it")
+    } finally {
+      itemsBefore.fold(spark.conf.unset(itemsKey))(v => spark.conf.set(itemsKey, v))
+      bitsBefore.fold(spark.conf.unset(bitsKey))(v => spark.conf.set(bitsKey, v))
+    }
+  }
+
+  test("sharded seen-set: multi-shard output hash-matches the exact path") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftExtensions.registerNative(spark)
+    // 60 candidates, 35 seen (25 overlap + 10 seen-only): force k=7 shards
+    // and compare bit-for-bit against the plain anti-join
+    val cands = urls("shardchk", 60)
+    val seen = (0 until 25).map(i => s"https://shardchk.example.com/p$i")
+      .++((0 until 10).map(i => s"https://other.example.com/s$i")).toDF("url")
+    val exact = cands.join(seen.select(col("url").as("u")),
+        col("url") === col("u"), "left_anti")
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val sharded = Frontier.unseenByBloom(cands, seen, "url",
+        expectedSeen = 35, shards = 7)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(sharded == exact)
+    // auto-sharding: k grows exactly when one filter can't hold the bits
+    assert(Frontier.bloomShards(1000000L, 0.03) == 1)
+    val huge = 4L * 1000 * 1000 * 1000 // 4e9 items → ~2.9e10 bits at 3%
+    val k = Frontier.bloomShards(huge, 0.03)
+    assert(k > 1)
+    // per-shard sizing proof: each shard's optimal filter fits the cap
+    val perShard = (huge + k - 1) / k
+    assert(Frontier.rawNumBits(perShard, 0.03) <= Frontier.MaxBloomBits)
+    // and k-1 shards would NOT fit (k is minimal)
+    val perShardAtKminus1 = (huge + k - 2) / (k - 1)
+    assert(Frontier.rawNumBits(perShardAtKminus1, 0.03) > Frontier.MaxBloomBits)
   }
 
   test("bloom_filter_agg / bloom_might_contain are reachable from SQL") {

@@ -180,4 +180,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"frontier plan degraded:\n${p.take(3000)}")
     assert(p.contains("LeftAnti"), s"seen set must anti-join:\n${p.take(3000)}")
   }
+
+  test("pack/shuffle/interleave plans: no single-task window survives (round 7)") {
+    val s = spark
+    import s.implicits._
+    // a Window.partitionBy(shard|host) puts a whole shard/host in ONE task;
+    // these operators must route through the distributed prefix sum instead
+    val docs = spark.range(0, 2000)
+      .selectExpr("id AS doc_id", "CAST(id % 97 AS long) AS toks").toDF()
+    val packed = graft.ops.Pack.concatChunk(docs, "doc_id", "toks", 512, 4)
+    assert(!plan(packed).contains("Window"),
+      s"concatChunk must not window-per-shard:\n${plan(packed).take(2000)}")
+    val shuffled = graft.ops.Pack.seededShuffle(docs, "doc_id", 2026L, 4)
+    assert(!plan(shuffled).contains("Window"),
+      s"seededShuffle must not window-per-shard:\n${plan(shuffled).take(2000)}")
+    val frontier = (0 until 500)
+      .map(i => (s"https://h${i % 5}.example.com/p$i", s"h${i % 5}.example.com"))
+      .toDF("url", "host")
+    val inter = Frontier.interleaveByHost(frontier)
+    assert(!plan(inter).contains("Window"),
+      s"interleaveByHost must not window-per-host:\n${plan(inter).take(2000)}")
+  }
+
+  test("planted mega-host: interleave splits the host across partitions (round 7)") {
+    val s = spark
+    import s.implicits._
+    // 9500 of 10000 URLs on ONE host — the exact skew the old
+    // Window.partitionBy(host) serialized into a single task
+    val frontier = (0 until 10000).map { i =>
+      val h = if (i % 20 == 0) s"small${i % 100}.example.com" else "mega.example.com"
+      (s"https://$h/p%05d".format(i), h)
+    }.toDF("url", "host").repartition(8)
+    val inter = Frontier.interleaveByHost(frontier)
+    // rotation property: host_seq is an exact 1..n_host rank by url
+    val mega = inter.filter(col("host") === "mega.example.com")
+      .select("url", "host_seq").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(mega.map(_._2).toSeq == (1L to mega.length).toSeq,
+      "mega-host ranks must be the contiguous 1..n rank by url")
+    // skew proof: the mega host's ranked rows span multiple partitions
+    val megaPerPart = inter.filter(col("host") === "mega.example.com").rdd
+      .mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+    assert(megaPerPart.length > 1,
+      s"mega host landed in ${megaPerPart.length} partition(s) — single-task skew")
+  }
 }

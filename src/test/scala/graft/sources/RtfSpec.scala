@@ -51,6 +51,29 @@ class RtfSpec extends AnyFunSuite {
     assert(r.blocks.map(_.text) == Vector("visible"))
   }
 
+  test("\\bin with a parameter past the old 1e6 digit cap skips exactly N bytes") {
+    // 1500000 > 1e6: every digit must be consumed (leftover digits would
+    // shift the skip start) and all N raw bytes skipped (round-7 fix)
+    val n = 1500000
+    val head = s"{\\rtf1{\\*\\objdata\\bin$n "
+    val junk = new Array[Byte](n)
+    java.util.Arrays.fill(junk, 'Z'.toByte)
+    junk(0) = '\\'; junk(1) = 'p'; junk(2) = 'a'; junk(3) = 'r' // rtf-looking
+    val bytes = head.getBytes("ISO-8859-1") ++ junk ++
+      "}after\\par}".getBytes("ISO-8859-1")
+    val r = Rtf.parseDetailed(bytes)
+    assert(r.blocks.map(_.text) == Vector("after"), s"got ${r.blocks.map(_.text)}")
+  }
+
+  test("\\'hh decodes through windows-1252: smart quotes, not C1 controls") {
+    // 0x93/0x94 are curly quotes and 0x97 an em-dash in cp1252; latin-1
+    // would turn them into invisible control characters
+    val doc = "{\\rtf1 \\'93hi\\'94 \\'97 ok\\par}"
+    val r = Rtf.parseDetailed(doc.getBytes("ISO-8859-1"))
+    assert(r.blocks.map(_.text) == Vector("“hi” — ok"),
+      s"got ${r.blocks.map(_.text)}")
+  }
+
   test("\\u fallback skip applies even for unrepresentable codepoints") {
     val doc = "{\\rtf1\\uc2 a\\u0 XYb\\par}" // \u0 invalid: emit nothing, skip 2
     val r = Rtf.parseDetailed(doc.getBytes("ISO-8859-1"))

@@ -150,6 +150,26 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Warc.inflateBounded(gz, gzip = true).map(new String(_, UTF_8)).contains("roundtrip"))
   }
 
+  test("truncated raw-deflate body is rejected, not passed off as complete") {
+    // raw deflate (nowrap) — servers that lie about zlib wrapping; the
+    // first bytes aren't a zlib header so the wrapped parse throws and the
+    // nowrap retry runs. A TRUNCATED stream must yield None (round-7 fix:
+    // needsInput-before-finished used to return the partial output).
+    val payload = ("the quick brown fox " * 200).getBytes(UTF_8)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload); deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    val len = deflater.deflate(buf)
+    deflater.end()
+    val full = java.util.Arrays.copyOf(buf, len)
+    assert(Warc.inflateBounded(full, gzip = false)
+      .map(_.toSeq).contains(payload.toSeq)) // complete stream still inflates
+    val truncated = java.util.Arrays.copyOf(full, len / 2)
+    assert(Warc.inflateBounded(truncated, gzip = false).isEmpty,
+      "partial deflate output must not pass as a complete payload")
+  }
+
   // ------------------------------------------------------------- DSv2 reader
 
   private def writeFixtureDir(): java.io.File = {
