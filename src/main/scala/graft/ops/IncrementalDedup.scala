@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
  * history, AQE broadcasts the batch keys and history bands never shuffle
  * at all. Buckets larger than `maxBucket` on EITHER side are suppressed
  * via the ONE shared [[DedupOps.suppressMegaBuckets]] rule) →
- * near-in-batch (banded self-join → verify → CC survivors). Beyond-10^12
- * note: the per-batch history cost that remains is recomputing bands from
- * `sigs` (a narrow map) and, for batches too large to broadcast, one
- * history-band shuffle into the join; eliminating that last shuffle means
- * persisting the band relation as a third store table BUCKETED by
- * band_key (the [[AnnIndex]] layout) — 16 stored rows per doc bought us
- * nothing at current scale, so it stays a documented design seam, not
- * code.
+ * near-in-batch (banded self-join → verify → CC survivors). The
+ * per-batch history cost that remained — recomputing bands from `sigs`
+ * (a narrow map over all history) and, for batches too large to
+ * broadcast, one history-band shuffle into the join — is eliminated by
+ * the PERSISTED BAND STORE ([[appendBandsToTable]] /
+ * [[dedupeAndCommitIndexed]]): the band relation lives as a third store
+ * table bucketed on the full join key (band_idx, band_key) — the
+ * [[AnnIndex]] layout — so batch N+1 scans it pre-partitioned for the
+ * band join: the history side arrives exchange-free, and only the batch
+ * side shuffles (or broadcasts) into the bucket layout. Appends reuse the table's own
+ * bucket spec, so commit stays O(batch).
  *
  * [[dedupeBatch]] returns the batch ledger plus the index DELTA — the
  * accepted documents' index rows ONLY, materialized at O(batch) cost.
@@ -98,6 +101,60 @@ object IncrementalDedup {
     r.ledger
   }
 
+  /** Append one batch's accepted band rows `(id, band_idx, band_key)` to
+    * the bucketed band store table, creating it on first use. The table is
+    * BUCKETED on the FULL band-join key (band_idx, band_key) — the
+    * [[AnnIndex]] layout generalized to a composite key: scans report
+    * `HashPartitioning(band_idx, band_key, numBuckets)`, which exactly
+    * matches the band join's clustering (Spark's default
+    * `requireAllClusterKeysForCoPartition` rejects subset-key
+    * co-partitioning), so history bands reach the join without an
+    * Exchange. Appends mirror the table's OWN catalog bucket spec — a
+    * mismatched hand-passed count would silently split buckets across
+    * incompatible layouts. */
+  def appendBandsToTable(deltaSigs: DataFrame, tableName: String,
+                         bandSize: Int, numBuckets: Int = 16): Unit = {
+    val spark = deltaSigs.sparkSession
+    val bands = DedupOps.explodeBands(deltaSigs, bandSize)
+    if (!spark.catalog.tableExists(tableName)) {
+      bands.write.bucketBy(numBuckets, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .saveAsTable(tableName)
+    } else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+        s"$tableName has no bucket spec — not a band store table"))
+      val w = bands.write.mode("append")
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      spec.sortColumnNames.headOption
+        .fold(w)(sc => w.sortBy(sc, spec.sortColumnNames.tail: _*))
+        .saveAsTable(tableName)
+    }
+  }
+
+  /** Ingest-loop step with the persisted band store: dedup `batch` against
+    * the parquet store at `dir` using the BUCKETED band table as the
+    * history band relation (no per-batch band recompute from history
+    * `sigs`, no history-side shuffle into the band join), then append the
+    * accepted delta to both. The first batch bootstraps the table. */
+  def dedupeAndCommitIndexed(batch: DataFrame, idCol: String, textCol: String,
+                             dir: String, bandTable: String,
+                             shingleN: Int = 3, minhashK: Int = 64, bandSize: Int = 4,
+                             jaccardThreshold: Double = 0.8, estFloor: Double = 0.55,
+                             maxBucket: Int = 64, numBuckets: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val histBands =
+      if (spark.catalog.tableExists(bandTable)) spark.table(bandTable) else null
+    val r = dedupeBatch(batch, idCol, textCol, openStore(spark, dir),
+      shingleN, minhashK, bandSize, jaccardThreshold, estFloor, maxBucket,
+      histBands = histBands)
+    appendToStore(dir, r.delta)
+    appendBandsToTable(r.delta.sigs, bandTable, bandSize, numBuckets)
+    r.ledger
+  }
+
   /** Exactly-once micro-batch commit for Structured Streaming's
     * `foreachBatch` (which is AT-LEAST-once: a failed trigger replays the
     * same batchId). The store layout is batch-partitioned —
@@ -138,7 +195,8 @@ object IncrementalDedup {
                   index: Index,
                   shingleN: Int = 3, minhashK: Int = 64, bandSize: Int = 4,
                   jaccardThreshold: Double = 0.8, estFloor: Double = 0.55,
-                  maxBucket: Int = 64): BatchResult = {
+                  maxBucket: Int = 64,
+                  histBands: DataFrame = null): BatchResult = {
 
     val hashed = batch.select(col(idCol).cast("string").as("id"),
         col(textCol).as("text"))
@@ -181,8 +239,14 @@ object IncrementalDedup {
     val cappedBatch = DedupOps.suppressMegaBuckets(batchBands, bucketKey, maxBucket)
       .persist() // two consumers: the touched-key semi-join and the join itself
     // left_semi: restricts WITHOUT multiplying and dedupes its build side
-    // internally — no separate distinct() shuffle
-    val histTouched = DedupOps.explodeBands(index.sigs, bandSize)
+    // internally — no separate distinct() shuffle. With a persisted band
+    // store (histBands != null) the history side is a bucketed-table scan
+    // already partitioned on band_key — no recompute from sigs, no
+    // history-side exchange; otherwise bands are recomputed narrowly.
+    val histBandRel =
+      if (histBands != null) histBands
+      else DedupOps.explodeBands(index.sigs, bandSize)
+    val histTouched = histBandRel
       .join(cappedBatch.select("band_idx", "band_key"), bucketKey, "left_semi")
     val histPairs = cappedBatch
       .join(DedupOps.suppressMegaBuckets(histTouched, bucketKey, maxBucket)

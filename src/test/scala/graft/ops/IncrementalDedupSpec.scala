@@ -128,4 +128,32 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = small.ledger.collect().head
     assert(!row.getBoolean(1) && row.getString(2) == "near_dup_hist")
   }
+
+  test("band-store path: dedupeAndCommitIndexed matches the plain commit path") {
+    val s = spark; import s.implicits._
+    val dir = tempDir()
+    val tbl = "graft_spec_bands_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val led1 = IncrementalDedup.dedupeAndCommitIndexed(
+        s.createDataset(graft.pipeline.IncDedupFixture.batch1)
+          .repartition(2).toDF("doc", "body"), "doc", "body", dir, tbl)
+      val led2 = IncrementalDedup.dedupeAndCommitIndexed(
+        s.createDataset(graft.pipeline.IncDedupFixture.batch2)
+          .repartition(2).toDF("doc", "body"), "doc", "body", dir, tbl)
+      val got = (led1.withColumn("batch", org.apache.spark.sql.functions.lit(1))
+        .union(led2.withColumn("batch", org.apache.spark.sql.functions.lit(2))))
+        .select("batch", "id", "kept", "stage", "reason")
+        .as[(Int, String, Boolean, String, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(got == graft.pipeline.IncDedupFixture.expectedRows)
+      // the band table accumulated exactly the accepted docs' bands
+      val ids = spark.table(tbl).select("id").distinct().as[String].collect().toSet
+      assert(ids == Set("h1", "h2", "x3", "x6"))
+      // and the table is really bucketed (the exchange-free contract)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      assert(meta.bucketSpec.exists(
+        _.bucketColumnNames == Seq("band_idx", "band_key")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

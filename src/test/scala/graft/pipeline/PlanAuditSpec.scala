@@ -202,6 +202,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"interleaveByHost must not window-per-host:\n${plan(inter).take(2000)}")
   }
 
+  test("band store: history bands reach the band join exchange-free (round 7)") {
+    val s = spark
+    import s.implicits._
+    val tbl = "graft_audit_bands_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val mk = (i: Int) => {
+      val body = s"alpha $i beta gamma delta epsilon zeta eta theta iota " +
+        s"kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+      (s"h$i", graft.ops.TextOps.shingleHashes(graft.ops.TextOps.shingles(body, 3)),
+        graft.ops.TextOps.minHash(graft.ops.TextOps.shingles(body, 3), 64))
+    }
+    try {
+      val sigs = (0 until 50).map(mk).toDF("id", "sh", "sig")
+      graft.ops.IncrementalDedup.appendBandsToTable(sigs, tbl, bandSize = 4)
+      val batchBands = graft.ops.DedupOps.explodeBands(
+        (50 until 60).map(mk).toDF("id", "sh", "sig"), 4)
+      // force the shuffle path (a broadcast would mask the bucketing win —
+      // at 10^12 docs neither a big batch nor history broadcasts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table(tbl)
+          .join(batchBands.select(col("id").as("bid"), col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
+        val p = plan(joined)
+        assert(p.contains("Bucketed: true"),
+          s"history side must scan the bucket layout:\n${p.take(3000)}")
+        // exactly ONE exchange: the batch side shuffling into the bucket
+        // layout; HashPartitioning(band_key) on the scan satisfies the
+        // join's (band_idx, band_key) clustering
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(exchanges == 1,
+          s"want 1 exchange (batch side only), got $exchanges:\n${p.take(3000)}")
+        // value check: bucketed-table join ≡ recompute-from-sigs join
+        val ref = graft.ops.DedupOps.explodeBands(
+            (0 until 50).map(mk).toDF("id", "sh", "sig"), 4)
+          .join(batchBands.select(col("id").as("bid"), col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
+        assert(joined.count() == ref.count())
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("planted mega-host: interleave splits the host across partitions (round 7)") {
     val s = spark
     import s.implicits._
