@@ -1151,6 +1151,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // real subword budgeting: byte-level BPE count via the native codegen
+    // BpeTokenCount expression over the frozen fixture merge table
+    // (ops/Bpe.FixtureMerges); the DuckDB oracle REPLAYS the merges
+    // (pipeline/BpeOracle chained-replace form) — cross-engine, not VALUES
+    "doc_tokens_bpe" -> ((s, dir) => { graft.plans.GraftExtensions.registerNative(s); docs(s, dir)
+      .select(col("doc_id"),
+        call_function("bpe_token_count", col("text"),
+          lit(graft.ops.Bpe.FixtureSpec)).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id") }),
+
+    // pre-tokenizer edge shapes (contractions, digit/punct runs, multi-
+    // space, empty) against the same merge replay
+    "bpe_fixture" -> ((s, dir) => { graft.plans.GraftExtensions.registerNative(s)
+      import s.implicits._
+      graft.pipeline.BpeOracle.FixtureRows.toDF("fid", "txt")
+        .select(col("fid"),
+          call_function("bpe_token_count", col("txt"),
+            lit(graft.ops.Bpe.FixtureSpec)).cast("long").as("bpe_tokens"))
+        .orderBy("fid") }),
+
     // n_words via the native codegen TokenCount expression (graft.plans) —
     // one byte-scan per row, no regex/array alloc; equals the DuckDB
     // regexp_split oracle on whitespace-sane text (verified per-row at sf0.01).
@@ -1890,6 +1910,13 @@ object SparkEntry {
       s"SELECT doc_id, sha256(concat('$fp', chr(0), text)) AS cache_key, " +
       "substr(sha256(text), 1, 16) AS checksum FROM documents ORDER BY doc_id"
     },
+
+    "doc_tokens_bpe" ->
+      graft.pipeline.BpeOracle.countSql("documents", "doc_id", "text", "bpe_tokens"),
+
+    "bpe_fixture" ->
+      graft.pipeline.BpeOracle.countSql(
+        graft.pipeline.BpeOracle.fixtureValuesClause, "fid", "txt", "bpe_tokens"),
 
     "doc_tokens" ->
       ("SELECT doc_id, " +

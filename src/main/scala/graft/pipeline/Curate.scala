@@ -108,7 +108,11 @@ object Curate {
       defaultRate: Double = 1.0,
       shuffleSeed: Long = 2026L,
       packBudget: Int = 2048,
-      numShards: Int = 16)
+      numShards: Int = 16,
+      // packing budget unit: "whitespace" (token_count) or "bpe"
+      // (bpe_token_count with `bpeMerges` — real subword budgeting)
+      tokenizer: String = "whitespace",
+      bpeMerges: String = graft.ops.Bpe.FixtureSpec)
 
   /** One row per input id in `ledger` (final disposition across ALL
     * stages); `packed` = chunk placement of every surviving document. */
@@ -179,9 +183,18 @@ object Curate {
     val shuffled = graft.ops.Pack.seededShuffle(
       finalKept.select(col("id").cast("long").as("docid")), "docid",
       cfg.shuffleSeed, cfg.numShards)
+    // budget unit: whitespace runs or real BPE subwords — both native
+    // codegen'd expressions, both a narrow per-row map
+    val tokenExpr = cfg.tokenizer match {
+      case "whitespace" => expr("token_count(text)")
+      case "bpe" =>
+        call_function("bpe_token_count", col("text"), lit(cfg.bpeMerges))
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (want whitespace | bpe)")
+    }
     val withTokens = shuffled
       .join(finalKept.select(col("id").cast("long").as("id"),
-        expr("token_count(text)").cast("long").as("tokens")), Seq("id"))
+        tokenExpr.cast("long").as("tokens")), Seq("id"))
     val packed = graft.ops.Pack.concatChunkBy(withTokens,
         "id", "tokens", "shard", "skey", cfg.packBudget)
       .localCheckpoint(true)

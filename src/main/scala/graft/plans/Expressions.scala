@@ -154,12 +154,61 @@ case class CosineSim5(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim5"
 }
 
+/**
+ * Native Catalyst expression: byte-level BPE token count
+ * (`bpe_token_count(str, merges_spec)`) — real subword budgeting for the
+ * packing/census layer where `token_count`'s whitespace runs under-count
+ * by the subword expansion factor. The algorithm is [[graft.ops.Bpe]]'s
+ * published GPT-2 loop; the merge table arrives as a FOLDABLE string
+ * literal (`Bpe.mergesSpec` form) so one parsed rank table per JVM serves
+ * every row — codegen references the parsed object directly
+ * (`addReferenceObj`), keeping the hot path inside whole-stage codegen
+ * with zero per-row parsing.
+ */
+case class BpeTokenCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_count requires (string, string), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bpe_token_count's merges argument must be a constant")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val ranks: graft.ops.Bpe.Ranks = {
+    val spec = right.eval(null)
+    graft.ops.Bpe.ranksFor(if (spec == null) "" else spec.toString)
+  }
+
+  override def nullSafeEval(text: Any, merges: Any): Any =
+    graft.ops.Bpe.countTokens(text.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      classOf[graft.ops.Bpe.Ranks].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.ops.Bpe.countTokens($t.toString(), $ranksRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokenCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bpe_token_count"
+}
+
 /** `SparkSessionExtensions` hook — registers the native functions so SQL
   * users get them (`spark.sql.extensions=graft.plans.GraftExtensions`), and
   * `GraftExtensions.register(spark)` does the same on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
+    ext.injectFunction(GraftExtensions.bpeTokenCountDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.cosineSim5Descriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
@@ -173,6 +222,13 @@ object GraftExtensions {
     new ExpressionInfo("graft.plans.TokenCount", null, "token_count",
       "token_count(str) - count of whitespace-separated tokens", ""),
     (children: Seq[Expression]) => TokenCount(children.head))
+
+  private[plans] val bpeTokenCountDescriptor = (
+    FunctionIdentifier("bpe_token_count"),
+    new ExpressionInfo("graft.plans.BpeTokenCount", null, "bpe_token_count",
+      "bpe_token_count(str, merges) - byte-level BPE subword token count " +
+        "(merges: 'l r;l r;…' constant)", ""),
+    (children: Seq[Expression]) => BpeTokenCount(children(0), children(1)))
 
   private[plans] val cosineSimDescriptor = (
     FunctionIdentifier("cosine_sim"),
@@ -225,7 +281,8 @@ object GraftExtensions {
     * no session-wide UDF names are touched, so a user's own extract_page /
     * normalize_url registrations are never clobbered as a side effect. */
   def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(tokenCountDescriptor, cosineSimDescriptor, cosineSim5Descriptor,
+    Seq(tokenCountDescriptor, bpeTokenCountDescriptor,
+        cosineSimDescriptor, cosineSim5Descriptor,
         bloomAggDescriptor, bloomMightContainDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

@@ -141,6 +141,41 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(packed.values.forall(_ > 0))
   }
 
+  test("trainingSet: tokenizer=bpe budgets the pack in subword tokens (round 7)") {
+    val s = spark; import s.implicits._
+    // the full-config test's proven quality-passing body shape; "the"/"and"
+    // hit fixture merges, so the BPE count diverges from the whitespace one
+    def body(theme: String): String =
+      (0 until 60).map { i =>
+        if (i % 7 == 0) "the"
+        else if (i % 7 == 3) "and"
+        else s"$theme${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      }.mkString(" ")
+    val docs = Seq(
+      (1L, body("harbour"), "en"),
+      (2L, body("quarry"), "en"),
+      (3L, body("orchard"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val ranks = graft.ops.Bpe.ranksFor(graft.ops.Bpe.FixtureSpec)
+    val expect = docs.collect()
+      .map(r => r.getLong(0) -> graft.ops.Bpe.countTokens(r.getString(1), ranks).toLong)
+      .toMap
+    val cfg = Curate.TrainingConfig(
+      curate = Curate.Config(nearDup = false), packBudget = 8, numShards = 2,
+      tokenizer = "bpe")
+    val r = Curate.trainingSet(docs, "doc_id", "text", "lang", None, cfg)
+    val packed = r.packed.collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(packed == expect, s"packed token budgets must be BPE counts: $packed vs $expect")
+    // whitespace counts differ on this corpus — the parameter really changes the unit
+    val rw = Curate.trainingSet(docs, "doc_id", "text", "lang", None,
+      cfg.copy(tokenizer = "whitespace"))
+    val packedW = rw.packed.collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(packedW != packed)
+    intercept[IllegalArgumentException](
+      Curate.trainingSet(docs, "doc_id", "text", "lang", None,
+        cfg.copy(tokenizer = "nope")))
+  }
+
   test("census → ratesForBudget → sample: sampled mass lands near the targets") {
     val s = spark; import s.implicits._
     // two strata with known char mass: en 2000 docs × 40 chars = 80k,

@@ -55,6 +55,36 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0) == 300L)
   }
 
+  test("bpe_token_count native expression: SQL parity with the core, codegen (round 7)") {
+    GraftExtensions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val ranks = graft.ops.Bpe.ranksFor(graft.ops.Bpe.FixtureSpec)
+    val texts = Seq("the fast table scan", "it's we'll", "", "zzz qqq",
+      "the the the window window spark")
+    val df = texts.toDF("s")
+    df.createOrReplaceTempView("bpe_in")
+    val spec = graft.ops.Bpe.FixtureSpec.replace("'", "''")
+    val got = spark.sql(
+        s"SELECT s, bpe_token_count(s, '$spec') AS n FROM bpe_in").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == graft.ops.Bpe.countTokens(t, ranks), s"mismatch on '$t'")
+    }
+    // stays inside whole-stage codegen (addReferenceObj path)
+    val plan = spark.range(50)
+      .selectExpr(s"bpe_token_count(concat('the ', CAST(id AS STRING)), '$spec') AS n")
+    val codegenned = plan.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenned.nonEmpty, plan.queryExecution.executedPlan.toString)
+    assert(plan.count() == 50)
+    // non-constant merges argument is rejected at analysis
+    val err = intercept[Exception](
+      spark.sql("SELECT bpe_token_count(s, s) FROM bpe_in").collect())
+    assert(err.getMessage.contains("constant"), err.getMessage)
+  }
+
   test("cosine_sim native expression: matches VectorOps.cosine, codegen, nulls") {
     val sp = spark
     import sp.implicits._
