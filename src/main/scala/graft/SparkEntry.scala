@@ -2235,5 +2235,16 @@ object SparkEntry {
        "round(CAST(CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS DOUBLE), 5) AS avg_v " +
        "FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t " +
        "GROUP BY 1, 2 ORDER BY label, dim")
-  )
+  ) ++ (
+    // DERIVED-INPUT oracles (pipeline/DerivedOracles): post-extraction
+    // operator logic replayed by DuckDB over this run's extraction dump —
+    // only available when Verify set the dump path
+    if (verifyOutDir.nonEmpty) graft.pipeline.DerivedOracles.all(verifyOutDir)
+    else Map.empty[String, String])
+
+  /** Set by [[Verify]] before [[oracleSql]] is read: the directory its
+    * query dumps landed in, which the derived-input oracles read back via
+    * DuckDB `read_parquet`. Empty (library use, tests) ⇒ those queries
+    * stay rows-only. */
+  @volatile var verifyOutDir: String = ""
 }

@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // enable the derived-input oracles: they read this run's dumps back
+    // via DuckDB read_parquet (SparkEntry.verifyOutDir scaladoc)
+    SparkEntry.verifyOutDir = new java.io.File(outDir).getAbsolutePath
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

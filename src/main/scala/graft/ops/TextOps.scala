@@ -18,7 +18,12 @@ object TextOps {
 
   // ---- language ID (tiny stopword-profile heuristic) ----
 
-  private val profiles: Map[String, Set[String]] = Map(
+  /** Tie-break order for the stopword tier (exposed for the DuckDB replay
+    * oracle). */
+  private[graft] val profileOrder: Vector[String] =
+    Vector("en", "de", "fr", "es", "it", "pt")
+
+  private[graft] val profiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be", "at", "by", "this"),
     "de" -> Set("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine", "auf", "für", "im", "dem"),
     "fr" -> Set("le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "qui", "pour", "pas", "sur", "avec"),
@@ -82,7 +87,11 @@ object TextOps {
     if (words.isEmpty) return ("und", 0.0)
     var bestLang = "und"
     var bestHits = 0
-    profiles.foreach { case (lang, stops) =>
+    // DECLARED tie-break order (first max wins) — iterating the Map would
+    // tie-break by HashMap internals, which a JVM/Scala upgrade could
+    // silently reshuffle; the DuckDB oracle replays this exact order
+    profileOrder.foreach { lang =>
+      val stops = profiles(lang)
       var hits = 0
       var i = 0
       while (i < words.length) { if (stops.contains(words(i))) hits += 1; i += 1 }
