@@ -1914,6 +1914,9 @@ object SparkEntry {
     "doc_tokens_bpe" ->
       graft.pipeline.BpeOracle.countSql("documents", "doc_id", "text", "bpe_tokens"),
 
+    // recursive-CTE replay of the chunker (pipeline/DerivedOracles.chunkDocs)
+    "chunk_docs" -> graft.pipeline.DerivedOracles.chunkDocs,
+
     "bpe_fixture" ->
       graft.pipeline.BpeOracle.countSql(
         graft.pipeline.BpeOracle.fixtureValuesClause, "fid", "txt", "bpe_tokens"),

@@ -71,7 +71,7 @@ object RepetitionOps {
     }
   }
 
-  private val StopWords =
+  private[graft] val StopWords =
     Set("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** One-pass (per structure) repetition/quality profile of a document.

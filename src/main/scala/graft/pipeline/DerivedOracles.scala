@@ -111,9 +111,188 @@ object DerivedOracles {
       "FROM r ORDER BY url"
   }
 
+  /** RepetitionOps.profile + gopherFilter replayed over the normalized-
+    * extraction dump: word stats, top-2/3/4-gram counts and char coverage,
+    * duplicated-5..10-gram char coverage (repeated windows → covered
+    * positions → summed word lengths, no double count), line/paragraph
+    * excess-occurrence stats, symbol counts, and the full default-threshold
+    * Gopher verdict with reason codes in rule order. */
+  def repetitionPages(outDir: String): String = {
+    val th = graft.ops.RepetitionOps.Thresholds()
+    val stops = sqlStringList(graft.ops.RepetitionOps.StopWords.toSeq.sorted)
+
+    // top-n-gram CTEs (n = 2..4): occurrences of the most frequent gram and
+    // max over repeated grams of occurrences × gram chars
+    def topCtes(n: Int): String = {
+      val zips = (1 to n).map { k =>
+        if (k == n) s"ws[$n:]" else s"ws[$k:len(ws)-${n - k}]"
+      }.mkString(", ")
+      val gchars = (1 to n).map(k => s"length(p[$k])").mkString(" + ")
+      s"g$n AS (SELECT url, p, count(*) AS c, $gchars AS gchars " +
+        s"FROM (SELECT url, unnest(list_zip($zips)) AS p FROM w WHERE len(ws) >= $n) GROUP BY url, p, gchars), " +
+        s"t$n AS (SELECT url, max(c) AS top${n}_count, " +
+        s"coalesce(max(CASE WHEN c > 1 THEN c * gchars END), 0) AS top${n}_chars FROM g$n GROUP BY url)"
+    }
+    // duplicated-n-gram coverage CTEs (n = 5..10)
+    def dupCtes(n: Int): String =
+      s"s$n AS (SELECT url, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS s FROM w WHERE len(ws) >= $n), " +
+        s"gm$n AS (SELECT url, s, ws[s:s+${n - 1}] AS g FROM s$n), " +
+        s"rp$n AS (SELECT url, g FROM gm$n GROUP BY url, g HAVING count(*) > 1), " +
+        s"cv$n AS (SELECT DISTINCT url, pos FROM (SELECT gm.url, unnest(generate_series(gm.s, gm.s + ${n - 1})) AS pos " +
+        s"FROM gm$n gm JOIN rp$n USING (url, g))), " +
+        s"d$n AS (SELECT cv.url, sum(length(w.ws[cv.pos])) AS dup_chars FROM cv$n cv JOIN w USING (url) GROUP BY cv.url)"
+
+    def frac(num: String, den: String): String =
+      s"coalesce(CAST($num AS DOUBLE) / nullif($den, 0), 0)"
+    val reasonCases = Seq(
+      s"CASE WHEN n_words < ${th.minWords} THEN 'too_few_words' END",
+      s"CASE WHEN n_words > ${th.maxWords} THEN 'too_many_words' END",
+      s"CASE WHEN n_words > 0 AND (CAST(word_chars AS DOUBLE) / n_words < ${th.minMeanWordLen} " +
+        s"OR CAST(word_chars AS DOUBLE) / n_words > ${th.maxMeanWordLen}) THEN 'mean_word_length' END",
+      s"CASE WHEN ${frac("n_hash + n_ellipsis", "n_words")} > ${th.maxSymbolRatio} THEN 'symbol_ratio' END",
+      s"CASE WHEN ${frac("bullet_lines", "n_lines")} > ${th.maxBulletLineFrac} THEN 'bullet_lines' END",
+      s"CASE WHEN ${frac("ellipsis_lines", "n_lines")} > ${th.maxEllipsisLineFrac} THEN 'ellipsis_lines' END",
+      s"CASE WHEN n_words > 0 AND CAST(alpha_words AS DOUBLE) / n_words < ${th.minAlphaWordFrac} THEN 'alpha_words' END",
+      s"CASE WHEN stop_hits < ${th.minStopHits} THEN 'stopwords' END",
+      s"CASE WHEN ${frac("dup_lines", "n_lines")} > ${th.maxDupLineFrac} THEN 'dup_lines' END",
+      s"CASE WHEN ${frac("dup_paras", "n_paras")} > ${th.maxDupParaFrac} THEN 'dup_paras' END",
+      s"CASE WHEN ${frac("dup_line_chars", "line_chars")} > ${th.maxDupLineCharFrac} THEN 'dup_line_chars' END",
+      s"CASE WHEN ${frac("dup_para_chars", "para_chars")} > ${th.maxDupParaCharFrac} THEN 'dup_para_chars' END",
+      s"CASE WHEN ${frac("top2_chars", "word_chars")} > ${th.maxTop2CharFrac} THEN 'top_2gram' END",
+      s"CASE WHEN ${frac("top3_chars", "word_chars")} > ${th.maxTop3CharFrac} THEN 'top_3gram' END",
+      s"CASE WHEN ${frac("top4_chars", "word_chars")} > ${th.maxTop4CharFrac} THEN 'top_4gram' END") ++
+      (5 to 10).map { n =>
+        s"CASE WHEN ${frac(s"dup$n", "word_chars")} > ${th.maxDupNCharFrac(n - 5)} THEN 'dup_${n}gram' END"
+      }
+
+    s"WITH base AS (SELECT url, normalized_text AS t FROM ${dump(outDir, "extract_normalized")}), " +
+      "w AS (SELECT url, t, CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE (regexp_split_to_array(trim(t), '\\s+'))[1:200000] END AS ws FROM base), " +
+      "wc AS (SELECT url, unnest(ws) AS word FROM w), " +
+      "wa AS (SELECT url, count(*) AS n_words, sum(length(word)) AS word_chars, " +
+      "sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS alpha_words, " +
+      s"count(DISTINCT CASE WHEN list_contains($stops, word) THEN word END) AS stop_hits FROM wc GROUP BY url), " +
+      (2 to 4).map(topCtes).mkString("", ", ", ", ") +
+      (5 to 10).map(dupCtes).mkString("", ", ", ", ") +
+      "ln AS (SELECT url, list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lns FROM base), " +
+      "lnc AS (SELECT url, unnest(lns) AS l FROM ln), " +
+      "lg AS (SELECT url, l, count(*) AS c, length(l) AS len FROM lnc GROUP BY url, l), " +
+      "la AS (SELECT url, sum(c) AS n_lines, sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_lines, " +
+      "sum(c * len) AS line_chars, sum(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END) AS dup_line_chars FROM lg GROUP BY url), " +
+      "lb AS (SELECT url, sum(CASE WHEN starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '•') THEN 1 ELSE 0 END) AS bullet_lines, " +
+      "sum(CASE WHEN (length(l) >= 3 AND substr(l, length(l) - 2) = '...') OR substr(l, length(l)) = '…' THEN 1 ELSE 0 END) AS ellipsis_lines FROM lnc GROUP BY url), " +
+      "pn AS (SELECT url, list_filter(list_transform(regexp_split_to_array(t, '\\n{2,}'), x -> trim(x)), x -> x <> '') AS ps FROM base), " +
+      "pc AS (SELECT url, unnest(ps) AS p FROM pn), " +
+      "pg AS (SELECT url, p, count(*) AS c, length(p) AS len FROM pc GROUP BY url, p), " +
+      "pa AS (SELECT url, sum(c) AS n_paras, sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_paras, " +
+      "sum(c * len) AS para_chars, sum(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END) AS dup_para_chars FROM pg GROUP BY url), " +
+      "sy AS (SELECT url, length(t) - length(replace(t, '#', '')) AS n_hash, " +
+      "(length(t) - length(replace(t, '...', ''))) // 3 AS n_ellipsis FROM base), " +
+      "m AS (SELECT b.url, coalesce(wa.n_words, 0) AS n_words, coalesce(wa.word_chars, 0) AS word_chars, " +
+      "coalesce(wa.alpha_words, 0) AS alpha_words, coalesce(wa.stop_hits, 0) AS stop_hits, " +
+      (2 to 4).map(n => s"coalesce(t$n.top${n}_count, 0) AS top${n}_count, coalesce(t$n.top${n}_chars, 0) AS top${n}_chars, ").mkString +
+      (5 to 10).map(n => s"coalesce(d$n.dup_chars, 0) AS dup$n, ").mkString +
+      "coalesce(la.n_lines, 0) AS n_lines, coalesce(la.dup_lines, 0) AS dup_lines, " +
+      "coalesce(la.line_chars, 0) AS line_chars, coalesce(la.dup_line_chars, 0) AS dup_line_chars, " +
+      "coalesce(lb.bullet_lines, 0) AS bullet_lines, coalesce(lb.ellipsis_lines, 0) AS ellipsis_lines, " +
+      "coalesce(pa.n_paras, 0) AS n_paras, coalesce(pa.dup_paras, 0) AS dup_paras, " +
+      "coalesce(pa.para_chars, 0) AS para_chars, coalesce(pa.dup_para_chars, 0) AS dup_para_chars, " +
+      "sy.n_hash, sy.n_ellipsis " +
+      "FROM base b LEFT JOIN wa USING (url) " +
+      (2 to 4).map(n => s"LEFT JOIN t$n USING (url) ").mkString +
+      (5 to 10).map(n => s"LEFT JOIN d$n USING (url) ").mkString +
+      "LEFT JOIN la USING (url) LEFT JOIN lb USING (url) LEFT JOIN pa USING (url) JOIN sy USING (url)), " +
+      s"v AS (SELECT *, concat_ws('+', ${reasonCases.mkString(", ")}) AS reasons FROM m) " +
+      "SELECT url, CAST(n_words AS BIGINT) AS n_words, CAST(dup_lines AS BIGINT) AS dup_lines, " +
+      "CAST(top2_count AS BIGINT) AS top2_count, CAST(dup5 AS BIGINT) AS dup5_chars, " +
+      "reasons = '' AS keep, reasons FROM v ORDER BY url"
+  }
+
+  /** Enhancer.enhance over the stub provider replayed over the content
+    * dump: excerpt-wins content selection, first-sentence summary,
+    * first-5-distinct-long-words tags, capitalized-token people, and the
+    * URL-pattern classify with its 0.7 confidence gate. */
+  def enhancePages(outDir: String): String =
+    s"WITH base AS (SELECT url, text_content, excerpt FROM ${dump(outDir, "extract_content")}), " +
+      "c AS (SELECT url, CASE WHEN excerpt IS NOT NULL AND excerpt <> '' THEN excerpt " +
+      "ELSE substr(coalesce(text_content, ''), 1, 10000) END AS content FROM base), " +
+      "x AS (SELECT url, arr, unnest(generate_series(1, len(arr))) AS i " +
+      "FROM (SELECT url, regexp_split_to_array(content, '[^\\p{L}]+') AS arr FROM c)), " +
+      "tw AS (SELECT url, i, lower(arr[i]) AS w FROM x WHERE length(arr[i]) >= 6), " +
+      "firsts AS (SELECT url, w, min(i) AS fi FROM tw GROUP BY url, w), " +
+      "top5 AS (SELECT url, string_agg(w, ',' ORDER BY fi) AS tags FROM " +
+      "(SELECT url, w, fi, row_number() OVER (PARTITION BY url ORDER BY fi) AS rn FROM firsts) WHERE rn <= 5 GROUP BY url), " +
+      "pw AS (SELECT url, i, arr[i] AS w FROM x WHERE i >= 2 AND length(arr[i]) >= 4 AND regexp_matches(arr[i], '^\\p{Lu}')), " +
+      "ppl AS (SELECT url, string_agg(w, ',' ORDER BY i) AS people FROM " +
+      "(SELECT url, w, i, row_number() OVER (PARTITION BY url ORDER BY i) AS rn FROM pw) WHERE rn <= 3 GROUP BY url) " +
+      "SELECT c.url, " +
+      "CASE WHEN strpos(content, '.') > 0 THEN substr(content, 1, strpos(content, '.')) ELSE content END AS summary, " +
+      "coalesce(t5.tags, '') AS tags, coalesce(ppl.people, '') AS people, " +
+      "CASE WHEN contains(c.url, '/docs/') THEN 'docs' WHEN contains(c.url, '/news/') THEN 'article' " +
+      "WHEN contains(c.url, '/blog/') THEN '' ELSE 'unknown' END AS content_type " +
+      "FROM c LEFT JOIN top5 t5 USING (url) LEFT JOIN ppl USING (url) ORDER BY c.url"
+
+  /** Embed.chunkText(size=64, overlap=8) replayed as a recursive CTE over
+    * the documents table (a driver table — no dump needed): whitespace
+    * normalization, the ±20% break-point window's word-boundary branch
+    * (this corpus has no sentence-boundary punctuation, so the sentence
+    * branch is structurally dead — `chunk_fixture` gates it), JS-slice
+    * empty-chunk creep, and the overlap + space-snap restart. One
+    * recursion row per chunk attempt; emitted chunk index counts only
+    * non-empty chunks, exactly the Scala zipWithIndex. */
+  def chunkDocs: String = {
+    val sizeChars = 64 * 4
+    val overlapChars = 8 * 4
+    val maxIn = graft.embed.Embed.DefaultMaxInputLength
+    // per-state computed step (0-based indexes like the Scala):
+    //   te   = min(start + 256, n)
+    //   wb0  = lastIndexOf(' ', te)            (only meaningful when te < n)
+    //   ss   = max(0, te - floor(te*0.2))      (search window start)
+    //   endi = te < n ? (wb0 > ss ? wb0 + 1 : te) : te
+    //   chunk = endi <= start ? '' : trim(substr(start..endi))
+    val step =
+      "SELECT doc_id, t, n, start, emitted, " +
+        s"least(start + $sizeChars, n) AS te FROM rec"
+    val step2 =
+      "SELECT *, CASE WHEN te < n THEN " +
+        "(CASE WHEN strpos(reverse(substr(t, 1, te + 1)), ' ') = 0 THEN -1 " +
+        "ELSE te + 1 - strpos(reverse(substr(t, 1, te + 1)), ' ') END) ELSE -1 END AS wb0, " +
+        "greatest(0, te - CAST(floor(te * 0.2) AS INT)) AS ss FROM (" + step + ")"
+    val step3 =
+      "SELECT *, CASE WHEN te < n THEN (CASE WHEN wb0 > ss THEN wb0 + 1 ELSE te END) ELSE te END AS endi " +
+        "FROM (" + step2 + ")"
+    val step4 =
+      "SELECT *, CASE WHEN endi <= start THEN '' ELSE trim(substr(t, start + 1, endi - start)) END AS chunk, " +
+        "endi >= n AS done, " +
+        s"greatest(endi - $overlapChars, start + 1) AS ns0 FROM (" + step3 + ")"
+    val step5 =
+      "SELECT *, CASE WHEN strpos(substr(t, ns0 + 1), ' ') = 0 THEN -1 " +
+        "ELSE ns0 + strpos(substr(t, ns0 + 1), ' ') - 1 END AS si0 FROM (" + step4 + ")"
+    val stepAll =
+      "SELECT *, CASE WHEN si0 <> -1 AND si0 < ns0 + " + overlapChars +
+        " THEN si0 + 1 ELSE ns0 END AS next_start FROM (" + step5 + ")"
+    "WITH RECURSIVE nrm AS (SELECT doc_id, " +
+      s"trim(regexp_replace(substr(coalesce(text, ''), 1, $maxIn), '\\s+', ' ', 'g')) AS t FROM documents), " +
+      "sized AS (SELECT doc_id, t, length(t) AS n, CAST(ceil(length(t) / 4.0) AS INT) AS total_tokens FROM nrm), " +
+      "single AS (SELECT doc_id, 0 AS chunk_idx, t AS chunk_text, 0 AS start_index, n AS end_index, total_tokens AS tokens " +
+      "FROM sized WHERE n > 0 AND total_tokens <= 64), " +
+      "rec AS (" +
+      "SELECT doc_id, t, n, 0 AS start, 0 AS emitted FROM sized WHERE total_tokens > 64 " +
+      "UNION ALL " +
+      "SELECT doc_id, t, n, next_start AS start, emitted + CASE WHEN chunk <> '' THEN 1 ELSE 0 END AS emitted " +
+      "FROM (" + stepAll + ") WHERE NOT done AND next_start < n), " +
+      "emitted_chunks AS (SELECT doc_id, emitted AS chunk_idx, chunk AS chunk_text, " +
+      "start AS start_index, endi AS end_index, CAST(ceil(length(chunk) / 4.0) AS INT) AS tokens " +
+      "FROM (" + stepAll + ") WHERE chunk <> '') " +
+      "SELECT * FROM single UNION ALL SELECT * FROM emitted_chunks " +
+      "ORDER BY doc_id, chunk_idx"
+  }
+
   def all(outDir: String): Map[String, String] = Map(
     "dedup_exact_pages" -> dedupExactPages(outDir),
     "para_dedup_pages" -> paraDedupPages(outDir),
     "quality_pages" -> qualityPages(outDir),
-    "langid_pages" -> langidPages(outDir))
+    "langid_pages" -> langidPages(outDir),
+    "repetition_pages" -> repetitionPages(outDir),
+    "enhance_pages" -> enhancePages(outDir))
 }
