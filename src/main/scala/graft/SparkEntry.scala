@@ -1024,11 +1024,17 @@ object SparkEntry {
     "media_frames" -> ((s, dir) => {
       import s.implicits._
       val n = math.min(PagesGen.pagesFor(dir), 500)
+      // gif rows sample REAL frames (javax.imageio multi-frame read, ts
+      // from the GIF's own GraphicControlExtension delays); video rows
+      // stay on the honest stub (no ffmpeg in this container)
       graft.multimodal.Multimodal.mediaGen(s, n)
-        .filter(_.kind == "video")
-        .flatMap(m => graft.multimodal.Multimodal.frameSampleStub(m).map { case (ts, fb) =>
-          (m.media_id, ts, fb.length.toLong)
-        })
+        .filter(m => m.kind == "video" || m.kind == "gif")
+        .flatMap { m =>
+          val frames =
+            if (m.kind == "gif") graft.multimodal.Multimodal.frameSampleGif(m.bytes)
+            else graft.multimodal.Multimodal.frameSampleStub(m)
+          frames.map { case (ts, fb) => (m.media_id, ts, fb.length.toLong) }
+        }
         .toDF("media_id", "frame_ts_ms", "frame_bytes")
         .orderBy("media_id", "frame_ts_ms")
     }),

@@ -33,7 +33,8 @@ object MediaFixtureQueries {
     import s.implicits._
     val cases = imageSpecs.map(_._1) ++
       Seq("resize_png_to_12x12", "feature_grid", "feature_unitnorm",
-        "not_an_image", "frames_3500ms_1000ms", "frames_zero_duration")
+        "not_an_image", "frames_3500ms_1000ms", "frames_zero_duration",
+        "gif_anim_3f_25cs", "exif_rot90", "exif_fliph", "exif_absent")
     FixtureSupport.fixtureDf(s, cases) { name =>
       val rows: Seq[(String, String)] = imageSpecs.find(_._1 == name) match {
         case Some((_, seed, w, h, fmt)) =>
@@ -72,6 +73,43 @@ object MediaFixtureQueries {
             val row = MediaRow(2L, "audio", "audio/mpeg", Array[Byte](1),
               0, 0, 0L, "https://example.com/a.mp3")
             Seq("n_frames" -> Multimodal.frameSampleStub(row).length.toString)
+          case "gif_anim_3f_25cs" =>
+            // REAL round-trip: a 3-frame 20×12 animated GIF at 25 cs/frame
+            // must read back exactly those frames, delays, and timestamps,
+            // and each sampled frame must decode to the planted dims
+            val g = Multimodal.makeAnimatedGif(11L, 20, 12, nFrames = 3, delayCs = 25)
+            val frames = Multimodal.gifFrames(g)
+            val sampled = Multimodal.frameSampleGif(g)
+            val dims = sampled.map(f => Multimodal.decodeImage(f._2)
+              .map(i => s"${i.getWidth}x${i.getHeight}").getOrElse("bad"))
+            Seq(
+              "n_frames" -> frames.length.toString,
+              "delays_cs" -> frames.map(_._1).mkString("|"),
+              "timestamps_ms" -> sampled.map(_._1).mkString("|"),
+              "frame_dims" -> dims.distinct.mkString("|"))
+          case "exif_rot90" =>
+            // orientation 6 (rotate 90 CW): decode must SWAP the dims
+            val j = Multimodal.makeJpegWithExif(12L, 32, 16, orientation = 6)
+            val o = Multimodal.decodeImageOriented(j)
+            Seq(
+              "orientation" -> Multimodal.exifOrientation(j).getOrElse(-1).toString,
+              "width" -> o.map(_.getWidth).getOrElse(-1).toString,
+              "height" -> o.map(_.getHeight).getOrElse(-1).toString)
+          case "exif_fliph" =>
+            // orientation 2 (mirror): dims unchanged, tag still read; the
+            // flip really happened — corner pixels swap sides
+            val j = Multimodal.makeJpegWithExif(13L, 32, 16, orientation = 2)
+            val plain = Multimodal.decodeImage(j).get
+            val flipped = Multimodal.decodeImageOriented(j).get
+            Seq(
+              "orientation" -> Multimodal.exifOrientation(j).getOrElse(-1).toString,
+              "width" -> flipped.getWidth.toString,
+              "height" -> flipped.getHeight.toString,
+              "mirrored" -> (flipped.getRGB(0, 0) == plain.getRGB(31, 0) &&
+                flipped.getRGB(31, 0) == plain.getRGB(0, 0)).toString)
+          case "exif_absent" =>
+            Seq("orientation" -> Multimodal.exifOrientation(
+              Multimodal.makeImage(14L, 8, 8, "jpg")).getOrElse(-1).toString)
           case _ => Nil
         }
       }
@@ -82,6 +120,18 @@ object MediaFixtureQueries {
   val mediaOracle: String = {
     val rows = Seq(
       ("bmp_16x24", "decode_ok", "true"),
+      ("exif_absent", "orientation", "-1"),
+      ("exif_fliph", "height", "16"),
+      ("exif_fliph", "mirrored", "true"),
+      ("exif_fliph", "orientation", "2"),
+      ("exif_fliph", "width", "32"),
+      ("exif_rot90", "height", "32"),
+      ("exif_rot90", "orientation", "6"),
+      ("exif_rot90", "width", "16"),
+      ("gif_anim_3f_25cs", "delays_cs", "25|25|25"),
+      ("gif_anim_3f_25cs", "frame_dims", "20x12"),
+      ("gif_anim_3f_25cs", "n_frames", "3"),
+      ("gif_anim_3f_25cs", "timestamps_ms", "0|250|500"),
       ("bmp_16x24", "height", "24"),
       ("bmp_16x24", "width", "16"),
       ("feature_grid", "feature_len", "64"),

@@ -98,11 +98,9 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic REAL image bytes for the synthetic corpus (pixels from a
-    * splitmix stream over the seed, encoded by the JDK's own writers — no
-    * timestamps, output a pure function of the pixels) — exercises the real
-    * decode path end-to-end per format. */
-  def makeImage(seed: Long, w: Int = 24, h: Int = 24, format: String = "png"): Array[Byte] = {
+  /** Deterministic pseudo-random RGB bitmap (the pixel source behind every
+    * generated test image/frame: splitmix stream over the seed). */
+  def makeBitmap(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var state = seed
     var y = 0
@@ -115,12 +113,202 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Deterministic REAL image bytes for the synthetic corpus, encoded by
+    * the JDK's own writers (no timestamps — output a pure function of the
+    * pixels) — exercises the real decode path end-to-end per format. */
+  def makeImage(seed: Long, w: Int = 24, h: Int = 24, format: String = "png"): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
+    javax.imageio.ImageIO.write(makeBitmap(seed, w, h), format, bos)
     bos.toByteArray
   }
 
   def makePng(seed: Long, w: Int = 24, h: Int = 24): Array[Byte] = makeImage(seed, w, h, "png")
+
+  // ---- animated GIF: REAL multi-frame read/write (javax.imageio) ----
+
+  /** Encode an animated GIF — `nFrames` deterministic frames, each with a
+    * GraphicControlExtension `delayTime` of `delayCs` centiseconds (the
+    * published GIF89a field), via the JDK's own GIF sequence writer. */
+  def makeAnimatedGif(seed: Long, w: Int, h: Int, nFrames: Int,
+                      delayCs: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var k = 0
+    while (k < nFrames) {
+      val img = makeBitmap(TextOps.mix64(seed ^ (k + 1).toLong), w, h)
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+      k += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL animated-GIF read: `(delayCs, frame)` per frame, in order. Empty
+    * for non-GIF bytes — callers route those to the single-image path. */
+  def gifFrames(bytes: Array[Byte]): Vector[(Int, java.awt.image.BufferedImage)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Vector.empty
+      val r = readers.next()
+      if (!r.getFormatName.equalsIgnoreCase("gif")) return Vector.empty
+      r.setInput(iis)
+      val n = r.getNumImages(true)
+      (0 until n).iterator.map { k =>
+        val img = r.read(k)
+        val meta = r.getImageMetadata(k)
+        val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        var delay = 0
+        val gces = root.getElementsByTagName("GraphicControlExtension")
+        if (gces.getLength > 0) {
+          val v = gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .getAttribute("delayTime")
+          if (v != null && v.nonEmpty) delay = v.toInt
+        }
+        (delay, img)
+      }.toVector
+    } catch { case _: Throwable => Vector.empty }
+
+  /** REAL frame sampling for animated GIFs: frame k's timestamp is the
+    * cumulative delay of frames 0..k-1 (centiseconds × 10 → ms); frame
+    * bytes are the decoded bitmap re-encoded as PNG. The video stub's
+    * signature, real data. */
+  def frameSampleGif(bytes: Array[Byte]): Vector[(Long, Array[Byte])] = {
+    val frames = gifFrames(bytes)
+    var ts = 0L
+    frames.map { case (delayCs, img) =>
+      val out = (ts, resizeImage(img, img.getWidth, img.getHeight))
+      ts += delayCs * 10L
+      out
+    }
+  }
+
+  // ---- EXIF orientation: from-scratch APP1/TIFF tag parse ----
+
+  /** EXIF orientation (tag 0x0112, values 1-8) from a JPEG's APP1 segment —
+    * a from-scratch parse of the published JPEG marker + TIFF IFD layout
+    * (the JDK's JPEG metadata exposes APP1 only as opaque bytes). None when
+    * no EXIF orientation is present. */
+  def exifOrientation(jpeg: Array[Byte]): Option[Int] = {
+    if (jpeg == null || jpeg.length < 4 ||
+      (jpeg(0) & 0xFF) != 0xFF || (jpeg(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 4 <= jpeg.length && (jpeg(i) & 0xFF) == 0xFF) {
+      val marker = jpeg(i + 1) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / SOS: no EXIF
+      val len = ((jpeg(i + 2) & 0xFF) << 8) | (jpeg(i + 3) & 0xFF)
+      if (marker == 0xE1 && i + 4 + 6 <= jpeg.length &&
+        jpeg(i + 4) == 'E' && jpeg(i + 5) == 'x' && jpeg(i + 6) == 'i' &&
+        jpeg(i + 7) == 'f' && jpeg(i + 8) == 0 && jpeg(i + 9) == 0) {
+        val tiff = i + 10 // TIFF header start
+        if (tiff + 8 > jpeg.length) return None
+        val le = jpeg(tiff) == 'I' && jpeg(tiff + 1) == 'I'
+        val be = jpeg(tiff) == 'M' && jpeg(tiff + 1) == 'M'
+        if (!le && !be) return None
+        def u16(p: Int): Int =
+          if (le) (jpeg(p) & 0xFF) | ((jpeg(p + 1) & 0xFF) << 8)
+          else ((jpeg(p) & 0xFF) << 8) | (jpeg(p + 1) & 0xFF)
+        def u32(p: Int): Long =
+          if (le) (u16(p).toLong) | (u16(p + 2).toLong << 16)
+          else (u16(p).toLong << 16) | u16(p + 2).toLong
+        if (u16(tiff + 2) != 42) return None
+        val ifd0 = tiff + u32(tiff + 4).toInt
+        if (ifd0 + 2 > jpeg.length) return None
+        val entries = u16(ifd0)
+        var e = 0
+        while (e < entries) {
+          val p = ifd0 + 2 + e * 12
+          if (p + 12 > jpeg.length) return None
+          if (u16(p) == 0x0112 && u16(p + 2) == 3) { // SHORT orientation
+            val v = u16(p + 8)
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          e += 1
+        }
+        return None
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** Apply an EXIF orientation (exact per-pixel remap; orientations 5-8
+    * swap the output dimensions). */
+  def applyOrientation(img: java.awt.image.BufferedImage,
+                       o: Int): java.awt.image.BufferedImage = {
+    if (o <= 1 || o > 8) return img
+    val w = img.getWidth; val h = img.getHeight
+    val swapped = o >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swapped) h else w, if (swapped) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        o match {
+          case 2 => out.setRGB(w - 1 - x, y, rgb)
+          case 3 => out.setRGB(w - 1 - x, h - 1 - y, rgb)
+          case 4 => out.setRGB(x, h - 1 - y, rgb)
+          case 5 => out.setRGB(y, x, rgb)
+          case 6 => out.setRGB(h - 1 - y, x, rgb)
+          case 7 => out.setRGB(h - 1 - y, w - 1 - x, rgb)
+          case 8 => out.setRGB(y, w - 1 - x, rgb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[decodeImage]] honoring EXIF orientation when present. */
+  def decodeImageOriented(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    decodeImage(bytes).map { img =>
+      exifOrientation(bytes).fold(img)(o => applyOrientation(img, o))
+    }
+
+  /** A JPEG with a planted EXIF orientation: encode, then splice a minimal
+    * APP1 segment (Exif\0\0 + one-entry TIFF IFD0, little-endian) right
+    * after SOI — the published byte layout, since the JDK JPEG writer
+    * emits no EXIF itself. */
+  def makeJpegWithExif(seed: Long, w: Int, h: Int, orientation: Int): Array[Byte] = {
+    val jpeg = makeImage(seed, w, h, "jpg")
+    val tiff = Array[Byte](
+      'I', 'I', 42, 0, 8, 0, 0, 0, // II, magic 42, IFD0 at offset 8
+      1, 0, // 1 entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, // tag 0x0112, SHORT, count 1
+      orientation.toByte, 0, 0, 0, // value
+      0, 0, 0, 0) // next IFD: none
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff
+    val len = payload.length + 2
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
 
   /** STUB decode: deterministic pseudo-decode from the content hash. A real
     * deployment replaces this body with an actual codec call. */
@@ -182,14 +370,17 @@ object Multimodal {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
       val h = TextOps.mix64(0x6d656469L ^ i)
-      val kind = (Math.floorMod(h, 3L)) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      val kind = (Math.floorMod(h, 4L)) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "gif"
       }
       // image rows carry REAL encoded bytes across all four JDK-decodable
-      // formats (decoded by the real ImageIO path); audio/video stay
-      // hash-derived opaque blobs for the stub codecs (no ffmpeg here)
-      val (bytes, mime, w0, h0) =
-        if (kind == "image") {
+      // formats (decoded by the real ImageIO path; 1-in-4 JPEGs also carry
+      // a planted EXIF orientation the decode must honor); gif rows are
+      // REAL animated GIFs whose frames/delays the real frame sampler
+      // recovers; audio/video stay hash-derived opaque blobs for the stub
+      // codecs (no ffmpeg here)
+      val (bytes, mime, w0, h0, dur) = kind match {
+        case "image" =>
           val w = 16 + Math.floorMod(h, 17L).toInt
           val hh = 16 + Math.floorMod(h >>> 8, 17L).toInt
           val (fmt, mm) = Math.floorMod(h >>> 24, 4L).toInt match {
@@ -198,19 +389,34 @@ object Multimodal {
             case 2 => ("gif", "image/gif")
             case _ => ("bmp", "image/bmp")
           }
-          (makeImage(h, w, hh, fmt), mm, w, hh)
-        } else {
+          if (fmt == "jpg") {
+            val o = 1 + Math.floorMod(h >>> 32, 8L).toInt
+            val b = if (o > 1) makeJpegWithExif(h, w, hh, o) else makeImage(h, w, hh, fmt)
+            // metadata records the ORIENTED dims — what a correct decode yields
+            val (ow, oh) = if (o >= 5) (hh, w) else (w, hh)
+            (b, mm, ow, oh, 0L)
+          } else (makeImage(h, w, hh, fmt), mm, w, hh, 0L)
+        case "gif" =>
+          val w = 16 + Math.floorMod(h, 17L).toInt
+          val hh = 16 + Math.floorMod(h >>> 8, 17L).toInt
+          val frames = 2 + Math.floorMod(h >>> 16, 5L).toInt // 2..6
+          val delayCs = 10 + Math.floorMod(h >>> 24, 4L).toInt * 10 // 100-400 ms
+          (makeAnimatedGif(h, w, hh, frames, delayCs), "image/gif",
+            w, hh, frames.toLong * delayCs * 10L)
+        case _ =>
           val size = 256 + Math.floorMod(h >>> 8, 1792L).toInt
           val b = new Array[Byte](size)
           var state = h
           var j = 0
           while (j < size) { state = TextOps.mix64(state); b(j) = (state & 0xff).toByte; j += 1 }
-          (b, if (kind == "audio") "audio/mpeg" else "video/mp4", if (kind == "audio") 0 else 640, if (kind == "audio") 0 else 480)
-        }
+          (b, if (kind == "audio") "audio/mpeg" else "video/mp4",
+            if (kind == "audio") 0 else 640, if (kind == "audio") 0 else 480,
+            5000 + Math.floorMod(h, 60000L))
+      }
       MediaRow(i, kind, mime, bytes,
         width = w0,
         height = h0,
-        duration_ms = if (kind != "image") 5000 + Math.floorMod(h, 60000L) else 0,
+        duration_ms = dur,
         source_url = s"https://media.example.com/$kind/$i")
     })
   }
@@ -222,7 +428,11 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition batch: codec/session setup would be amortized here
       it.map { m =>
-        val real = if (m.kind == "image") decodeImage(m.bytes) else None
+        // image AND animated-gif rows decode for real (first frame for
+        // gifs; EXIF orientation honored for jpegs)
+        val real =
+          if (m.kind == "image" || m.kind == "gif") decodeImageOriented(m.bytes)
+          else None
         real match {
           case Some(img) =>
             val feat = luminanceFeature(img)
@@ -233,7 +443,8 @@ object Multimodal {
             // corrupt input and must report decode_ok=false — routing it
             // through the stub fabricated dims/features and downstream
             // decode_ok filters kept garbage rows
-            val decoded = if (m.kind == "image") None else decodeStub(m.bytes)
+            val decoded =
+              if (m.kind == "image" || m.kind == "gif") None else decodeStub(m.bytes)
             val feat = featureStub(m.bytes)
             MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decoded.isDefined)
         }

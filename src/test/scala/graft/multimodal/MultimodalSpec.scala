@@ -70,23 +70,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("extractFeatures: every planted image (png/jpeg/gif) decodes via the REAL codec path") {
-    val media = Multimodal.mediaGen(spark, 120)
+    val media = Multimodal.mediaGen(spark, 160)
     val features = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
     val rows = media.collect()
     val images = rows.filter(_.kind == "image")
     assert(images.nonEmpty)
-    // the corpus must exercise all three real formats
+    // the corpus must exercise all four real formats
     val mimes = images.map(_.mime).toSet
     assert(mimes == Set("image/png", "image/jpeg", "image/gif", "image/bmp"), s"formats planted: $mimes")
     images.foreach { m =>
       assert(features(m.media_id).decode_ok, s"image ${m.media_id} (${m.mime}) must really decode")
-      // the feature must equal the real pixel feature, not the stub
-      val expected = Multimodal.luminanceFeature(Multimodal.decodeImage(m.bytes).get)
+      // the feature must equal the real ORIENTED pixel feature, not the stub
+      val expected = Multimodal.luminanceFeature(Multimodal.decodeImageOriented(m.bytes).get)
       assert(features(m.media_id).feature.sameElements(expected))
     }
     images.filter(_.mime == "image/png").foreach(m => assert(Multimodal.isPng(m.bytes)))
-    // non-image rows still flow through the stub path deterministically
-    rows.filter(_.kind != "image").foreach { m =>
+    // EXIF-planted jpegs: metadata dims = oriented decode dims
+    val exifImages = images.filter(m =>
+      m.mime == "image/jpeg" && Multimodal.exifOrientation(m.bytes).exists(_ > 1))
+    assert(exifImages.nonEmpty, "corpus must plant EXIF orientations")
+    exifImages.foreach { m =>
+      val img = Multimodal.decodeImageOriented(m.bytes).get
+      assert(img.getWidth == m.width && img.getHeight == m.height,
+        s"oriented dims must match metadata for ${m.media_id}")
+    }
+    // animated-gif rows decode for real too, and their frames are real
+    val gifs = rows.filter(_.kind == "gif")
+    assert(gifs.nonEmpty)
+    gifs.foreach { m =>
+      assert(features(m.media_id).decode_ok, s"gif ${m.media_id} must really decode")
+      val frames = Multimodal.gifFrames(m.bytes)
+      assert(frames.length >= 2, "animated: at least 2 frames")
+      assert(frames.forall { case (_, img) =>
+        img.getWidth == m.width && img.getHeight == m.height })
+      val sampled = Multimodal.frameSampleGif(m.bytes)
+      assert(sampled.length == frames.length)
+      assert(sampled.head._1 == 0L)
+      assert(m.duration_ms == frames.map(_._1.toLong * 10).sum)
+    }
+    // audio/video rows still flow through the stub path deterministically
+    rows.filter(m => m.kind == "audio" || m.kind == "video").foreach { m =>
       assert(features(m.media_id).feature.sameElements(Multimodal.featureStub(m.bytes)))
     }
   }
