@@ -261,6 +261,79 @@ object Bench {
           f"""{"docs":$hCount%d,"extract_sec":$hSec%.3f,"docs_per_sec":$hDps%.1f,"auto_variant":"$hAuto%s","raw_pool_docs_per_sec":$hRawDps%.1f,"spark_vs_ceiling":${hDps / hRawDps}%.3f}""")
       }
 
+    // Pack-scaling probe (round 7): 10M synthetic rows through the
+    // distributed-prefix-sum packing chain (seededShuffle → concatChunkBy)
+    // — the two-parallelism evidence for the operator that replaced the
+    // window-per-shard scan. 256 shuffle partitions (≥4 waves at 32 cores;
+    // the probe's own measurements: 64→256 parts = +32% at 32 cores);
+    // session conf snapshot/restored so the query suite is untouched.
+    val packStats: Option[String] =
+      if (extractOnly || sys.env.get("SPARK_GRAFT_PACK").contains("0")) None
+      else {
+        val packRows = sys.env.get("SPARK_GRAFT_PACK_ROWS").map(_.toLong)
+          .getOrElse(10000000L)
+        val key = "spark.sql.shuffle.partitions"
+        val saved = spark.conf.get(key)
+        spark.conf.set(key, "256")
+        try {
+          import org.apache.spark.sql.functions._
+          def runPack(): Unit = {
+            val sh = graft.ops.Pack.seededShuffle(
+                spark.range(packRows).toDF("doc_id"), "doc_id", 2026L, 16)
+              .withColumn("tokens", pmod(col("id"), lit(997L)))
+            graft.ops.Pack.concatChunkBy(sh, "id", "tokens", "shard", "skey", 2048)
+              .agg(sum(col("cum_before") + col("first_chunk"))).head.getLong(0)
+            ()
+          }
+          runPack() // warm
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); runPack(); (System.nanoTime() - t0) / 1e9
+          }
+          val sec = ts.min
+          System.err.println(f"[bench] pack probe: $packRows%d rows in $sec%.2f s (${packRows / sec}%.0f rows/s)")
+          Some(f"""{"rows":$packRows%d,"sec":$sec%.3f,"rows_per_sec":${packRows / sec}%.1f}""")
+        } finally spark.conf.set(key, saved)
+      }
+
+    // Ingest-loop probe (round 7): one incremental-dedup commit of a 1k-doc
+    // batch against an 8k-doc parquet history through the BUCKETED band
+    // store (the exchange-free history-band path) — re-measured because the
+    // band store changed the per-batch plan. Fresh temp store per run.
+    val ingestStats: Option[String] =
+      if (extractOnly || sys.env.get("SPARK_GRAFT_INGEST").contains("0")) None
+      else {
+        val histN = sys.env.get("SPARK_GRAFT_INGEST_HIST").map(_.toInt).getOrElse(8000)
+        val batchN = sys.env.get("SPARK_GRAFT_INGEST_BATCH").map(_.toInt).getOrElse(1000)
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-incdedup-")
+          .toAbsolutePath.toString
+        val tbl = "graft_bench_bands_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        try {
+          def corpus(from: Int, n: Int) = spark.range(from, from + n.toLong)
+            .selectExpr("CAST(id AS STRING) AS doc",
+              // ~30-word deterministic bodies; 1-in-50 duplicates an earlier doc
+              "concat('doc body ', CAST(id AS STRING), ' ', " +
+                "repeat(concat('w', CAST(id % 211 AS STRING), ' x', CAST(id % 97 AS STRING), " +
+                "' y', CAST(id % 53 AS STRING), ' '), 10), " +
+                "CASE WHEN id % 50 = 0 THEN 'tail common suffix block' ELSE '' END) AS body")
+          graft.ops.IncrementalDedup.dedupeAndCommitIndexed(
+            corpus(0, histN).toDF(), "doc", "body", dir, tbl) // build history
+          val t0 = System.nanoTime()
+          val led = graft.ops.IncrementalDedup.dedupeAndCommitIndexed(
+            corpus(histN, batchN).toDF(), "doc", "body", dir, tbl)
+          val cnt = led.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] ingest probe: $cnt%d-doc batch vs $histN%d-doc history committed in $sec%.2f s")
+          Some(f"""{"history":$histN%d,"batch":$batchN%d,"commit_sec":$sec%.3f,"docs_per_sec":${cnt / sec}%.1f}""")
+        } finally {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          try {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(dir)).deleteRecursively()
+          } catch { case _: Exception => () }
+        }
+      }
+
     // Pre-warm the shared cached relations BEFORE per-query timing and
     // report their materialization as separate bench lines (VERDICT r3 #1):
     // no query's time may include another query's shared cost.
@@ -292,7 +365,9 @@ object Bench {
     val ar = annRecalls.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = extractSec + results.map(_._2).sum + materialize.map(_._2).sum
-    val heavyField = heavyStats.map(h => s""","heavy":$h""").getOrElse("")
+    val heavyField = heavyStats.map(h => s""","heavy":$h""").getOrElse("") +
+      packStats.map(p => s""","pack":$p""").getOrElse("") +
+      ingestStats.map(p => s""","ingest":$p""").getOrElse("")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"corpus":"$corpusKind%s","extract_docs":$extractedCount%d,"extract_sec":$extractSec%.3f,"extract_reps_sec":$rep%s,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs_per_sec_best":$docsPerSecBest%.1f,"extract_variant":"$variant%s","auto_variant":"$autoChoice%s","variant_sec":$vs%s,"materialize_sec":$ms%s,"ann_recall":$ar%s,"raw_pool_docs":${rawDocs.length}%d,"raw_pool_sec":$rawSec%.3f,"raw_pool_reps_sec":$rawRep%s,"raw_pool_docs_per_sec":$rawDocsPerSec%.1f,"scan_sec":$scanSec%.3f,"spark_vs_ceiling":$sparkVsCeiling%.3f,"spark_vs_ceiling_best":$sparkVsCeilingBest%.3f,"spark_vs_ceiling_net":$sparkVsCeilingNet%.3f$heavyField%s}"""
     println(line)
