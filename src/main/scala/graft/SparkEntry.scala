@@ -1096,6 +1096,12 @@ object SparkEntry {
       .select(col("doc_id"), expr("substring(sha2(text, 256), 1, 32)").as("hash32"))
       .orderBy("doc_id")),
 
+    // cache retention (LRU + TTL) over the persisted cache table — the
+    // reference's InMemoryEmbeddingCache semantics at table scale, DuckDB
+    // replaying the scripted sequence (embed/CacheRetentionFixture)
+    "cache_retention_fixture" -> ((s, dir) =>
+      graft.embed.CacheRetentionFixture.fixtureDf(s)),
+
     "embed_cache_key" -> ((s, dir) => {
       import s.implicits._
       // deliberately the NO-safety config (a reference call with `safety`
@@ -1909,6 +1915,9 @@ object SparkEntry {
 
     "doc_hash" ->
       "SELECT doc_id, substr(sha256(text), 1, 32) AS hash32 FROM documents ORDER BY doc_id",
+
+    "cache_retention_fixture" ->
+      graft.embed.CacheRetentionFixture.fixtureOracle,
 
     "embed_cache_key" -> {
       val fp = graft.embed.EmbedCache.fingerprint(graft.embed.EmbedCache.CacheConfig(providerKey = "stub"))

@@ -242,11 +242,12 @@ object EmbedPipeline {
     CounterSnapshot(row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
-  /** Table-level stats of a persisted cache relation — the `getStats()`
-    * analogue (`cache.ts:262-281`): size + utilization against a logical
-    * capacity. TTL/expiry is deliberately absent: at cluster scale, eviction
-    * is the TABLE's retention policy (partition drop / snapshot expiry),
-    * not per-entry bookkeeping (documented in EmbedCacheSpec). */
+  /** Table-level stats of a plain (un-timestamped) cache relation — size +
+    * utilization against a logical capacity. The FULL `getStats()` /
+    * LRU / TTL surface (`cache.ts:195-315`) lives in [[CacheRetention]]
+    * over the timestamped table variant: expiry filter/sweep, access-time
+    * touch, max-entries cut via the distributed prefix sum, and the
+    * one-batch [[CacheRetention.absorb]] commit. */
   final case class CacheTableStats(size: Long, maxEntries: Long, utilization: Double)
 
   def cacheStats(cache: DataFrame, maxEntries: Long = 10000): CacheTableStats = {
