@@ -24,6 +24,9 @@ import graft.ops.IncrementalDedup
   */
 object IncDedupBench {
   def main(args: Array[String]): Unit = {
+    // JSON emitters use the f interpolator: pin the locale so a
+    // comma-decimal default can never produce invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "8").toInt

@@ -11,6 +11,9 @@ import graft.pipeline.{ExtractJob, PageRow, PagesGen}
  */
 object Profile {
   def main(args: Array[String]): Unit = {
+    // JSON emitters use the f interpolator: pin the locale so a
+    // comma-decimal default can never produce invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "20000").toInt
     val spark = SparkSession.builder()

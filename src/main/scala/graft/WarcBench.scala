@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   * path. Measurements recorded in BASELINE.md. */
 object WarcBench {
   def main(args: Array[String]): Unit = {
+    // JSON emitters use the f interpolator: pin the locale so a
+    // comma-decimal default can never produce invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = sys.env.getOrElse("SPARK_GRAFT_DOCS", "40000").toInt
     val shards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "128").toInt

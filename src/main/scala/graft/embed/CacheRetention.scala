@@ -113,14 +113,32 @@ object CacheRetention {
 
   /** The full post-run `set()` lifecycle as ONE batch commit: touch the
     * hit keys, insert the new rows (first-writer-wins on duplicate keys,
-    * matching set()'s has-check), sweep expired, cut to capacity. */
+    * matching set()'s has-check — both against the existing table AND
+    * within the batch itself: a Map can never hold two entries per key,
+    * so neither may the table), sweep expired, cut to capacity.
+    *
+    * The unioned relation is localCheckpoint'ed once: it would otherwise
+    * recompute the touch join + union for enforceMaxEntries' count, each
+    * prefix-sum pass, and the caller's final write (4+ traversals). */
   def absorb(cache: DataFrame, newRows: DataFrame, hitKeys: DataFrame,
              nowMs: Long, ttlMs: Long = DefaultTtlMs,
              maxEntries: Long = DefaultMaxEntries): DataFrame = {
     val touched = touch(cache, hitKeys, nowMs)
-    val fresh = withTimestamps(newRows, nowMs, ttlMs)
+    // within-batch dedupe: one row per cache_key. A batch has no arrival
+    // order, so pick the deterministic min over the row's data columns
+    // (duplicate keys are the same content hash, so the rows agree in
+    // practice — this only pins a replayable choice).
+    val dataCols = newRows.columns.filterNot(_ == "cache_key")
+    val oneNew = newRows
+      .groupBy("cache_key")
+      .agg(min(struct(dataCols.map(col): _*)).as("__row"))
+      .select(col("cache_key") +: dataCols.map(c => col(s"__row.$c").as(c)): _*)
+    val fresh = withTimestamps(oneNew, nowMs, ttlMs)
       .join(cache.select("cache_key"), Seq("cache_key"), "left_anti")
-    val (alive, _) = cleanup(touched.unionByName(fresh), nowMs)
+    // direct filter, not cleanup(): absorb discards the eviction count, so
+    // the two count() jobs cleanup pays to produce it would be pure waste
+    val alive = unexpired(touched.unionByName(fresh), nowMs)
+      .localCheckpoint(true)
     enforceMaxEntries(alive, maxEntries)
   }
 

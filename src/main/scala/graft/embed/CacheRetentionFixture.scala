@@ -45,7 +45,10 @@ object CacheRetentionFixture {
       "evicted_expired" -> evicted.toString,
       "stats_size" -> st.size.toString,
       "stats_expired" -> st.expired.toString,
-      "stats_utilization" -> f"${st.utilization}%.2f",
+      // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+      // comma-decimal locale would break the hash vs DuckDB's printf
+      "stats_utilization" ->
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(st.utilization)),
       "validate_skipped_always" ->
         CacheRetention.validateCachedRow("skipped", null, Some(256)).toString,
       "validate_dim_match" ->

@@ -135,7 +135,9 @@ object Multimodal {
   def makeAnimatedGif(seed: Long, w: Int, h: Int, nFrames: Int,
                       delayCs: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // memory-cached for the same reason gifFrames' read side is: the
+    // factory default backs the stream with a temp file until close
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
@@ -165,13 +167,20 @@ object Multimodal {
 
   /** REAL animated-GIF read: `(delayCs, frame)` per frame, in order. Empty
     * for non-GIF bytes — callers route those to the single-image path. */
-  def gifFrames(bytes: Array[Byte]): Vector[(Int, java.awt.image.BufferedImage)] =
+  def gifFrames(bytes: Array[Byte]): Vector[(Int, java.awt.image.BufferedImage)] = {
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    // the factory's default disk cache backs each stream with a temp
+    // file that lives until close()/GC — per-row inside executor map
+    // tasks that's an fd + tmp-file leak. The bytes are already in
+    // memory; cache there, and close/dispose on every path.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var reader: javax.imageio.ImageReader = null
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return Vector.empty
       val r = readers.next()
+      reader = r
       if (!r.getFormatName.equalsIgnoreCase("gif")) return Vector.empty
       r.setInput(iis)
       val n = r.getNumImages(true)
@@ -190,6 +199,11 @@ object Multimodal {
         (delay, img)
       }.toVector
     } catch { case _: Throwable => Vector.empty }
+    finally {
+      if (reader != null) try reader.dispose() catch { case _: Throwable => }
+      try iis.close() catch { case _: Throwable => }
+    }
+  }
 
   /** REAL frame sampling for animated GIFs: frame k's timestamp is the
     * cumulative delay of frames 0..k-1 (centiseconds × 10 → ms); frame
@@ -374,8 +388,8 @@ object Multimodal {
         case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "gif"
       }
       // image rows carry REAL encoded bytes across all four JDK-decodable
-      // formats (decoded by the real ImageIO path; 1-in-4 JPEGs also carry
-      // a planted EXIF orientation the decode must honor); gif rows are
+      // formats (decoded by the real ImageIO path; 7-in-8 JPEGs also carry
+      // a planted EXIF orientation >1 the decode must honor); gif rows are
       // REAL animated GIFs whose frames/delays the real frame sampler
       // recovers; audio/video stay hash-derived opaque blobs for the stub
       // codecs (no ffmpeg here)

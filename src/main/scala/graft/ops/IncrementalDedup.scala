@@ -138,20 +138,35 @@ object IncrementalDedup {
     * the parquet store at `dir` using the BUCKETED band table as the
     * history band relation (no per-batch band recompute from history
     * `sigs`, no history-side shuffle into the band join), then append the
-    * accepted delta to both. The first batch bootstraps the table. */
+    * accepted delta to both. The first batch bootstraps the table — from
+    * the FULL store history plus the delta, so a store dir populated
+    * before the band table existed (e.g. via [[dedupeAndCommit]]) seeds a
+    * complete table rather than one whose older history is invisible to
+    * every later band join.
+    *
+    * The two appends are still not one atomic commit, but their ORDER is
+    * load-bearing: bands are written FIRST. A crash between them leaves
+    * orphan band rows (harmless — the verify join drops pairs with no
+    * `sigs` row, and the retried batch's re-append only adds duplicates
+    * that `dropDuplicates(id_a, id_b)` absorbs), never store documents
+    * with missing bands, which would silently accept their near-
+    * duplicates forever. */
   def dedupeAndCommitIndexed(batch: DataFrame, idCol: String, textCol: String,
                              dir: String, bandTable: String,
                              shingleN: Int = 3, minhashK: Int = 64, bandSize: Int = 4,
                              jaccardThreshold: Double = 0.8, estFloor: Double = 0.55,
                              maxBucket: Int = 64, numBuckets: Int = 16): DataFrame = {
     val spark = batch.sparkSession
-    val histBands =
-      if (spark.catalog.tableExists(bandTable)) spark.table(bandTable) else null
-    val r = dedupeBatch(batch, idCol, textCol, openStore(spark, dir),
+    val tableExists = spark.catalog.tableExists(bandTable)
+    val hist = openStore(spark, dir)
+    val r = dedupeBatch(batch, idCol, textCol, hist,
       shingleN, minhashK, bandSize, jaccardThreshold, estFloor, maxBucket,
-      histBands = histBands)
+      histBands = if (tableExists) spark.table(bandTable) else null)
+    val bandSigs =
+      if (tableExists) r.delta.sigs
+      else hist.sigs.unionByName(r.delta.sigs)
+    appendBandsToTable(bandSigs, bandTable, bandSize, numBuckets)
     appendToStore(dir, r.delta)
-    appendBandsToTable(r.delta.sigs, bandTable, bandSize, numBuckets)
     r.ledger
   }
 

@@ -135,12 +135,21 @@ object Frontier {
 
   /** Shard count so each shard's optimally-sized filter fits
     * [[MaxBloomBits]]: k = ceil(rawBits / MaxBloomBits). 1 below ~3×10^8
-    * items at 3% fpp; a 10^12-URL seen-set gets ~3.4k shards of 256 MiB
-    * each (built distributed, collected one sketch at a time — the driver
-    * never holds more than the k sketches it broadcasts). */
+    * items at 3% fpp. */
   def bloomShards(expectedSeen: Long, fpp: Double): Int =
     math.max(1L, (rawNumBits(expectedSeen, fpp) + MaxBloomBits - 1) / MaxBloomBits)
       .toInt
+
+  /** Ceiling on how many sharded sketches ride the plan. Every sketch is a
+    * foldable LITERAL (Spark's `bloom_might_contain` requires it), so all k
+    * live in driver heap at once and ship to every task in the serialized
+    * plan — 8 × 256 MiB = 2 GiB is the honest limit of the literal-probe
+    * design, covering ~2.4×10^9 seen URLs at 3% fpp. Past it the prefilter
+    * is INFEASIBLE in this form (a 10^12-URL seen-set would need ~3.4k
+    * sketches ≈ 870 GB of plan literals), so [[unseenByBloom]] falls back
+    * to the exact anti-join — the bucketed-seen-set scale path
+    * `runResumable` documents — rather than pretend. */
+  val MaxBloomShards: Int = 8
 
   /** `candidates LEFT ANTI seen` on `urlCol` — same OUTPUT as the plain
     * anti-join (bit-for-bit; Bloom filters have no false negatives), but
@@ -174,7 +183,12 @@ object Frontier {
     * grouped pass over the seen-set (each group's aggregate is still
     * map-side combinable), candidates probe only their own shard's filter
     * via a CASE chain of foldable sketch literals — one probe per row, and
-    * per-shard sizing keeps the requested fpp at any cardinality. */
+    * per-shard sizing keeps the requested fpp up to
+    * [[MaxBloomShards]]-worth of cardinality. Past THAT (k >
+    * [[MaxBloomShards]], ~2.4×10^9 items at 3% fpp) the literal-sketch
+    * design itself stops scaling — see [[MaxBloomShards]] — and this
+    * method RETURNS THE PLAIN EXACT ANTI-JOIN (same output, no
+    * prefilter) instead of building an infeasible plan. */
   def unseenByBloom(
       candidates: DataFrame,
       seen: DataFrame,
@@ -185,6 +199,9 @@ object Frontier {
     val spark = candidates.sparkSession
     graft.plans.GraftExtensions.registerNative(spark)
     val k = if (shards > 0) shards else bloomShards(expectedSeen, fpp)
+    if (k > MaxBloomShards)
+      return candidates.join(seen.select(col(urlCol).as("__seen_url")),
+        col(urlCol) === col("__seen_url"), "left_anti")
     val perShardExpected = math.max(1L, (expectedSeen + k - 1) / k)
     val numBits = optimalNumBits(perShardExpected, fpp)
     // BloomFilterAggregate SILENTLY Math.min-caps its arguments against

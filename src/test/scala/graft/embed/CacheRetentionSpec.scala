@@ -102,6 +102,25 @@ class CacheRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.getAs[Long]("expires_at") == 6000L)
   }
 
+  test("absorb: within-batch duplicate keys collapse to ONE row (a Map " +
+       "cannot hold two entries per key)") {
+    val s = spark; import s.implicits._
+    val newRows = Seq(
+      ("dup", Array(0.7f), 1, 4),
+      ("dup", Array(0.7f), 1, 4), // same content → same cache_key
+      ("solo", Array(0.2f), 1, 2))
+      .toDF("cache_key", "vector", "n_chunks", "tokens")
+    val out = CacheRetention.absorb(table(), newRows,
+      hitKeys = Seq.empty[String].toDF("cache_key"),
+      nowMs = 100L, ttlMs = 5000L, maxEntries = 10L)
+    assert(out.count() == 2L)
+    assert(out.filter($"cache_key" === "dup").count() == 1L)
+    // downstream lookup joins must not fan out
+    val looked = CacheRetention.asLookup(out)
+      .join(Seq("dup").toDF("cache_key"), Seq("cache_key"))
+    assert(looked.count() == 1L)
+  }
+
   test("enforceMaxEntries under size: untouched; tie-break deterministic") {
     val small = table(entry("a", 0, 9000, 5), entry("b", 1, 9000, 5))
     assert(keys(CacheRetention.enforceMaxEntries(small, 5L)) == Set("a", "b"))

@@ -156,4 +156,34 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         _.bucketColumnNames == Seq("band_idx", "band_key")))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("indexed path bootstraps the band table from a PRE-EXISTING store's " +
+       "FULL history, not just the first delta") {
+    val s = spark; import s.implicits._
+    val dir = tempDir()
+    val tbl = "graft_spec_boot_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      // history populated BEFORE the band table exists (plain commit path)
+      IncrementalDedup.dedupeAndCommit(
+        s.createDataset(graft.pipeline.IncDedupFixture.batch1)
+          .toDF("doc", "body"), "doc", "body", dir)
+      // first indexed batch: unrelated doc — creates the table. A delta-only
+      // bootstrap would leave h1/h2 invisible to every later band join.
+      val unrelated = Seq(graft.pipeline.IncDedupFixture.batch2(5)) // x6
+      IncrementalDedup.dedupeAndCommitIndexed(
+        unrelated.toDF("doc", "body"), "doc", "body", dir, tbl)
+      val ids = spark.table(tbl).select("id").distinct().as[String].collect().toSet
+      assert(Set("h1", "h2", "x6").subsetOf(ids), s"bootstrap missing history: $ids")
+      // second indexed batch: a NEAR-dup of pre-table history doc h2 — it
+      // must still be caught through the table-backed band join
+      val nearH2 = Seq("z2" -> graft.pipeline.IncDedupFixture.batch2(1)._2)
+      val led = IncrementalDedup.dedupeAndCommitIndexed(
+        nearH2.toDF("doc", "body"), "doc", "body", dir, tbl)
+      val row = led.collect().head
+      assert(!row.getAs[Boolean]("kept") &&
+        row.getAs[String]("stage") == "near_dup_hist" &&
+        row.getAs[String]("reason") == "h2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -196,6 +196,22 @@ class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Frontier.rawNumBits(perShardAtKminus1, 0.03) > Frontier.MaxBloomBits)
   }
 
+  test("past MaxBloomShards the prefilter honestly falls back to the exact anti-join") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftExtensions.registerNative(spark)
+    val cands = urls("cap", 20)
+    val seen = (0 until 8).map(i => s"https://cap.example.com/p$i").toDF("url")
+    val out = Frontier.unseenByBloom(cands, seen, "url",
+      expectedSeen = 8, shards = Frontier.MaxBloomShards + 1)
+    // same rows as the exact path…
+    val exact = cands.join(seen.select(col("url").as("u")),
+        col("url") === col("u"), "left_anti")
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(out.select("url").collect().map(_.getString(0)).sorted.toSeq == exact)
+    // …and NO sketch literals in the plan (the infeasible-at-scale shape)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"))
+  }
+
   test("bloom_filter_agg / bloom_might_contain are reachable from SQL") {
     graft.plans.GraftExtensions.registerNative(spark)
     val s = spark; import s.implicits._
