@@ -288,11 +288,346 @@ object DerivedOracles {
       "ORDER BY doc_id, chunk_idx"
   }
 
+  // ---- fingerprint_pages: Karp–Rabin winnowing replay in u64 SQL ----
+
+  private val U64 = BigInt(1) << 64
+
+  /** `(a*b) mod 2^64` over nonnegative HUGEINT expressions, staying inside
+    * HUGEINT range (a plain u64×u64 product can reach 2^128 and overflow
+    * int128): split a into 32-bit halves — a·b ≡ al·b + ((ah·bl mod 2^32)
+    * · 2^32) (mod 2^64), every intermediate < 2^97. All power-of-two
+    * mod/div run as mask/shift: DuckDB executes `%`/`//` on int128 as real
+    * division, which measured ~17× slower than `&`/`>>` over the same
+    * 9.7M-row mix chain. */
+  private def mulmod(a: String, b: String): String =
+    s"(((($a) & 4294967295) * ($b) + " +
+      s"((((($a) >> 32) * (($b) & 4294967295)) & 4294967295) << 32)) " +
+      "& 18446744073709551615)"
+
+  /** The whole [[graft.ops.TextOps.fingerprint]] algorithm replayed by
+    * DuckDB over the normalized-extraction dump — same UTF-16 code units
+    * (BMP codepoints pass through; astral ones expand to surrogate
+    * pairs), same base-1000003 rolling window hash as a weighted 16-term
+    * sum (the rolling form's loop invariant, so no sequential recursion
+    * is needed), same mix64 finalizer, same signed sort → distinct →
+    * take-8 sampling, and the same fnv64 fallback for sub-window texts
+    * (that one IS sequential — xor doesn't distribute over the multiply —
+    * so it replays as a recursive CTE; sub-window docs are rare).
+    * All 64-bit wraparound arithmetic runs on HUGEINT mod 2^64 via
+    * [[mulmod]]; xor/shift-right work directly on nonnegative HUGEINTs. */
+  def fingerprintPages(outDir: String): String = {
+    val B = 1000003L
+    val pows = Iterator.iterate(BigInt(1))(p => (p * B) % U64).take(16).toSeq
+    val powsVals = pows.zipWithIndex
+      .map { case (p, j) => s"($j, CAST('$p' AS HUGEINT))" }.mkString(", ")
+    // splitmix64 finalizer constants + fnv64 basis/prime, as u64 decimals
+    val C0 = "11400714819323198485" // 0x9e3779b97f4a7c15
+    val C1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+    val C2 = "10723151780598845931" // 0x94d049bb133111eb
+    val FnvBasis = "14695981039346656037" // 0xcbf29ce484222325
+    val FnvPrime = "1099511628211"        // 0x100000001b3
+    val toSigned = (u: String) =>
+      s"CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 ELSE $u END"
+    s"""WITH RECURSIVE
+src AS (SELECT url, coalesce(normalized_text, '') AS t FROM ${dump(outDir, "extract_normalized")}),
+cps AS (
+  SELECT url,
+    unnest(generate_series(1, len(cl))) AS i,
+    unnest(list_transform(cl, x -> unicode(x))) AS cp
+  FROM (SELECT url, regexp_extract_all(t, '(?s).') AS cl FROM src)
+),
+units AS (
+  SELECT url, i,
+    CASE WHEN cp < 65536 THEN [CAST(cp AS HUGEINT)]
+         ELSE [CAST(55296 + ((cp - 65536) >> 10) AS HUGEINT),
+               CAST(56320 + ((cp - 65536) & 1023) AS HUGEINT)] END AS us
+  FROM cps
+),
+flat AS (
+  SELECT url,
+    row_number() OVER (PARTITION BY url ORDER BY i, j) AS p,
+    us[CAST(j AS INT)] AS c
+  FROM units, unnest(generate_series(1, len(us))) AS g2(j)
+),
+lens AS (SELECT s.url, coalesce(max(f.p), 0) AS n
+         FROM src s LEFT JOIN flat f USING (url) GROUP BY s.url),
+pows(j, bp) AS (VALUES $powsVals),
+terms AS (
+  SELECT f.url, f.p - 15 + pw.j AS w,
+    ${mulmod("f.c", "pw.bp")} AS term
+  FROM flat f CROSS JOIN pows pw
+),
+wh AS (
+  SELECT t.url, t.w, sum(t.term) & 18446744073709551615 AS h
+  FROM terms t JOIN lens l ON t.url = l.url
+  WHERE t.w >= 1 AND t.w <= l.n - 15 AND l.n >= 16
+  GROUP BY t.url, t.w
+),
+s1 AS (SELECT url, (h + $C0) & 18446744073709551615 AS z FROM wh),
+s2 AS (SELECT url, ${mulmod("xor(z, z >> 30)", C1)} AS z FROM s1),
+s3 AS (SELECT url, ${mulmod("xor(z, z >> 27)", C2)} AS z FROM s2),
+s4 AS (SELECT url, xor(z, z >> 31) AS mu FROM s3),
+mixed AS (SELECT url, CAST(${toSigned("mu")} AS BIGINT) AS m FROM s4),
+longdocs AS (
+  SELECT url, array_to_string((list(DISTINCT m ORDER BY m))[1:8], ',') AS fingerprint
+  FROM mixed GROUP BY url
+),
+shorts AS (SELECT url, n FROM lens WHERE n < 16),
+fnv AS (
+  SELECT url, CAST(0 AS HUGEINT) AS p, CAST($FnvBasis AS HUGEINT) AS h, n
+  FROM shorts
+  UNION ALL
+  SELECT r.url, r.p + 1,
+    ${mulmod("xor(r.h, f.c)", FnvPrime)} AS h, r.n
+  FROM fnv r JOIN flat f ON f.url = r.url AND f.p = r.p + 1
+  WHERE r.p < r.n
+),
+shortfp AS (
+  SELECT url, CAST(CAST(${toSigned("h")} AS BIGINT) AS VARCHAR) AS fingerprint
+  FROM fnv WHERE p = n
+)
+SELECT url, fingerprint FROM longdocs
+UNION ALL
+SELECT url, fingerprint FROM shortfp
+ORDER BY url"""
+  }
+
+  // ---- LSH near-dup chain: full cross-engine replay from the text ----
+
+  /** splitmix64 finalizer as a staged CTE chain — `name` ends up a CTE with
+    * columns `carry` + `mix` = mix64(`zexpr` over `prev`). Staged because a
+    * nested textual expansion triples per [[mulmod]] level (3^3 copies of
+    * the base expression), which DuckDB does not always CSE away. */
+  private def mixStages(name: String, prev: String, carry: Seq[String],
+                        zexpr: String): String = {
+    val C0 = "11400714819323198485"
+    val C1 = "13787848793156543929"
+    val C2 = "10723151780598845931"
+    val c = carry.mkString(", ")
+    s"""${name}_a AS (SELECT $c, (($zexpr) + $C0) & 18446744073709551615 AS z FROM $prev),
+${name}_b AS (SELECT $c, xor(z, z >> 30) AS x FROM ${name}_a),
+${name}_c AS (SELECT $c, ${mulmod("x", C1)} AS z FROM ${name}_b),
+${name}_d AS (SELECT $c, xor(z, z >> 27) AS x FROM ${name}_c),
+${name}_e AS (SELECT $c, ${mulmod("x", C2)} AS z FROM ${name}_d),
+$name AS (SELECT $c, xor(z, z >> 31) AS mix FROM ${name}_e)"""
+  }
+
+  private def toSignedBigint(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808 THEN ($u) - 18446744073709551616 ELSE ($u) END AS BIGINT)"
+
+  /** Shared CTE text for the minhash/jaccard replays: normalized text →
+    * lowercase → `[^\p{L}\p{N}]+` word split → 3-gram shingles → fnv64 per
+    * DISTINCT shingle (a vectorized `list_reduce` fold over UTF-16 units —
+    * FNV-1a is sequential by construction, but per-string, not per-corpus)
+    * → per-url shingle-hash set (`docsh`) → 64-slot minhash signature
+    * (seed_j = golden·(j+1), slot = SIGNED min of mix64(base ^ seed_j))
+    * as one list per url (`sigl`) → 16 band keys (4-slot mix chains) →
+    * ≤64-member buckets → candidate pairs (`pairs`) → slot-agreement
+    * estimate (`est`). Everything re-derives from the TEXT — the only
+    * thing shared with the Spark side is the published algorithm and its
+    * constants, so agreement checks the whole chain cross-engine. */
+  private def lshPrefix(outDir: String): String = {
+    val FnvBasis = "14695981039346656037"
+    val FnvPrime = "1099511628211"
+    val gold = BigInt("9e3779b97f4a7c15", 16)
+    val seedsVals = (0 until 64)
+      .map(j => s"($j, CAST('${(gold * (j + 1)) % U64}' AS HUGEINT))")
+      .mkString(", ")
+    s"""src AS (SELECT url, lower(coalesce(normalized_text, '')) AS t FROM ${dump(outDir, "extract_normalized")}),
+wl AS (SELECT url, list_filter(regexp_split_to_array(t, '[^\\p{L}\\p{N}]+'), x -> x <> '') AS ws FROM src),
+shl AS (
+  SELECT url, CASE
+    WHEN len(ws) = 0 THEN []
+    WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+    ELSE list_transform(generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS sl FROM wl
+),
+shex AS (SELECT DISTINCT url, unnest(sl) AS s FROM shl),
+strs AS (SELECT DISTINCT s FROM shex),
+fnvs AS (
+  SELECT s, list_reduce(
+    [CAST($FnvBasis AS HUGEINT)] ||
+    flatten(list_transform(regexp_extract_all(s, '(?s).'),
+      ch -> CASE WHEN unicode(ch) < 65536 THEN [CAST(unicode(ch) AS HUGEINT)]
+                 ELSE [CAST(55296 + ((unicode(ch) - 65536) >> 10) AS HUGEINT),
+                       CAST(56320 + ((unicode(ch) - 65536) & 1023) AS HUGEINT)] END)),
+    (h, c) -> ${mulmod("xor(h, c)", FnvPrime)}) AS base
+  FROM strs
+),
+docsh AS (SELECT DISTINCT x.url, f.base AS sh FROM shex x JOIN fnvs f ON f.s = x.s),
+seeds(j, sd) AS (VALUES $seedsVals),
+mh0 AS (SELECT d.url, sd.j, xor(d.sh, sd.sd) AS z0 FROM docsh d CROSS JOIN seeds sd),
+${mixStages("mh", "mh0", Seq("url", "j"), "z0")},
+minsig AS (SELECT url, j, min(${toSignedBigint("mix")}) AS slot FROM mh GROUP BY url, j),
+sigl AS (
+  SELECT s.url,
+    coalesce(m.sl, list_transform(generate_series(1, 64), i -> 9223372036854775807)) AS sl
+  FROM (SELECT url FROM src) s
+  LEFT JOIN (SELECT url, list(slot ORDER BY j) AS sl FROM minsig GROUP BY url) m
+    ON m.url = s.url
+),
+slu AS (
+  SELECT url, list_transform(sl, v -> CAST(CASE WHEN v < 0
+      THEN v + 18446744073709551616 ELSE v END AS HUGEINT)) AS su
+  FROM sigl
+),
+bexp AS (
+  SELECT url, CAST(b AS INT) AS b, su
+  FROM slu, unnest(generate_series(0, 15)) AS g(b)
+),
+bz1 AS (SELECT url, b, su, xor(xor(CAST($FnvBasis AS HUGEINT), CAST(b AS HUGEINT)), su[4*b + 1]) AS z0 FROM bexp),
+${mixStages("bm1", "bz1", Seq("url", "b", "su"), "z0")},
+bz2 AS (SELECT url, b, su, xor(mix, su[4*b + 2]) AS z0 FROM bm1),
+${mixStages("bm2", "bz2", Seq("url", "b", "su"), "z0")},
+bz3 AS (SELECT url, b, su, xor(mix, su[4*b + 3]) AS z0 FROM bm2),
+${mixStages("bm3", "bz3", Seq("url", "b", "su"), "z0")},
+bz4 AS (SELECT url, b, su, xor(mix, su[4*b + 4]) AS z0 FROM bm3),
+${mixStages("bm4", "bz4", Seq("url", "b"), "z0")},
+bands AS (SELECT url, b AS band_idx, mix AS band_key FROM bm4),
+buckets AS (
+  SELECT band_idx, band_key, list(url) AS us
+  FROM bands GROUP BY band_idx, band_key HAVING count(*) <= 64
+),
+pairs AS (
+  SELECT DISTINCT t1.a AS url_a, t2.b AS url_b
+  FROM buckets, unnest(us) AS t1(a), unnest(us) AS t2(b)
+  WHERE t1.a < t2.b
+),
+est AS (
+  SELECT p.url_a, p.url_b,
+    floor((list_sum(list_transform(generate_series(1, 64),
+      i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) / 64.0) * 100000 + 0.5) / 100000.0 AS est_jaccard
+  FROM pairs p
+  JOIN sigl sa ON sa.url = p.url_a
+  JOIN sigl sb ON sb.url = p.url_b
+)"""
+  }
+
+  /** Banded-minhash candidate pairs with signature-agreement estimate,
+    * re-derived from the text: the `dedup_minhash_pages` oracle. */
+  def minhashDedupPages(outDir: String): String =
+    "WITH " + lshPrefix(outDir) +
+      " SELECT url_a, url_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY url_a, url_b"
+
+  /** Estimate-prefiltered exact shingle-set Jaccard (intersection over the
+    * per-url distinct fnv64 hash sets, `list_intersect`): the
+    * `dedup_jaccard_pages` oracle. */
+  def jaccardDedupPages(outDir: String): String =
+    "WITH " + lshPrefix(outDir) + """,
+docshl AS (SELECT url, list(sh) AS hs FROM docsh GROUP BY url),
+jac AS (
+  SELECT e.url_a, e.url_b,
+    CASE WHEN coalesce(len(ha.hs), 0) + coalesce(len(hb.hs), 0) = 0 THEN 1.0
+         ELSE floor((CAST(len(list_intersect(coalesce(ha.hs, []), coalesce(hb.hs, []))) AS DOUBLE) /
+              (coalesce(len(ha.hs), 0) + coalesce(len(hb.hs), 0)
+               - len(list_intersect(coalesce(ha.hs, []), coalesce(hb.hs, []))))) * 100000 + 0.5) / 100000.0
+    END AS jaccard
+  FROM est e
+  LEFT JOIN docshl ha ON ha.url = e.url_a
+  LEFT JOIN docshl hb ON hb.url = e.url_b
+  WHERE e.est_jaccard >= 0.55
+)
+SELECT url_a, url_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY url_a, url_b"""
+
+  /** The whole simhash near-dup chain replayed from the text: per-word
+    * mix64(fnv64(w)) features over word INSTANCES (duplicates vote —
+    * matching [[graft.ops.TextOps.simHash]]'s foreach), 64 per-bit vote
+    * sums in ONE aggregation pass (bit b set iff 2·setcount > nWords, no
+    * 64-way row expansion), wordless docs hash to 0, then the same
+    * 16-bit-chunk LSH → ≤64 bucket cap → candidate pairs → hamming ≤ 3
+    * verify as `dedup_simhash_pages`. */
+  def simhashDedupPages(outDir: String): String = {
+    val FnvBasis = "14695981039346656037"
+    val FnvPrime = "1099511628211"
+    val bitSums = (0 until 64)
+      .map(b => s"sum(CAST((wh.h >> $b) & 1 AS BIGINT)) AS s$b")
+      .mkString(",\n    ")
+    val simTerms = (0 until 64)
+      .map(b => s"CASE WHEN 2*s$b > n THEN CAST('${BigInt(1) << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END")
+      .mkString(" + ")
+    s"""WITH
+src AS (SELECT url, lower(coalesce(normalized_text, '')) AS t FROM ${dump(outDir, "extract_normalized")}),
+wi AS (
+  SELECT url, unnest(list_filter(regexp_split_to_array(t, '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS w
+  FROM src
+),
+wstr AS (SELECT DISTINCT w FROM wi),
+wfnv AS (
+  SELECT w, list_reduce(
+    [CAST($FnvBasis AS HUGEINT)] ||
+    flatten(list_transform(regexp_extract_all(w, '(?s).'),
+      ch -> CASE WHEN unicode(ch) < 65536 THEN [CAST(unicode(ch) AS HUGEINT)]
+                 ELSE [CAST(55296 + ((unicode(ch) - 65536) >> 10) AS HUGEINT),
+                       CAST(56320 + ((unicode(ch) - 65536) & 1023) AS HUGEINT)] END)),
+    (h, c) -> ${mulmod("xor(h, c)", FnvPrime)}) AS z0
+  FROM wstr
+),
+${mixStages("wmix", "wfnv", Seq("w"), "z0")},
+wh AS (SELECT i.url, m.mix AS h FROM wi i JOIN wmix m ON m.w = i.w),
+votes AS (
+  SELECT url, count(*) AS n,
+    $bitSums
+  FROM wh GROUP BY url
+),
+sim AS (
+  SELECT s.url, coalesce(v.sh, CAST(0 AS HUGEINT)) AS sh
+  FROM src s LEFT JOIN (SELECT url, ($simTerms) AS sh FROM votes) v ON v.url = s.url
+),
+chunks AS (
+  SELECT url, CAST(i AS INT) AS chunk_idx,
+    CAST((sh >> (16 * i)) & 65535 AS BIGINT) AS chunk_key, sh
+  FROM sim, unnest(generate_series(0, 3)) AS g(i)
+),
+buckets AS (
+  SELECT chunk_idx, chunk_key, list(url) AS us
+  FROM chunks GROUP BY chunk_idx, chunk_key HAVING count(*) <= 64
+),
+pairs AS (
+  SELECT DISTINCT t1.a AS url_a, t2.b AS url_b
+  FROM buckets, unnest(us) AS t1(a), unnest(us) AS t2(b)
+  WHERE t1.a < t2.b
+),
+ham AS (
+  SELECT p.url_a, p.url_b,
+    bit_count(xor(${toSignedBigint("sa.sh")}, ${toSignedBigint("sb.sh")})) AS hamming
+  FROM pairs p
+  JOIN sim sa ON sa.url = p.url_a
+  JOIN sim sb ON sb.url = p.url_b
+)
+SELECT url_a, url_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3 ORDER BY url_a, url_b"""
+  }
+
+  /** Connected-component survivor selection replayed over the VERIFIED
+    * pair dump — LAYERED, not circular: the `dedup_jaccard_pages` rows it
+    * reads are themselves independently re-derived from the text by
+    * [[jaccardDedupPages]], and this oracle independently re-runs the
+    * transitive closure + min-label + survivor logic over them (an exact
+    * recursive closure, which the tiny verified-pair relation makes
+    * cheap — the Spark side's bounded pointer-jumping converges to the
+    * same fixpoint on any real cluster diameter). */
+  def survivorsDedupPages(outDir: String): String =
+    s"""WITH RECURSIVE
+ver AS (SELECT url_a, url_b FROM ${dump(outDir, "dedup_jaccard_pages")}),
+edges AS (SELECT url_a AS a, url_b AS b FROM ver UNION SELECT url_b, url_a FROM ver),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+)
+SELECT a AS url, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS is_survivor
+FROM reach GROUP BY a ORDER BY url"""
+
   def all(outDir: String): Map[String, String] = Map(
     "dedup_exact_pages" -> dedupExactPages(outDir),
     "para_dedup_pages" -> paraDedupPages(outDir),
     "quality_pages" -> qualityPages(outDir),
     "langid_pages" -> langidPages(outDir),
     "repetition_pages" -> repetitionPages(outDir),
-    "enhance_pages" -> enhancePages(outDir))
+    "enhance_pages" -> enhancePages(outDir),
+    "fingerprint_pages" -> fingerprintPages(outDir),
+    "dedup_minhash_pages" -> minhashDedupPages(outDir),
+    "dedup_jaccard_pages" -> jaccardDedupPages(outDir),
+    "dedup_survivors_pages" -> survivorsDedupPages(outDir),
+    "dedup_simhash_pages" -> simhashDedupPages(outDir))
 }
