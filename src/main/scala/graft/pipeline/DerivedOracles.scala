@@ -117,7 +117,13 @@ object DerivedOracles {
     * positions → summed word lengths, no double count), line/paragraph
     * excess-occurrence stats, symbol counts, and the full default-threshold
     * Gopher verdict with reason codes in rule order. */
-  def repetitionPages(outDir: String): String = {
+  /** CTE chain replaying [[graft.ops.RepetitionOps.profile]] +
+    * [[graft.ops.RepetitionOps.gopherFilter]] over a `(url, t)` relation:
+    * emits `base AS ($baseSelect)` through `v(url, …signals…, reasons)`
+    * where `reasons` is the verdict's `mkString("+")` (empty = keep).
+    * Shared by the standalone `repetition_pages` oracle and the quality
+    * stage of the `curation_pages` replay. */
+  private def profileCtes(baseSelect: String): String = {
     val th = graft.ops.RepetitionOps.Thresholds()
     val stops = sqlStringList(graft.ops.RepetitionOps.StopWords.toSeq.sorted)
 
@@ -165,7 +171,7 @@ object DerivedOracles {
         s"CASE WHEN ${frac(s"dup$n", "word_chars")} > ${th.maxDupNCharFrac(n - 5)} THEN 'dup_${n}gram' END"
       }
 
-    s"WITH base AS (SELECT url, normalized_text AS t FROM ${dump(outDir, "extract_normalized")}), " +
+    s"base AS ($baseSelect), " +
       "w AS (SELECT url, t, CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[]) " +
       "ELSE (regexp_split_to_array(trim(t), '\\s+'))[1:200000] END AS ws FROM base), " +
       "wc AS (SELECT url, unnest(ws) AS word FROM w), " +
@@ -202,11 +208,15 @@ object DerivedOracles {
       (2 to 4).map(n => s"LEFT JOIN t$n USING (url) ").mkString +
       (5 to 10).map(n => s"LEFT JOIN d$n USING (url) ").mkString +
       "LEFT JOIN la USING (url) LEFT JOIN lb USING (url) LEFT JOIN pa USING (url) JOIN sy USING (url)), " +
-      s"v AS (SELECT *, concat_ws('+', ${reasonCases.mkString(", ")}) AS reasons FROM m) " +
-      "SELECT url, CAST(n_words AS BIGINT) AS n_words, CAST(dup_lines AS BIGINT) AS dup_lines, " +
+      s"v AS (SELECT *, concat_ws('+', ${reasonCases.mkString(", ")}) AS reasons FROM m)"
+  }
+
+  def repetitionPages(outDir: String): String =
+    "WITH " +
+      profileCtes(s"SELECT url, normalized_text AS t FROM ${dump(outDir, "extract_normalized")}") +
+      " SELECT url, CAST(n_words AS BIGINT) AS n_words, CAST(dup_lines AS BIGINT) AS dup_lines, " +
       "CAST(top2_count AS BIGINT) AS top2_count, CAST(dup5 AS BIGINT) AS dup5_chars, " +
       "reasons = '' AS keep, reasons FROM v ORDER BY url"
-  }
 
   /** Enhancer.enhance over the stub provider replayed over the content
     * dump: excerpt-wins content selection, first-sentence summary,
@@ -426,15 +436,54 @@ $name AS (SELECT $c, xor(z, z >> 31) AS mix FROM ${name}_e)"""
     * estimate (`est`). Everything re-derives from the TEXT — the only
     * thing shared with the Spark side is the published algorithm and its
     * constants, so agreement checks the whole chain cross-engine. */
-  private def lshPrefix(outDir: String): String = {
+  private def lshPrefix(outDir: String): String =
+    s"src AS (SELECT url, coalesce(normalized_text, '') AS t FROM ${dump(outDir, "extract_normalized")}),\n" +
+      lshCore(includeEmptyDocs = true, estRound = true)
+
+  /** CTE chain replaying the shingle → minhash → band → candidate-pair →
+    * estimate front half over a CTE `src`(url, t). The lowercase happens
+    * HERE (in `wl`), mirroring `TextOps.shingles`' own
+    * `toLowerCase(Locale.ROOT)` — callers pass raw text.
+    *
+    * @param includeEmptyDocs SparkEntry's `candidatesFrom` bands EVERY doc
+    *   (empty shingle sets share the all-sentinel signature and pair with
+    *   each other); [[graft.ops.DedupOps.explodeBands]] EXCLUDES them.
+    * @param estRound whether the estimate is 5-decimal rounded
+    *   (`candidatesFrom`) or raw (`DedupOps.verifyPairs`).
+    * @param materialized mark the multiply-referenced CTEs (docsh, sigl,
+    *   est) MATERIALIZED. DuckDB inlines plain CTEs, so in a DEEP
+    *   composition (the curation replay) every reference re-executes the
+    *   whole upstream chain — measured 281 s vs 9 s at sf0.001. The
+    *   shallow standalone oracles stay un-materialized (their re-execution
+    *   is bounded and the optimizer sees through plain CTEs better). */
+  private def lshCore(includeEmptyDocs: Boolean, estRound: Boolean,
+                      materialized: Boolean = false): String = {
+    val mat = if (materialized) "MATERIALIZED " else ""
     val FnvBasis = "14695981039346656037"
     val FnvPrime = "1099511628211"
     val gold = BigInt("9e3779b97f4a7c15", 16)
     val seedsVals = (0 until 64)
       .map(j => s"($j, CAST('${(gold * (j + 1)) % U64}' AS HUGEINT))")
       .mkString(", ")
-    s"""src AS (SELECT url, lower(coalesce(normalized_text, '')) AS t FROM ${dump(outDir, "extract_normalized")}),
-wl AS (SELECT url, list_filter(regexp_split_to_array(t, '[^\\p{L}\\p{N}]+'), x -> x <> '') AS ws FROM src),
+    val siglCte =
+      if (includeEmptyDocs)
+        s"""sigl AS $mat(
+  SELECT s.url,
+    coalesce(m.sl, list_transform(generate_series(1, 64), i -> 9223372036854775807)) AS sl
+  FROM (SELECT url FROM src) s
+  LEFT JOIN (SELECT url, list(slot ORDER BY j) AS sl FROM minsig GROUP BY url) m
+    ON m.url = s.url
+)"""
+      else
+        s"sigl AS $mat(SELECT url, list(slot ORDER BY j) AS sl FROM minsig GROUP BY url)"
+    val estExpr =
+      if (estRound)
+        """floor((list_sum(list_transform(generate_series(1, 64),
+      i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) / 64.0) * 100000 + 0.5) / 100000.0"""
+      else
+        """list_sum(list_transform(generate_series(1, 64),
+      i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) / 64.0"""
+    s"""wl AS (SELECT url, list_filter(regexp_split_to_array(lower(t), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS ws FROM src),
 shl AS (
   SELECT url, CASE
     WHEN len(ws) = 0 THEN []
@@ -455,18 +504,12 @@ fnvs AS (
     (h, c) -> ${mulmod("xor(h, c)", FnvPrime)}) AS base
   FROM strs
 ),
-docsh AS (SELECT DISTINCT x.url, f.base AS sh FROM shex x JOIN fnvs f ON f.s = x.s),
+docsh AS ${mat}(SELECT DISTINCT x.url, f.base AS sh FROM shex x JOIN fnvs f ON f.s = x.s),
 seeds(j, sd) AS (VALUES $seedsVals),
 mh0 AS (SELECT d.url, sd.j, xor(d.sh, sd.sd) AS z0 FROM docsh d CROSS JOIN seeds sd),
 ${mixStages("mh", "mh0", Seq("url", "j"), "z0")},
 minsig AS (SELECT url, j, min(${toSignedBigint("mix")}) AS slot FROM mh GROUP BY url, j),
-sigl AS (
-  SELECT s.url,
-    coalesce(m.sl, list_transform(generate_series(1, 64), i -> 9223372036854775807)) AS sl
-  FROM (SELECT url FROM src) s
-  LEFT JOIN (SELECT url, list(slot ORDER BY j) AS sl FROM minsig GROUP BY url) m
-    ON m.url = s.url
-),
+$siglCte,
 slu AS (
   SELECT url, list_transform(sl, v -> CAST(CASE WHEN v < 0
       THEN v + 18446744073709551616 ELSE v END AS HUGEINT)) AS su
@@ -494,10 +537,9 @@ pairs AS (
   FROM buckets, unnest(us) AS t1(a), unnest(us) AS t2(b)
   WHERE t1.a < t2.b
 ),
-est AS (
+est AS $mat(
   SELECT p.url_a, p.url_b,
-    floor((list_sum(list_transform(generate_series(1, 64),
-      i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) / 64.0) * 100000 + 0.5) / 100000.0 AS est_jaccard
+    $estExpr AS est_jaccard
   FROM pairs p
   JOIN sigl sa ON sa.url = p.url_a
   JOIN sigl sb ON sb.url = p.url_b
@@ -618,6 +660,75 @@ reach AS (
 SELECT a AS url, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS is_survivor
 FROM reach GROUP BY a ORDER BY url"""
 
+  /** The ENTIRE [[graft.pipeline.Curate.curate]] ledger replayed from the
+    * extraction dump — all four stages composed in one statement, each
+    * stage the already-proven replay of its standalone oracle:
+    *
+    *  1. cross-document paragraph dedup (minDocFreq = 5, the `Config` the
+    *     query passes) — the [[paraDedupPages]] rebuild, kept text in
+    *     index order re-joined with `\n\n`;
+    *  2. Gopher quality verdict on the CLEANED text — [[profileCtes]],
+    *     reason string = the verdict's `mkString("+")`;
+    *  3. exact dedup by `substring(sha256(text), 1, 32)` with the minimum
+    *     id as keeper;
+    *  4. near-dup over the survivors — [[lshCore]] with
+    *     [[graft.ops.DedupOps]] semantics (empty-shingle docs emit no
+    *     bands; estimate and Jaccard UNROUNDED, `DedupOps.verifyPairs`),
+    *     then exact transitive closure + min-label.
+    *
+    * The drop relations are disjoint by construction (each stage filters
+    * the previous stage's survivors), so the final left join assigns at
+    * most one (stage, reason) per id — same as the Spark union. */
+  def curationPages(outDir: String): String =
+    s"""WITH RECURSIVE
+pdbase AS (SELECT url, coalesce(normalized_text, '') AS pt FROM ${dump(outDir, "extract_normalized")}),
+pdps AS (SELECT url, regexp_split_to_array(pt, '\\n{2,}') AS parr FROM pdbase),
+pdix AS (SELECT url, parr, unnest(generate_series(1, len(parr))) AS idx FROM pdps),
+pdsegs AS (SELECT url, idx, trim(parr[idx]) AS para FROM pdix WHERE trim(parr[idx]) <> ''),
+pdboiler AS (SELECT para FROM pdsegs GROUP BY para HAVING count(DISTINCT url) >= 5),
+pdmarked AS (SELECT s.url, s.idx, s.para, b.para IS NOT NULL AS dropped
+             FROM pdsegs s LEFT JOIN pdboiler b USING (para)),
+pdagg AS (SELECT url,
+            coalesce(string_agg(CASE WHEN NOT dropped THEN para END, chr(10) || chr(10) ORDER BY idx), '') AS txt,
+            sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS paras_removed
+          FROM pdmarked GROUP BY url),
+lsrc AS MATERIALIZED (SELECT b.url, coalesce(a.txt, '') AS t, coalesce(a.paras_removed, 0) AS paras_removed
+         FROM pdbase b LEFT JOIN pdagg a USING (url)),
+${profileCtes("SELECT url, t FROM lsrc")},
+q AS MATERIALIZED (SELECT l.url, l.t, v.reasons FROM lsrc l JOIN v USING (url)),
+hx AS (SELECT url, t, substring(sha256(t), 1, 32) AS hash FROM q WHERE reasons = ''),
+keepers AS (SELECT hash, min(url) AS keeper FROM hx GROUP BY hash),
+wk AS MATERIALIZED (SELECT h.url, h.t, k.keeper FROM hx h JOIN keepers k USING (hash)),
+src AS MATERIALIZED (SELECT url, t FROM wk WHERE url = keeper),
+${lshCore(includeEmptyDocs = false, estRound = false, materialized = true)},
+docshl AS (SELECT url, list(sh) AS hs FROM docsh GROUP BY url),
+cver AS MATERIALIZED (
+  SELECT e.url_a, e.url_b
+  FROM est e
+  JOIN docshl ha ON ha.url = e.url_a
+  JOIN docshl hb ON hb.url = e.url_b
+  WHERE e.est_jaccard >= 0.55
+    AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+        / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.8
+),
+cedges AS (SELECT url_a AS a, url_b AS b FROM cver UNION SELECT url_b, url_a FROM cver),
+creach AS (
+  SELECT a, b FROM cedges
+  UNION
+  SELECT r.a, e.b FROM creach r JOIN cedges e ON e.a = r.b
+),
+clabels AS MATERIALIZED (SELECT a AS url, least(a, min(b)) AS lbl FROM creach GROUP BY a),
+drops AS (
+  SELECT url, 'quality' AS stage, reasons AS reason FROM q WHERE reasons <> ''
+  UNION ALL
+  SELECT url, 'exact_dup' AS stage, keeper AS reason FROM wk WHERE url <> keeper
+  UNION ALL
+  SELECT url, 'near_dup' AS stage, lbl AS reason FROM clabels WHERE url <> lbl
+)
+SELECT l.url AS id, d.stage IS NULL AS kept, coalesce(d.stage, '') AS stage,
+  coalesce(d.reason, '') AS reason, CAST(l.paras_removed AS BIGINT) AS paras_removed
+FROM lsrc l LEFT JOIN drops d ON d.url = l.url ORDER BY id"""
+
   def all(outDir: String): Map[String, String] = Map(
     "dedup_exact_pages" -> dedupExactPages(outDir),
     "para_dedup_pages" -> paraDedupPages(outDir),
@@ -629,5 +740,6 @@ FROM reach GROUP BY a ORDER BY url"""
     "dedup_minhash_pages" -> minhashDedupPages(outDir),
     "dedup_jaccard_pages" -> jaccardDedupPages(outDir),
     "dedup_survivors_pages" -> survivorsDedupPages(outDir),
-    "dedup_simhash_pages" -> simhashDedupPages(outDir))
+    "dedup_simhash_pages" -> simhashDedupPages(outDir),
+    "curation_pages" -> curationPages(outDir))
 }
