@@ -1445,16 +1445,18 @@ object SparkEntry {
     // pairs only form inside a shared random-hyperplane bucket of one of 8
     // independent tables (no O(n²) cartesian; recall 1-(1-p^4)^8 per the
     // hyperplane-agreement probability p), exact cosine verify on candidates
-    // only, dropDuplicates across tables. Rows-only check, like embed_knn_lsh
-    // (bucketing is approximate by design).
+    // only, dropDuplicates across tables. Oracled: the approximate bucketing
+    // is still DETERMINISTIC (mix64 hyperplanes, index-order double fold),
+    // so DuckDB re-derives it exactly (DerivedOracles.dedupEmbedLsh).
     "dedup_embed_lsh" -> ((s, dir) => embedLshVerified(s, dir).orderBy("id_a", "id_b")),
 
     // ...and the embedding family's survivor composition, mirroring
     // dedup_survivors_pages: LSH-verified cosine pairs → connected
     // components → one survivor (minimum vec_id) per duplicate cluster.
-    // Rows-only like its pair source (LSH candidate generation is
-    // approximate by design); the CC operator itself is oracle-gated by
-    // doc_dedup_cluster and dedup_survivors_fixture.
+    // Oracled LAYERED over its pair source's dump (the pairs themselves
+    // are independently re-derived by DerivedOracles.dedupEmbedLsh); the
+    // CC operator is additionally gated by doc_dedup_cluster and
+    // dedup_survivors_fixture.
     "dedup_embed_survivors" -> ((s, dir) => {
       graft.ops.DedupOps.clusterRepresentatives(
           embedLshVerified(s, dir).select("id_a", "id_b"))
@@ -1490,8 +1492,9 @@ object SparkEntry {
 
     // multi-probe LSH ANN (Lv et al.): queries probe their own bucket plus
     // the 3 least-confident flipped-bit buckets — the recall of extra tables
-    // without re-indexing the corpus. Rows-only (approximate by design);
-    // recall ordering vs single-probe is pinned in AnnSpec.
+    // without re-indexing the corpus. Oracled (the probe order is the
+    // deterministic ascending (|projection|, bit) sort, replayed exactly);
+    // recall ordering vs single-probe is additionally pinned in AnnSpec.
     "embed_knn_multiprobe" -> ((s, dir) => {
       import s.implicits._
       val raw = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2002,6 +2005,14 @@ object SparkEntry {
        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos " +
        "FROM capped a JOIN capped b ON a.vec_id < b.vec_id) " +
        "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35 ORDER BY id_a, id_b"),
+
+    // The hyperplane-LSH family replayed from the embeddings table: the
+    // mix64-derived hyperplane components and the index-order projection
+    // fold are exact in IEEE double, so the bucketing — not just the
+    // cosine verify — is re-derived cross-engine (DerivedOracles scaladoc).
+    "dedup_embed_lsh" -> graft.pipeline.DerivedOracles.dedupEmbedLsh,
+    "embed_knn_lsh" -> graft.pipeline.DerivedOracles.embedKnnLsh,
+    "embed_knn_multiprobe" -> graft.pipeline.DerivedOracles.embedKnnMultiprobe,
 
     "llm_enhance" ->
       ("WITH u AS (SELECT doc_id, text, " +

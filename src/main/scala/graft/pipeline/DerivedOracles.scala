@@ -729,6 +729,151 @@ SELECT l.url AS id, d.stage IS NULL AS kept, coalesce(d.stage, '') AS stage,
   coalesce(d.reason, '') AS reason, CAST(l.paras_removed AS BIGINT) AS paras_removed
 FROM lsrc l LEFT JOIN drops d ON d.url = l.url ORDER BY id"""
 
+  // ---- embedding-LSH family: hyperplane replay in exact double math ----
+
+  /** CTE chain replaying [[graft.ops.VectorOps.hyperplaneProjection]] /
+    * `cosineLshBucket` over the `embeddings` table: the pseudo-random
+    * hyperplane components are mix64-derived (seed = `(t·1024+b) << 32 ^ i
+    * ^ 0x5deece66d`, component = `(h >>> 11)·2^-53·2 − 1` — every step
+    * exact in IEEE double), and the projection accumulates `v(i)·comp` in
+    * INDEX ORDER via an ordered `list_reduce` fold, so the doubles match
+    * the Scala loop bit-for-bit (a SQL `sum()` would not — FP addition is
+    * not associative). `adaptiveNBits` replays as
+    * `least(24, greatest(4, ceil(ln(n/target)/ln(2))))`. Emits
+    * `eb(vec_id, embedding)`, `proj(vec_id, t, b, s)` and
+    * `bkt(vec_id, t, cell)`. */
+  private def embLshCtes(targetBucket: Int, nTables: Int): String =
+    s"""eb AS (SELECT vec_id, embedding FROM embeddings),
+nb AS (SELECT CAST(least(24, greatest(4,
+         CAST(ceil(ln(greatest(1.0, count(*) / $targetBucket.0)) / ln(2.0)) AS INT))) AS INT) AS nbits,
+       max(len(embedding)) AS dim
+       FROM eb),
+hp0 AS (
+  SELECT t, b, i,
+    xor(xor(CAST((t * 1024 + b) AS HUGEINT) << 32, CAST(i AS HUGEINT)),
+        CAST(25214903917 AS HUGEINT)) AS z0
+  FROM nb,
+       unnest(generate_series(0, ${nTables - 1})) AS gt(t),
+       unnest(generate_series(0, nbits - 1)) AS gb(b),
+       unnest(generate_series(0, CAST(dim AS INT) - 1)) AS gi(i)
+),
+${mixStages("hp", "hp0", Seq("t", "b", "i"), "z0")},
+comps AS (
+  SELECT t, b,
+    list(CAST(mix >> 11 AS DOUBLE) * 1.1102230246251565e-16 * 2 - 1 ORDER BY i) AS cl
+  FROM hp GROUP BY t, b
+),
+proj AS (
+  SELECT e.vec_id, c.t, c.b,
+    list_reduce([CAST(0 AS DOUBLE)] ||
+      list_transform(list_zip(e.embedding, c.cl), p -> CAST(p[1] AS DOUBLE) * p[2]),
+      (a, x) -> a + x) AS s
+  FROM eb e CROSS JOIN comps c
+),
+bkt AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS INT) AS cell
+  FROM proj GROUP BY vec_id, t
+)"""
+
+  /** Exact cosine + 5-decimal rounding — the same expression the green
+    * `dedup_embed_pages` oracle already proved equivalent to the native
+    * `cosine_sim5`. */
+  private def cos5(a: String, b: String): String =
+    s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 5)"
+
+  /** `dedup_embed_lsh`: 8-table hyperplane bucketing (targetBucket 64, no
+    * mega-bucket cap — `maxBucket = Int.MaxValue` on the Spark side),
+    * cross-table pair dedupe, exact cosine ≥ 0.35 verify. */
+  def dedupEmbedLsh: String =
+    "WITH " + embLshCtes(targetBucket = 64, nTables = 8) + """,
+buckets AS (SELECT t, cell, list(vec_id) AS vs FROM bkt GROUP BY t, cell),
+pairs AS (
+  SELECT DISTINCT t1.a AS id_a, t2.b2 AS id_b
+  FROM buckets, unnest(vs) AS t1(a), unnest(vs) AS t2(b2)
+  WHERE t1.a < t2.b2
+),
+ver AS (
+  SELECT p.id_a, p.id_b, """ + cos5("ea.embedding", "eb2.embedding") + """ AS cos
+  FROM pairs p
+  JOIN eb ea ON ea.vec_id = p.id_a
+  JOIN eb eb2 ON eb2.vec_id = p.id_b
+)
+SELECT id_a, id_b, cos FROM ver WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+
+  /** `embed_knn_lsh`: single-table bucketing (targetBucket 128), queries =
+    * vec_id < 5, exact cosine re-rank inside the shared bucket, top-5 by
+    * (cos desc, vec_id). */
+  def embedKnnLsh: String =
+    "WITH " + embLshCtes(targetBucket = 128, nTables = 1) + """,
+q AS (SELECT b.vec_id AS query_id, e.embedding AS q_emb, b.cell
+      FROM bkt b JOIN eb e USING (vec_id) WHERE b.vec_id < 5),
+cands AS (
+  SELECT q.query_id, b.vec_id, """ + cos5("q.q_emb", "e.embedding") + """ AS cos
+  FROM q JOIN bkt b USING (cell) JOIN eb e ON e.vec_id = b.vec_id
+  WHERE q.query_id <> b.vec_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cands
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** `embed_knn_multiprobe` (Lv et al.): own bucket + the 3 buckets at the
+    * least-confident flipped bits — flip order = ascending (|projection|,
+    * bit), EXACTLY the Scala `sortBy((m, i))` because the projections
+    * themselves are bit-identical doubles. Candidates dedupe across
+    * probes, then the same top-5 tail as `embed_knn_lsh` (the Spark side's
+    * shared `scoreProbes`, whose `rank` is LONG). */
+  def embedKnnMultiprobe: String =
+    "WITH " + embLshCtes(targetBucket = 128, nTables = 1) + """,
+flips AS (
+  SELECT vec_id AS query_id, b,
+    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), b) AS fr
+  FROM proj WHERE vec_id < 5
+),
+probes AS (
+  SELECT b.vec_id AS query_id, b.cell FROM bkt b WHERE b.vec_id < 5
+  UNION ALL
+  SELECT f.query_id, CAST(xor(b.cell, 1 << f.b) AS INT) AS cell
+  FROM flips f JOIN bkt b ON b.vec_id = f.query_id
+  WHERE f.fr <= 3
+),
+cands AS (
+  SELECT DISTINCT p.query_id, b.vec_id
+  FROM probes p JOIN bkt b USING (cell)
+  WHERE p.query_id <> b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, """ + cos5("qe.embedding", "e.embedding") + """ AS cos
+  FROM cands c
+  JOIN eb qe ON qe.vec_id = c.query_id
+  JOIN eb e ON e.vec_id = c.vec_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** `dedup_embed_survivors` — LAYERED over the independently re-derived
+    * `dedup_embed_lsh` dump, same closure + min-label + survivor logic as
+    * [[survivorsDedupPages]]. */
+  def survivorsEmbedPages(outDir: String): String =
+    s"""WITH RECURSIVE
+ver AS (SELECT id_a, id_b FROM ${dump(outDir, "dedup_embed_lsh")}),
+edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+)
+SELECT a AS vec_id, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS is_survivor
+FROM reach GROUP BY a ORDER BY vec_id"""
+
   def all(outDir: String): Map[String, String] = Map(
     "dedup_exact_pages" -> dedupExactPages(outDir),
     "para_dedup_pages" -> paraDedupPages(outDir),
@@ -741,5 +886,6 @@ FROM lsrc l LEFT JOIN drops d ON d.url = l.url ORDER BY id"""
     "dedup_jaccard_pages" -> jaccardDedupPages(outDir),
     "dedup_survivors_pages" -> survivorsDedupPages(outDir),
     "dedup_simhash_pages" -> simhashDedupPages(outDir),
-    "curation_pages" -> curationPages(outDir))
+    "curation_pages" -> curationPages(outDir),
+    "dedup_embed_survivors" -> survivorsEmbedPages(outDir))
 }
