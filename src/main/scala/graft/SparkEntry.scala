@@ -2013,6 +2013,11 @@ object SparkEntry {
     "dedup_embed_lsh" -> graft.pipeline.DerivedOracles.dedupEmbedLsh,
     "embed_knn_lsh" -> graft.pipeline.DerivedOracles.embedKnnLsh,
     "embed_knn_multiprobe" -> graft.pipeline.DerivedOracles.embedKnnMultiprobe,
+    // one SQL for both IVF keys: AnnIndexSpec pins the table path
+    // byte-identical to the in-memory path, and the oracle re-trains the
+    // same deterministic k-means from scratch
+    "embed_knn_ivf" -> graft.pipeline.DerivedOracles.embedKnnIvf,
+    "embed_knn_ivf_table" -> graft.pipeline.DerivedOracles.embedKnnIvf,
 
     "llm_enhance" ->
       ("WITH u AS (SELECT doc_id, text, " +

@@ -859,6 +859,124 @@ rk AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
 FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Exact ordered-fold cosine between two FLOAT[] lists — the UNROUNDED
+    * replay of [[graft.ops.VectorOps.cosine]] (index-order double
+    * accumulation for dot and both norms, zero-norm → 0.0). Needed where
+    * the Spark side COMPARES raw cosines (centroid assignment, probe
+    * ranking): `list_cosine_similarity` only proved equivalent after
+    * 5-decimal rounding. */
+  private def cosExact(a: String, b: String): String = {
+    def fold(pairs: String) =
+      s"list_reduce([CAST(0 AS DOUBLE)] || " +
+        s"list_transform($pairs, p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), " +
+        "(a, x) -> a + x)"
+    val dot = fold(s"list_zip($a, $b)")
+    val na = s"sqrt(${fold(s"list_zip($a, $a)")})"
+    val nb = s"sqrt(${fold(s"list_zip($b, $b)")})"
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE ($dot) / ($na * $nb) END)"
+  }
+
+  /** One Lloyd iteration `cent_n` → `cent_{n+1}`: exact-cosine assignment
+    * (strict `>` keeps the FIRST max → ties go to the lowest cell, which
+    * `ORDER BY sim DESC, c` + rn=1 reproduces), per-(cell, dim) mean with
+    * the addition folded in SAMPLE-INDEX ORDER, `.toFloat` as a FLOAT
+    * cast, empty cells keeping their previous centroid. MATERIALIZED:
+    * `cent_{n+1}` references `cent_n` twice, so plain CTEs would re-expand
+    * 2^10 ways across the unrolled iterations. */
+  private def lloydIteration(n: Int): String =
+    s"""sim_$n AS (
+  SELECT s.i, s.vec, c.c, ${cosExact("s.vec", "c.cvec")} AS sim
+  FROM smp s CROSS JOIN cent_$n c
+),
+asg_$n AS MATERIALIZED (
+  SELECT i, vec, c FROM (
+    SELECT i, vec, c, row_number() OVER (PARTITION BY i ORDER BY sim DESC, c) AS rn
+    FROM sim_$n
+  ) WHERE rn = 1
+),
+el_$n AS (
+  SELECT a.c, g.d, a.i, CAST(a.vec[CAST(g.d AS INT) + 1] AS DOUBLE) AS val
+  FROM asg_$n a, unnest(generate_series(0, len(a.vec) - 1)) AS g(d)
+),
+mean_$n AS (
+  SELECT c, d,
+    CAST(list_reduce([CAST(0 AS DOUBLE)] || list(val ORDER BY i), (a, x) -> a + x)
+         / count(*) AS FLOAT) AS mv
+  FROM el_$n GROUP BY c, d
+),
+newc_$n AS (SELECT c, list(mv ORDER BY d) AS cvec FROM mean_$n GROUP BY c),
+cent_${n + 1} AS MATERIALIZED (
+  SELECT o.c, coalesce(n.cvec, o.cvec) AS cvec
+  FROM cent_$n o LEFT JOIN newc_$n n USING (c)
+)"""
+
+  /** `embed_knn_ivf` / `embed_knn_ivf_table` (one SQL serves both — the
+    * table path is pinned byte-identical to the in-memory path by
+    * AnnIndexSpec, and both train on the sampleN lowest vec_ids): the
+    * ENTIRE deterministic k-means replayed — seed pick by signed
+    * mix64(42 ^ sampleIdx) rank, 10 unrolled Lloyd iterations in exact
+    * double/float arithmetic, corpus assignment, 4-probe cell ranking by
+    * unrounded cosine, then the shared top-5 scoring tail. */
+  def embedKnnIvf: String = {
+    val iters = 10
+    s"""WITH
+eb AS (SELECT vec_id, embedding FROM embeddings),
+kk0 AS (SELECT CAST(least(4096, greatest(4, CAST(ceil(sqrt(count(*))) AS INT))) AS INT) AS k FROM eb),
+kk AS (SELECT k, least(65536, greatest(k, k * 64)) AS samplen FROM kk0),
+smp0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, embedding AS vec
+  FROM (SELECT vec_id, embedding FROM eb ORDER BY vec_id LIMIT (SELECT samplen FROM kk))
+),
+smp AS MATERIALIZED (SELECT i, vec FROM smp0),
+sd0 AS (SELECT i, xor(CAST(42 AS HUGEINT), CAST(i AS HUGEINT)) AS z0 FROM smp),
+${mixStages("sd", "sd0", Seq("i"), "z0")},
+seedrank AS (
+  SELECT i, row_number() OVER (ORDER BY ${toSignedBigint("mix")}) - 1 AS r
+  FROM sd
+),
+cent_0 AS (
+  SELECT CAST(sr.r AS INT) AS c, s.vec AS cvec
+  FROM seedrank sr JOIN smp s USING (i)
+  WHERE sr.r < (SELECT least(k, (SELECT count(*) FROM smp)) FROM kk)
+),
+${(0 until iters).map(lloydIteration).mkString(",")},
+csim AS MATERIALIZED (
+  SELECT e.vec_id, c.c, ${cosExact("e.embedding", "c.cvec")} AS sim
+  FROM eb e CROSS JOIN cent_$iters c
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+    FROM csim
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT e.vec_id, s.c, row_number() OVER (PARTITION BY e.vec_id ORDER BY s.sim DESC, s.c) AS pr
+    FROM eb e JOIN csim s USING (vec_id)
+    WHERE e.vec_id < 5
+  ) WHERE pr <= 4
+),
+cands AS (
+  SELECT DISTINCT p.query_id, x.vec_id
+  FROM probes p JOIN cells x USING (cell)
+  WHERE p.query_id <> x.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, ${cos5("qe.embedding", "e.embedding")} AS cos
+  FROM cands c
+  JOIN eb qe ON qe.vec_id = c.query_id
+  JOIN eb e ON e.vec_id = c.vec_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** `dedup_embed_survivors` — LAYERED over the independently re-derived
     * `dedup_embed_lsh` dump, same closure + min-label + survivor logic as
     * [[survivorsDedupPages]]. */
