@@ -1529,7 +1529,12 @@ object SparkEntry {
       val k = graft.ops.Ann.adaptiveIvfK(raw.count())
       val sampleN = graft.ops.Ann.ivfSampleSize(k)
       val emb = raw.as[(Long, Array[Float])]
-      val sample = emb.filter(_._1 < sampleN).collect().sortBy(_._1).map(_._2)
+      // sample = the sampleN LOWEST ids (TakeOrdered, same as
+      // AnnIndex.build): `filter(_._1 < sampleN)` is only equivalent for
+      // dense 0-based vec_ids — sparse/offset ids would train different
+      // centroids here vs the table path and the shared oracle
+      val sample = emb.toDF("vec_id", "embedding").orderBy("vec_id").limit(sampleN)
+        .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
       val centroids = graft.ops.Ann.trainCentroids(sample, k)
       val cB = s.sparkContext.broadcast(centroids)
       val indexed = emb.map { case (id, v) => (id, v, graft.ops.Ann.nearestCentroid(v, cB.value)) }

@@ -33,10 +33,20 @@ object Ann {
     * `ceil(log2(n / targetBucket))`, clamped to [minBits, maxBits].
     * Occupancy stays in [targetBucket/2, targetBucket] as n grows (the ceil
     * rounds bucket count up), so candidate self-joins stay O(n·target) and
-    * per-query candidate lists stay O(target) at any corpus size. */
+    * per-query candidate lists stay O(target) at any corpus size.
+    *
+    * Computed in INTEGER arithmetic (smallest b with 2^b ≥ ⌈n/target⌉ —
+    * identical to the mathematical ceil-log2 for all inputs), not
+    * `ceil(log(x)/log(2))`: libm `log` is not correctly rounded, so the
+    * float form can flip by one at exact power-of-two ratios AND can
+    * disagree between the JVM and the DuckDB oracle replaying it — an
+    * off-by-one here rewrites every bucket. */
   def adaptiveNBits(n: Long, targetBucket: Long = 128L, minBits: Int = 4, maxBits: Int = 24): Int = {
-    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucket))
-    math.min(maxBits, math.max(minBits, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+    val t = math.max(1L, targetBucket)
+    val m = math.max(1L, (n + t - 1) / t) // ⌈n/target⌉
+    var b = 0
+    while (b < maxBits && (1L << b) < m) b += 1
+    math.min(maxBits, math.max(minBits, b))
   }
 
   /** IVF cell count k ≈ √n (the standard balance point: query cost

@@ -334,8 +334,6 @@ object DerivedOracles {
     val C0 = "11400714819323198485" // 0x9e3779b97f4a7c15
     val C1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
     val C2 = "10723151780598845931" // 0x94d049bb133111eb
-    val FnvBasis = "14695981039346656037" // 0xcbf29ce484222325
-    val FnvPrime = "1099511628211"        // 0x100000001b3
     val toSigned = (u: String) =>
       s"CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 ELSE $u END"
     s"""WITH RECURSIVE
@@ -425,6 +423,25 @@ $name AS (SELECT $c, xor(z, z >> 31) AS mix FROM ${name}_e)"""
   private def toSignedBigint(u: String): String =
     s"CAST(CASE WHEN ($u) >= 9223372036854775808 THEN ($u) - 18446744073709551616 ELSE ($u) END AS BIGINT)"
 
+  /** FNV-1a 64 basis / prime as u64 decimals — shared by every replay. */
+  private val FnvBasis = "14695981039346656037" // 0xcbf29ce484222325
+  private val FnvPrime = "1099511628211"        // 0x100000001b3
+
+  /** fnv64 of a VARCHAR expression as a vectorized per-row fold over its
+    * UTF-16 code units (BMP codepoints pass through; astral ones expand to
+    * surrogate pairs — matching `String.charAt`). FNV-1a is sequential by
+    * construction (xor does not distribute over the multiply), but
+    * per-STRING, not per-corpus: `list_reduce` folds in order without a
+    * recursive CTE. The ONE definition behind the shingle and word hashes. */
+  private def fnv64Fold(strExpr: String): String =
+    s"""list_reduce(
+    [CAST($FnvBasis AS HUGEINT)] ||
+    flatten(list_transform(regexp_extract_all($strExpr, '(?s).'),
+      ch -> CASE WHEN unicode(ch) < 65536 THEN [CAST(unicode(ch) AS HUGEINT)]
+                 ELSE [CAST(55296 + ((unicode(ch) - 65536) >> 10) AS HUGEINT),
+                       CAST(56320 + ((unicode(ch) - 65536) & 1023) AS HUGEINT)] END)),
+    (h, c) -> ${mulmod("xor(h, c)", FnvPrime)})"""
+
   /** Shared CTE text for the minhash/jaccard replays: normalized text →
     * lowercase → `[^\p{L}\p{N}]+` word split → 3-gram shingles → fnv64 per
     * DISTINCT shingle (a vectorized `list_reduce` fold over UTF-16 units —
@@ -459,8 +476,6 @@ $name AS (SELECT $c, xor(z, z >> 31) AS mix FROM ${name}_e)"""
   private def lshCore(includeEmptyDocs: Boolean, estRound: Boolean,
                       materialized: Boolean = false): String = {
     val mat = if (materialized) "MATERIALIZED " else ""
-    val FnvBasis = "14695981039346656037"
-    val FnvPrime = "1099511628211"
     val gold = BigInt("9e3779b97f4a7c15", 16)
     val seedsVals = (0 until 64)
       .map(j => s"($j, CAST('${(gold * (j + 1)) % U64}' AS HUGEINT))")
@@ -495,13 +510,7 @@ shl AS (
 shex AS (SELECT DISTINCT url, unnest(sl) AS s FROM shl),
 strs AS (SELECT DISTINCT s FROM shex),
 fnvs AS (
-  SELECT s, list_reduce(
-    [CAST($FnvBasis AS HUGEINT)] ||
-    flatten(list_transform(regexp_extract_all(s, '(?s).'),
-      ch -> CASE WHEN unicode(ch) < 65536 THEN [CAST(unicode(ch) AS HUGEINT)]
-                 ELSE [CAST(55296 + ((unicode(ch) - 65536) >> 10) AS HUGEINT),
-                       CAST(56320 + ((unicode(ch) - 65536) & 1023) AS HUGEINT)] END)),
-    (h, c) -> ${mulmod("xor(h, c)", FnvPrime)}) AS base
+  SELECT s, ${fnv64Fold("s")} AS base
   FROM strs
 ),
 docsh AS ${mat}(SELECT DISTINCT x.url, f.base AS sh FROM shex x JOIN fnvs f ON f.s = x.s),
@@ -558,17 +567,21 @@ est AS $mat(
   def jaccardDedupPages(outDir: String): String =
     "WITH " + lshPrefix(outDir) + """,
 docshl AS (SELECT url, list(sh) AS hs FROM docsh GROUP BY url),
-jac AS (
+jac0 AS (
   SELECT e.url_a, e.url_b,
-    CASE WHEN coalesce(len(ha.hs), 0) + coalesce(len(hb.hs), 0) = 0 THEN 1.0
-         ELSE floor((CAST(len(list_intersect(coalesce(ha.hs, []), coalesce(hb.hs, []))) AS DOUBLE) /
-              (coalesce(len(ha.hs), 0) + coalesce(len(hb.hs), 0)
-               - len(list_intersect(coalesce(ha.hs, []), coalesce(hb.hs, []))))) * 100000 + 0.5) / 100000.0
-    END AS jaccard
+    len(list_intersect(coalesce(ha.hs, []), coalesce(hb.hs, []))) AS inter,
+    coalesce(len(ha.hs), 0) AS na, coalesce(len(hb.hs), 0) AS nb
   FROM est e
   LEFT JOIN docshl ha ON ha.url = e.url_a
   LEFT JOIN docshl hb ON hb.url = e.url_b
   WHERE e.est_jaccard >= 0.55
+),
+jac AS (
+  SELECT url_a, url_b,
+    CASE WHEN na + nb = 0 THEN 1.0
+         ELSE floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 100000 + 0.5) / 100000.0
+    END AS jaccard
+  FROM jac0
 )
 SELECT url_a, url_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY url_a, url_b"""
 
@@ -580,8 +593,6 @@ SELECT url_a, url_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY url_a, url_b
     * 16-bit-chunk LSH → ≤64 bucket cap → candidate pairs → hamming ≤ 3
     * verify as `dedup_simhash_pages`. */
   def simhashDedupPages(outDir: String): String = {
-    val FnvBasis = "14695981039346656037"
-    val FnvPrime = "1099511628211"
     val bitSums = (0 until 64)
       .map(b => s"sum(CAST((wh.h >> $b) & 1 AS BIGINT)) AS s$b")
       .mkString(",\n    ")
@@ -596,13 +607,7 @@ wi AS (
 ),
 wstr AS (SELECT DISTINCT w FROM wi),
 wfnv AS (
-  SELECT w, list_reduce(
-    [CAST($FnvBasis AS HUGEINT)] ||
-    flatten(list_transform(regexp_extract_all(w, '(?s).'),
-      ch -> CASE WHEN unicode(ch) < 65536 THEN [CAST(unicode(ch) AS HUGEINT)]
-                 ELSE [CAST(55296 + ((unicode(ch) - 65536) >> 10) AS HUGEINT),
-                       CAST(56320 + ((unicode(ch) - 65536) & 1023) AS HUGEINT)] END)),
-    (h, c) -> ${mulmod("xor(h, c)", FnvPrime)}) AS z0
+  SELECT w, ${fnv64Fold("w")} AS z0
   FROM wstr
 ),
 ${mixStages("wmix", "wfnv", Seq("w"), "z0")},
@@ -649,16 +654,7 @@ SELECT url_a, url_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3
     * cheap — the Spark side's bounded pointer-jumping converges to the
     * same fixpoint on any real cluster diameter). */
   def survivorsDedupPages(outDir: String): String =
-    s"""WITH RECURSIVE
-ver AS (SELECT url_a, url_b FROM ${dump(outDir, "dedup_jaccard_pages")}),
-edges AS (SELECT url_a AS a, url_b AS b FROM ver UNION SELECT url_b, url_a FROM ver),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
-)
-SELECT a AS url, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS is_survivor
-FROM reach GROUP BY a ORDER BY url"""
+    survivorsOver(outDir, "dedup_jaccard_pages", "url_a", "url_b", "url")
 
   /** The ENTIRE [[graft.pipeline.Curate.curate]] ledger replayed from the
     * extraction dump — all four stages composed in one statement, each
@@ -703,13 +699,15 @@ src AS MATERIALIZED (SELECT url, t FROM wk WHERE url = keeper),
 ${lshCore(includeEmptyDocs = false, estRound = false, materialized = true)},
 docshl AS (SELECT url, list(sh) AS hs FROM docsh GROUP BY url),
 cver AS MATERIALIZED (
-  SELECT e.url_a, e.url_b
-  FROM est e
-  JOIN docshl ha ON ha.url = e.url_a
-  JOIN docshl hb ON hb.url = e.url_b
-  WHERE e.est_jaccard >= 0.55
-    AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-        / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.8
+  SELECT url_a, url_b FROM (
+    SELECT e.url_a, e.url_b,
+      len(list_intersect(ha.hs, hb.hs)) AS inter,
+      len(ha.hs) AS na, len(hb.hs) AS nb
+    FROM est e
+    JOIN docshl ha ON ha.url = e.url_a
+    JOIN docshl hb ON hb.url = e.url_b
+    WHERE e.est_jaccard >= 0.55
+  ) WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
 ),
 cedges AS (SELECT url_a AS a, url_b AS b FROM cver UNION SELECT url_b, url_a FROM cver),
 creach AS (
@@ -744,10 +742,15 @@ FROM lsrc l LEFT JOIN drops d ON d.url = l.url ORDER BY id"""
     * `bkt(vec_id, t, cell)`. */
   private def embLshCtes(targetBucket: Int, nTables: Int): String =
     s"""eb AS (SELECT vec_id, embedding FROM embeddings),
+-- adaptiveNBits in INTEGER form, matching Ann.adaptiveNBits exactly:
+-- smallest b with 2^b >= ceil(n/target), clamped — no libm log on
+-- either side (see the Scala scaladoc for why float log is unsafe here)
+nb0 AS (SELECT greatest(1, (count(*) + $targetBucket - 1) // $targetBucket) AS m,
+        max(len(embedding)) AS dim FROM eb),
 nb AS (SELECT CAST(least(24, greatest(4,
-         CAST(ceil(ln(greatest(1.0, count(*) / $targetBucket.0)) / ln(2.0)) AS INT))) AS INT) AS nbits,
-       max(len(embedding)) AS dim
-       FROM eb),
+         (SELECT min(b) FROM (SELECT unnest(generate_series(0, 24)) AS b)
+          WHERE (CAST(1 AS BIGINT) << b) >= nb0.m OR b = 24))) AS INT) AS nbits,
+       dim FROM nb0),
 hp0 AS (
   SELECT t, b, i,
     xor(xor(CAST((t * 1024 + b) AS HUGEINT) << 32, CAST(i AS HUGEINT)),
@@ -977,20 +980,27 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
 FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
-  /** `dedup_embed_survivors` — LAYERED over the independently re-derived
-    * `dedup_embed_lsh` dump, same closure + min-label + survivor logic as
-    * [[survivorsDedupPages]]. */
-  def survivorsEmbedPages(outDir: String): String =
+  /** Exact transitive closure + min-label + survivor flags over a dumped
+    * pair relation — the ONE closure replay behind both survivor oracles
+    * (`idA`/`idB` name the dump's pair columns, `idOut` the output id). */
+  private def survivorsOver(outDir: String, dumpName: String,
+                            idA: String, idB: String, idOut: String): String =
     s"""WITH RECURSIVE
-ver AS (SELECT id_a, id_b FROM ${dump(outDir, "dedup_embed_lsh")}),
-edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+ver AS (SELECT $idA, $idB FROM ${dump(outDir, dumpName)}),
+edges AS (SELECT $idA AS a, $idB AS b FROM ver UNION SELECT $idB, $idA FROM ver),
 reach AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
 )
-SELECT a AS vec_id, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS is_survivor
-FROM reach GROUP BY a ORDER BY vec_id"""
+SELECT a AS $idOut, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS is_survivor
+FROM reach GROUP BY a ORDER BY $idOut"""
+
+  /** `dedup_embed_survivors` — LAYERED over the independently re-derived
+    * `dedup_embed_lsh` dump, same closure + min-label + survivor logic as
+    * [[survivorsDedupPages]]. */
+  def survivorsEmbedPages(outDir: String): String =
+    survivorsOver(outDir, "dedup_embed_lsh", "id_a", "id_b", "vec_id")
 
   def all(outDir: String): Map[String, String] = Map(
     "dedup_exact_pages" -> dedupExactPages(outDir),
