@@ -114,6 +114,14 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.adaptiveNBits(0, 64) == 4)                    // minBits floor
     assert(Ann.adaptiveNBits(Long.MaxValue, 1) == 24)        // maxBits ceiling
     assert(Ann.adaptiveNBits(1L << 40, 128) == 24)           // 1T vectors clamped
+    // exact power-of-two ratios — where a float ceil(log/log) could flip by
+    // one ulp: the integer form must give the mathematical ceil-log2
+    for (b <- 4 to 20) {
+      assert(Ann.adaptiveNBits(64L << b, 64) == b,
+        s"n = 64·2^$b, target 64 must give exactly $b bits")
+      assert(Ann.adaptiveNBits((64L << b) + 1, 64) == math.min(24, b + 1),
+        s"one past 64·2^$b must round UP")
+    }
     val ns = Seq(1000L, 16000L, 256000L, 4096000L)
     val bits = ns.map(Ann.adaptiveNBits(_, 64))
     assert(bits == bits.sorted, "nBits must be monotone in n")
