@@ -34,7 +34,8 @@ object MediaFixtureQueries {
     val cases = imageSpecs.map(_._1) ++
       Seq("resize_png_to_12x12", "feature_grid", "feature_unitnorm",
         "not_an_image", "frames_3500ms_1000ms", "frames_zero_duration",
-        "gif_anim_3f_25cs", "exif_rot90", "exif_fliph", "exif_absent")
+        "gif_anim_3f_25cs", "exif_rot90", "exif_fliph", "exif_absent",
+        "wav_8k_1200", "wav_feature", "not_audio")
     FixtureSupport.fixtureDf(s, cases) { name =>
       val rows: Seq[(String, String)] = imageSpecs.find(_._1 == name) match {
         case Some((_, seed, w, h, fmt)) =>
@@ -110,6 +111,25 @@ object MediaFixtureQueries {
           case "exif_absent" =>
             Seq("orientation" -> Multimodal.exifOrientation(
               Multimodal.makeImage(14L, 8, 8, "jpg")).getOrElse(-1).toString)
+          case "wav_8k_1200" =>
+            // REAL javax.sound decode must recover the GENERATOR PARAMETERS
+            val a = Multimodal.decodeAudio(Multimodal.makeWav(21L, 8000, 1200))
+            Seq(
+              "decode_ok" -> a.isDefined.toString,
+              "sample_rate" -> a.map(_.sampleRate.toInt).getOrElse(-1).toString,
+              "channels" -> a.map(_.channels).getOrElse(-1).toString,
+              "frames" -> a.map(_.frames).getOrElse(-1L).toString,
+              "duration_ms" -> a.map(_.durationMs).getOrElse(-1L).toString)
+          case "wav_feature" =>
+            val a = Multimodal.decodeAudio(Multimodal.makeWav(22L, 8000, 2000)).get
+            val f = Multimodal.audioFeature(a.samples)
+            val norm = math.sqrt(f.map(v => v.toDouble * v).sum)
+            Seq(
+              "feature_len" -> f.length.toString,
+              "unit_norm" -> (math.abs(norm - 1.0) < 1e-3).toString)
+          case "not_audio" =>
+            Seq("decode_ok" ->
+              Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isDefined.toString)
           case _ => Nil
         }
       }
@@ -151,7 +171,17 @@ object MediaFixtureQueries {
       ("png_24x24", "width", "24"),
       ("resize_png_to_12x12", "decode_ok", "true"),
       ("resize_png_to_12x12", "height", "12"),
-      ("resize_png_to_12x12", "width", "12")
+      ("resize_png_to_12x12", "width", "12"),
+      // WAV ground truth = generator parameters (8 kHz mono PCM16,
+      // 1200 frames → 150 ms), independent of the decode under test
+      ("wav_8k_1200", "decode_ok", "true"),
+      ("wav_8k_1200", "sample_rate", "8000"),
+      ("wav_8k_1200", "channels", "1"),
+      ("wav_8k_1200", "frames", "1200"),
+      ("wav_8k_1200", "duration_ms", "150"),
+      ("wav_feature", "feature_len", "64"),
+      ("wav_feature", "unit_norm", "true"),
+      ("not_audio", "decode_ok", "false")
     )
     FixtureSupport.valuesOracle(rows)
   }

@@ -34,12 +34,15 @@ final case class MediaFeatures(
  * JDK's `javax.imageio`, whose readers here cover JPEG, TIFF, BMP, GIF,
  * WBMP and PNG (`ImageIO.getReaderFormatNames()` on this JDK) — the
  * synthetic corpus plants genuine PNG, JPEG and GIF bytes so the real path
- * is exercised across formats. Audio/video codecs do not ship in this
- * container (no ffmpeg), so those paths remain clearly-marked deterministic
- * stubs derived from the content hash. The Spark-side contract — schema,
- * partitioning, batch shape, unit-norm feature vectors, LSH bucketing — is
- * identical on both paths; swapping a real codec in changes only the
- * function bodies.
+ * is exercised across formats. AUDIO decode is REAL for uncompressed PCM
+ * via the JDK's `javax.sound.sampled` (WAV/AIFF/AU readers) — the corpus
+ * plants genuine PCM16 WAVs whose sample rate / frame count / duration
+ * the decode must recover, with per-window RMS features. Only VIDEO and
+ * compressed-audio codecs do not ship in this container (no ffmpeg), so
+ * those paths remain clearly-marked deterministic stubs derived from the
+ * content hash. The Spark-side contract — schema, partitioning, batch
+ * shape, unit-norm feature vectors, LSH bucketing — is identical on both
+ * paths; swapping a real codec in changes only the function bodies.
  */
 object Multimodal {
 
@@ -324,6 +327,109 @@ object Multimodal {
     jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
+  // ---- REAL audio path (javax.sound.sampled: WAV/AIFF/AU PCM ship in
+  // every JDK — no ffmpeg needed for uncompressed audio) ----
+
+  /** Decoded PCM audio: header parameters + channel-folded samples
+    * normalized to [-1, 1]. */
+  final case class PcmAudio(sampleRate: Float, channels: Int,
+                            bitsPerSample: Int, frames: Long,
+                            samples: Array[Float]) {
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else (frames * 1000.0 / sampleRate).toLong
+  }
+
+  /** REAL audio decode via the JDK's `AudioSystem` (WAV/AIFF/AU readers):
+    * signed-PCM 8/16-bit only — compressed codecs (MP3/AAC/…) have no JDK
+    * reader and keep the stub path. None for undecodable bytes, never
+    * throws. Channels fold to their mean (mono analysis view). */
+  def decodeAudio(bytes: Array[Byte]): Option[PcmAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val bits = f.getSampleSizeInBits
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            (bits != 8 && bits != 16)) return None
+        val ch = math.max(1, f.getChannels)
+        val frames = ais.getFrameLength
+        val bps = bits / 8
+        val data = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length, 1 << 20))
+        val buf = new Array[Byte](64 * 1024)
+        var r = ais.read(buf)
+        while (r >= 0) { data.write(buf, 0, r); r = ais.read(buf) }
+        val raw = data.toByteArray
+        val n = raw.length / (bps * ch)
+        val out = new Array[Float](n)
+        val big = f.isBigEndian
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val p = (i * ch + c) * bps
+            val s =
+              if (bps == 1) raw(p).toInt // 8-bit signed
+              else if (big) (raw(p) << 8) | (raw(p + 1) & 0xff)
+              else (raw(p + 1) << 8) | (raw(p) & 0xff)
+            acc += s / (if (bps == 1) 128.0 else 32768.0)
+            c += 1
+          }
+          out(i) = (acc / ch).toFloat
+          i += 1
+        }
+        Some(PcmAudio(f.getSampleRate, ch, bits, frames, out))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** REAL audio feature: per-window RMS energy over `dim` equal windows of
+    * the mono samples, unit-normalized — the audio analog of
+    * [[luminanceFeature]]'s grid. Deterministic, content-derived. */
+  def audioFeature(samples: Array[Float], dim: Int = FeatureDim): Array[Float] = {
+    val v = new Array[Float](dim)
+    val n = samples.length
+    if (n == 0) { java.util.Arrays.fill(v, 1.0f); return VectorOps.normalize(v) }
+    var w = 0
+    while (w < dim) {
+      val from = (w.toLong * n / dim).toInt
+      val until = math.max(from + 1, ((w + 1).toLong * n / dim).toInt)
+      var s = 0.0
+      var i = from
+      while (i < math.min(until, n)) { s += samples(i).toDouble * samples(i); i += 1 }
+      v(w) = math.sqrt(s / math.max(1, math.min(until, n) - from)).toFloat
+      w += 1
+    }
+    VectorOps.normalize(v)
+  }
+
+  /** From-scratch RIFF/WAVE PCM16 mono writer (the published WAV layout:
+    * RIFF size header, 16-byte `fmt ` chunk, `data` chunk) — deterministic
+    * full-range noise samples from the seed, so the REAL decode path is
+    * exercised end-to-end with plantable parameters. */
+  def makeWav(seed: Long, sampleRate: Int = 8000, nSamples: Int = 1200): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < nSamples) {
+      out.putShort((TextOps.mix64(seed ^ k.toLong) >>> 48).toShort)
+      k += 1
+    }
+    out.array()
+  }
+
   /** STUB decode: deterministic pseudo-decode from the content hash. A real
     * deployment replaces this body with an actual codec call. */
   def decodeStub(bytes: Array[Byte]): Option[(Int, Int)] = {
@@ -391,8 +497,10 @@ object Multimodal {
       // formats (decoded by the real ImageIO path; 7-in-8 JPEGs also carry
       // a planted EXIF orientation >1 the decode must honor); gif rows are
       // REAL animated GIFs whose frames/delays the real frame sampler
-      // recovers; audio/video stay hash-derived opaque blobs for the stub
-      // codecs (no ffmpeg here)
+      // recovers; audio rows are REAL PCM16 WAVs the real javax.sound
+      // decode recovers (sample rate / frame count / duration planted);
+      // only video stays a hash-derived opaque blob for the stub codec
+      // (no ffmpeg here)
       val (bytes, mime, w0, h0, dur) = kind match {
         case "image" =>
           val w = 16 + Math.floorMod(h, 17L).toInt
@@ -417,15 +525,18 @@ object Multimodal {
           val delayCs = 10 + Math.floorMod(h >>> 24, 4L).toInt * 10 // 100-400 ms
           (makeAnimatedGif(h, w, hh, frames, delayCs), "image/gif",
             w, hh, frames.toLong * delayCs * 10L)
+        case "audio" =>
+          // REAL PCM16 WAV: 8 kHz mono, 800..2392 samples (multiple of 8,
+          // so the planted duration_ms = nSamples/8 is exact)
+          val nSamples = 800 + 8 * Math.floorMod(h >>> 16, 200L).toInt
+          (makeWav(h, 8000, nSamples), "audio/wav", 0, 0, nSamples / 8L)
         case _ =>
           val size = 256 + Math.floorMod(h >>> 8, 1792L).toInt
           val b = new Array[Byte](size)
           var state = h
           var j = 0
           while (j < size) { state = TextOps.mix64(state); b(j) = (state & 0xff).toByte; j += 1 }
-          (b, if (kind == "audio") "audio/mpeg" else "video/mp4",
-            if (kind == "audio") 0 else 640, if (kind == "audio") 0 else 480,
-            5000 + Math.floorMod(h, 60000L))
+          (b, "video/mp4", 640, 480, 5000 + Math.floorMod(h, 60000L))
       }
       MediaRow(i, kind, mime, bytes,
         width = w0,
@@ -443,24 +554,28 @@ object Multimodal {
       // per-partition batch: codec/session setup would be amortized here
       it.map { m =>
         // image AND animated-gif rows decode for real (first frame for
-        // gifs; EXIF orientation honored for jpegs)
-        val real =
-          if (m.kind == "image" || m.kind == "gif") decodeImageOriented(m.bytes)
+        // gifs; EXIF orientation honored for jpegs); audio decodes for
+        // real through javax.sound (PCM WAV/AIFF/AU) with per-window RMS
+        // features
+        val feat: Option[Array[Float]] =
+          if (m.kind == "image" || m.kind == "gif")
+            decodeImageOriented(m.bytes).map(luminanceFeature(_))
+          else if (m.kind == "audio")
+            decodeAudio(m.bytes).map(a => audioFeature(a.samples))
           else None
-        real match {
-          case Some(img) =>
-            val feat = luminanceFeature(img)
-            MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decode_ok = true)
+        feat match {
+          case Some(f) =>
+            MediaFeatures(m.media_id, m.kind, f, VectorOps.cosineLshBucket(f, 8), decode_ok = true)
           case None =>
-            // the stub stands in ONLY for kinds without a JDK codec
-            // (audio/video); an IMAGE that failed the real ImageIO decode is
-            // corrupt input and must report decode_ok=false — routing it
-            // through the stub fabricated dims/features and downstream
-            // decode_ok filters kept garbage rows
+            // the stub stands in ONLY for kinds without a JDK codec (video,
+            // compressed audio); an IMAGE/GIF/WAV that failed its real
+            // decode is corrupt input and must report decode_ok=false —
+            // routing it through the stub fabricated features and
+            // downstream decode_ok filters kept garbage rows
             val decoded =
-              if (m.kind == "image" || m.kind == "gif") None else decodeStub(m.bytes)
-            val feat = featureStub(m.bytes)
-            MediaFeatures(m.media_id, m.kind, feat, VectorOps.cosineLshBucket(feat, 8), decoded.isDefined)
+              if (m.kind == "video") decodeStub(m.bytes) else None
+            val f = featureStub(m.bytes)
+            MediaFeatures(m.media_id, m.kind, f, VectorOps.cosineLshBucket(f, 8), decoded.isDefined)
         }
       }
     }

@@ -108,9 +108,43 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sampled.head._1 == 0L)
       assert(m.duration_ms == frames.map(_._1.toLong * 10).sum)
     }
-    // audio/video rows still flow through the stub path deterministically
-    rows.filter(m => m.kind == "audio" || m.kind == "video").foreach { m =>
+    // audio rows are REAL PCM16 WAVs: javax.sound must recover the planted
+    // sample rate / frame count / duration, and the feature is the real
+    // per-window RMS, not the stub
+    val audios = rows.filter(_.kind == "audio")
+    assert(audios.nonEmpty)
+    audios.foreach { m =>
+      assert(features(m.media_id).decode_ok, s"audio ${m.media_id} must really decode")
+      val a = Multimodal.decodeAudio(m.bytes).get
+      assert(a.sampleRate == 8000f && a.channels == 1 && a.bitsPerSample == 16)
+      assert(a.durationMs == m.duration_ms,
+        s"decoded duration ${a.durationMs} != planted ${m.duration_ms}")
+      assert(a.frames == m.duration_ms * 8, "8 kHz: frames = ms * 8")
+      assert(features(m.media_id).feature.sameElements(Multimodal.audioFeature(a.samples)))
+    }
+    // video rows still flow through the stub path deterministically
+    rows.filter(_.kind == "video").foreach { m =>
       assert(features(m.media_id).feature.sameElements(Multimodal.featureStub(m.bytes)))
     }
+  }
+
+  test("decodeAudio: real WAV round-trip, channel fold, and refusal of non-audio") {
+    // planted params recovered exactly
+    val w = Multimodal.makeWav(99L, sampleRate = 8000, nSamples = 1200)
+    val a = Multimodal.decodeAudio(w).get
+    assert(a.sampleRate == 8000f && a.channels == 1 && a.bitsPerSample == 16)
+    assert(a.frames == 1200 && a.samples.length == 1200 && a.durationMs == 150L)
+    // samples really are the planted PCM (first sample, exact value)
+    val s0 = (graft.ops.TextOps.mix64(99L ^ 0L) >>> 48).toShort / 32768.0f
+    assert(math.abs(a.samples(0) - s0) < 1e-7)
+    // deterministic
+    assert(Multimodal.makeWav(99L, 8000, 1200).sameElements(w))
+    // feature: unit-norm, FeatureDim windows
+    val f = Multimodal.audioFeature(a.samples)
+    assert(f.length == Multimodal.FeatureDim)
+    assert(math.abs(math.sqrt(f.map(v => v.toDouble * v).sum) - 1.0) < 1e-3)
+    // garbage refuses without throwing
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
   }
 }
