@@ -147,4 +147,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
   }
+
+  test("decodeAudio: big-endian path via an AIFF transcode of the same PCM") {
+    import javax.sound.sampled._
+    val wav = Multimodal.makeWav(7L, 8000, 800)
+    val fromWav = Multimodal.decodeAudio(wav).get
+    // JDK-transcode the identical PCM into AIFF (big-endian container)
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    ais.close()
+    val fromAiff = Multimodal.decodeAudio(bos.toByteArray).get
+    assert(fromAiff.frames == 800 && fromAiff.durationMs == 100L)
+    // same PCM through the little- and big-endian branches = same samples
+    assert(fromAiff.samples.sameElements(fromWav.samples))
+  }
 }
