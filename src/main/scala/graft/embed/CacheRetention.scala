@@ -133,8 +133,12 @@ object CacheRetention {
       .groupBy("cache_key")
       .agg(min(struct(dataCols.map(col): _*)).as("__row"))
       .select(col("cache_key") +: dataCols.map(c => col(s"__row.$c").as(c)): _*)
+    // insert-if-absent against the UNEXPIRED keys only: an expired entry is
+    // dead (get() deletes it on read in the reference, so set() re-stores) —
+    // anti-joining against ALL keys would drop the fresh row AND the sweep
+    // below would drop the stale one, silently losing the key entirely
     val fresh = withTimestamps(oneNew, nowMs, ttlMs)
-      .join(cache.select("cache_key"), Seq("cache_key"), "left_anti")
+      .join(unexpired(cache, nowMs).select("cache_key"), Seq("cache_key"), "left_anti")
     // direct filter, not cleanup(): absorb discards the eviction count, so
     // the two count() jobs cleanup pays to produce it would be pure waste
     val alive = unexpired(touched.unionByName(fresh), nowMs)

@@ -339,6 +339,17 @@ object Multimodal {
       if (sampleRate <= 0) 0L else (frames * 1000.0 / sampleRate).toLong
   }
 
+  /** Magic sniff for the JDK-decodable PCM containers: RIFF (WAV),
+    * FORM (AIFF), .snd (AU). Distinguishes "corrupt PCM file" (decode_ok
+    * must be false) from "compressed codec we honestly don't ship"
+    * (stub path, like video). */
+  def sniffsPcmContainer(bytes: Array[Byte]): Boolean = {
+    def at(p: Int, s: String): Boolean =
+      bytes.length >= p + s.length &&
+        s.indices.forall(i => bytes(p + i) == s.charAt(i).toByte)
+    at(0, "RIFF") || at(0, "FORM") || at(0, ".snd")
+  }
+
   /** REAL audio decode via the JDK's `AudioSystem` (WAV/AIFF/AU readers):
     * signed-PCM 8/16-bit only — compressed codecs (MP3/AAC/…) have no JDK
     * reader and keep the stub path. None for undecodable bytes, never
@@ -380,7 +391,10 @@ object Multimodal {
           out(i) = (acc / ch).toFloat
           i += 1
         }
-        Some(PcmAudio(f.getSampleRate, ch, bits, frames, out))
+        // AU permits an unknown data size (getFrameLength = -1); the decoded
+        // sample count is authoritative then — never report negative frames
+        Some(PcmAudio(f.getSampleRate, ch, bits,
+          if (frames < 0) n.toLong else frames, out))
       } finally ais.close()
     } catch { case _: Exception => None }
 
@@ -567,13 +581,18 @@ object Multimodal {
           case Some(f) =>
             MediaFeatures(m.media_id, m.kind, f, VectorOps.cosineLshBucket(f, 8), decode_ok = true)
           case None =>
-            // the stub stands in ONLY for kinds without a JDK codec (video,
-            // compressed audio); an IMAGE/GIF/WAV that failed its real
-            // decode is corrupt input and must report decode_ok=false —
-            // routing it through the stub fabricated features and
-            // downstream decode_ok filters kept garbage rows
+            // the stub stands in ONLY for kinds without a JDK codec: video,
+            // and audio whose container is NOT one of the JDK's PCM readers
+            // (compressed mp3/aac/...). An IMAGE/GIF that failed ImageIO, or
+            // an audio blob that SNIFFS as a PCM container (RIFF/FORM/.snd)
+            // but failed the real decode, is corrupt input and must report
+            // decode_ok=false — routing it through the stub fabricated
+            // features and downstream decode_ok filters kept garbage rows
             val decoded =
-              if (m.kind == "video") decodeStub(m.bytes) else None
+              if (m.kind == "video") decodeStub(m.bytes)
+              else if (m.kind == "audio" && !sniffsPcmContainer(m.bytes))
+                decodeStub(m.bytes)
+              else None
             val f = featureStub(m.bytes)
             MediaFeatures(m.media_id, m.kind, f, VectorOps.cosineLshBucket(f, 8), decoded.isDefined)
         }

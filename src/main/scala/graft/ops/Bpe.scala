@@ -75,23 +75,24 @@ object Bpe {
   }
 
   /** Serialize merges for shipping as a SQL/Column literal: `left right`
-    * pairs joined by `;` (symbols never contain space or `;` — they are
-    * byte-unicode chars, where 0x20 and 0x3B map to themselves only as
-    * single-char base symbols that merge into longer runs of non-space
-    * chars... space can never be INSIDE a symbol because the pre-tokenizer
-    * never yields a token with an interior space and 0x20 maps to Ġ). */
+    * pairs joined by `\n`. Both delimiters are PROVABLY absent from every
+    * symbol: [[byteToChar]] maps the non-printable bytes 0x20 (space) and
+    * 0x0A (newline) into the U+0100+ range, so no byte-unicode symbol can
+    * ever contain a raw ' ' or '\n'. (An earlier `;` delimiter was wrong —
+    * 0x3B is printable, maps to itself, and a learner CAN emit merges whose
+    * symbols contain it, e.g. (";", ";") on semicolon-run text.) */
   def mergesSpec(merges: Seq[(String, String)]): String = {
     merges.foreach { case (a, b) =>
       require(!a.contains(' ') && !b.contains(' ') &&
-        !a.contains(';') && !b.contains(';'),
+        !a.contains('\n') && !b.contains('\n'),
         s"merge symbols must not contain the spec delimiters: '$a' '$b'")
     }
-    merges.map { case (a, b) => s"$a $b" }.mkString(";")
+    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
   }
 
   def parseMerges(spec: String): Seq[(String, String)] =
     if (spec == null || spec.isEmpty) Seq.empty
-    else spec.split(";").toIndexedSeq.map { s =>
+    else spec.split("\n").toIndexedSeq.map { s =>
       val i = s.indexOf(' ')
       require(i > 0 && i < s.length - 1, s"bad merge entry: '$s'")
       (s.substring(0, i), s.substring(i + 1))

@@ -261,8 +261,17 @@ object IncrementalDedup {
     val histBandRel =
       if (histBands != null) histBands
       else DedupOps.explodeBands(index.sigs, bandSize)
+    // dropDuplicates AFTER the batch-touched restriction (so the dedupe is
+    // O(touched), not O(history)): a crash-retried commit re-appends its
+    // band rows to the persisted table, and duplicate rows would INFLATE
+    // suppressMegaBuckets' counts — a bucket of 40 real members + 40
+    // duplicates reads as 80 > maxBucket and is suppressed forever, which
+    // is exactly the silent near-dup miss the bands-first commit order
+    // exists to prevent. The table's (band_idx, band_key) bucketing
+    // satisfies the aggregation's clustering (subset key), so no exchange.
     val histTouched = histBandRel
       .join(cappedBatch.select("band_idx", "band_key"), bucketKey, "left_semi")
+      .dropDuplicates("id", "band_idx", "band_key")
     val histPairs = cappedBatch
       .join(DedupOps.suppressMegaBuckets(histTouched, bucketKey, maxBucket)
           .select(col("id").as("hist_id"), col("band_idx"), col("band_key")),

@@ -73,6 +73,23 @@ object PrefixSum extends Serializable {
       sumName: String = "running_sum",
       numPartitions: Option[Int] = None): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty, "need group and order columns")
+    // group keys must be ATOMIC types: the run-change detector compares a
+    // copied key (GenericArrayData/GenericInternalRow) against the scanner's
+    // unsafe view, and Spark's container classes define equality only
+    // within their own implementation — an array/map/struct group key would
+    // make every row its own run and return rank=1/sum=0 for ALL rows with
+    // no error. Reject loudly instead.
+    groupCols.foreach { g =>
+      import org.apache.spark.sql.types._
+      val nested = df.schema(g).dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _                                         => false
+      }
+      require(!nested,
+        s"group column '$g' has nested type ${df.schema(g).dataType.simpleString}: " +
+          "array/map/struct keys are not supported (container equality is " +
+          "implementation-specific across copies)")
+    }
     val spark = df.sparkSession
     val withVal = valueCol match {
       case Some(v) => df.withColumn("__psv", col(v).cast("long"))

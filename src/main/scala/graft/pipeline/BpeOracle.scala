@@ -33,7 +33,13 @@ object BpeOracle {
   /** SQL expression: one pre-token string `tok` → separator-wrapped
     * symbol rendering. */
   private def repExpr(tok: String): String =
-    s"regexp_replace(replace($tok, ' ', chr(288)), '(.)', " +
+    // (?s): '.' must wrap EVERY char including \n (a \s+ pre-token can be
+    // "\n\n"; without the flag those chars are silently left un-wrapped
+    // and count 0). NOTE the per-CHAR rendering is exact only for ASCII
+    // corpora: the Spark expression is per-UTF-8-BYTE ('café' = 5 byte
+    // symbols vs 4 chars here) — the driver corpus is ASCII, and a
+    // non-ASCII regeneration must extend this to a byte-level map.
+    s"regexp_replace(replace($tok, ' ', chr(288)), '(?s)(.)', " +
       s"$Sep || '\\1' || $Sep, 'g')"
 
   /** SQL expression: chained rank-order merge replay over rendering `r`. */

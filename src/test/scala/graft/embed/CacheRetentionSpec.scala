@@ -121,6 +121,21 @@ class CacheRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(looked.count() == 1L)
   }
 
+  test("absorb: a fresh write for an EXPIRED key replaces it (get() deletes " +
+       "on read, set() re-stores — the key must not vanish)") {
+    val s = spark; import s.implicits._
+    val cache = table(entry("k", 0, 500, 0)) // expired by now=1000
+    val newRows = Seq(("k", Array(0.9f), 2, 8))
+      .toDF("cache_key", "vector", "n_chunks", "tokens")
+    val out = CacheRetention.absorb(cache, newRows,
+      hitKeys = Seq.empty[String].toDF("cache_key"),
+      nowMs = 1000L, ttlMs = 5000L, maxEntries = 10L)
+    val row = out.filter($"cache_key" === "k").collect()
+    assert(row.length == 1, "the re-embedded key must survive the commit")
+    assert(row.head.getAs[Long]("created_at") == 1000L) // the FRESH row won
+    assert(row.head.getAs[scala.collection.Seq[Float]]("vector").toSeq == Seq(0.9f))
+  }
+
   test("enforceMaxEntries under size: untouched; tie-break deterministic") {
     val small = table(entry("a", 0, 9000, 5), entry("b", 1, 9000, 5))
     assert(keys(CacheRetention.enforceMaxEntries(small, 5L)) == Set("a", "b"))

@@ -89,6 +89,23 @@ class BpeSpec extends AnyFunSuite {
   test("spec round-trip and delimiter guard") {
     assert(Bpe.parseMerges(Bpe.FixtureSpec) == Bpe.FixtureMerges)
     assert(Bpe.parseMerges("") == Seq.empty)
-    intercept[IllegalArgumentException](Bpe.mergesSpec(Seq(("a;b", "c"))))
+    // the delimiters are ' ' and '\n' — both provably absent from
+    // byte-unicode symbols; the guard is a backstop against hand-built pairs
+    intercept[IllegalArgumentException](Bpe.mergesSpec(Seq(("a b", "c"))))
+    intercept[IllegalArgumentException](Bpe.mergesSpec(Seq(("a\nb", "c"))))
+    // ';' IS a legal symbol char (0x3B is printable, maps to itself): a
+    // learner can emit (";", ";") and the spec must round-trip it
+    val semis = Seq((";", ";"), (";;", ";"))
+    assert(Bpe.parseMerges(Bpe.mergesSpec(semis)) == semis)
+  }
+
+  test("learn on semicolon-run text produces a shippable spec (the ';' " +
+       "delimiter regression)") {
+    val corpus = Seq("a;; b;; c;;", "d;; e;; f;;", "g;; h;;")
+    val merges = Bpe.learn(corpus, 4)
+    assert(merges.exists { case (a, b) => (a + b).contains(";") },
+      s"expected a ';' merge from semicolon runs, got $merges")
+    val spec = Bpe.mergesSpec(merges) // must NOT throw
+    assert(Bpe.parseMerges(spec) == merges)
   }
 }

@@ -157,6 +157,35 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("duplicate history band rows (crash-retried append) must not inflate " +
+       "bucket counts past the suppression cap") {
+    val s = spark; import s.implicits._
+    val bodyH2 = graft.pipeline.IncDedupFixture.batch1(1)._2
+    val nearH2 = graft.pipeline.IncDedupFixture.batch2(1)._2
+    val batch = Seq("b1" -> nearH2).toDF("doc", "body")
+    // real history sigs for the true near-dup + the batch doc's own bucket
+    val hdSigs = DedupOps.minhashSignatures(
+      Seq("hd" -> bodyH2).toDF("doc", "body"), "doc", "body", 3, 64)
+    val b1Band = DedupOps.explodeBands(
+        DedupOps.minhashSignatures(batch, "doc", "body", 3, 64), 4)
+      .select("band_idx", "band_key").head()
+    // one bucket: hd + 39 fillers = 40 distinct members (under the 64 cap),
+    // every row DUPLICATED — the torn-retry shape. Counting raw rows reads
+    // 80 > 64 and suppresses the bucket; counting distinct members must not.
+    val bucket = (Seq("hd") ++ (1 to 39).map(i => s"f$i"))
+      .map(id => (id, b1Band.getInt(0), b1Band.getLong(1)))
+    val histBands = (bucket ++ bucket).toDF("id", "band_idx", "band_key")
+    val hist = IncrementalDedup.Index(
+      Seq.empty[(String, String)].toDF("hash", "id"), hdSigs)
+    val r = IncrementalDedup.dedupeBatch(batch, "doc", "body", hist,
+      histBands = histBands)
+    val row = r.ledger.collect().head
+    assert(!row.getAs[Boolean]("kept") &&
+      row.getAs[String]("stage") == "near_dup_hist" &&
+      row.getAs[String]("reason") == "hd",
+      s"duplicated band rows suppressed a legitimate 40-member bucket: $row")
+  }
+
   test("indexed path bootstraps the band table from a PRE-EXISTING store's " +
        "FULL history, not just the first delta") {
     val s = spark; import s.implicits._
