@@ -135,8 +135,8 @@ object SparkEntry {
     val spark = extractedDs.sparkSession
     import spark.implicits._
     extractedDs.map { r =>
-      val sh3 = TextOps.shingles(r.normalized_text, 3)
-      (r.url, TextOps.shingleHashes(sh3), TextOps.minHash(sh3, 64))
+      val (sh3, sig64) = TextOps.shingleHashSig(r.normalized_text, 3, 64)
+      (r.url, sh3, sig64)
     }.toDF("url", "sh3", "sig64")
   }
 
@@ -213,7 +213,14 @@ object SparkEntry {
     * is one of the 4 16-bit simhash chunks (pigeonhole: pairs within
     * hamming distance ≤ 3 share at least one chunk), and the 8-byte hashes
     * are re-attached by url AFTER pair dedup. */
-  private def simhashPairsFrom(hashed: DataFrame): DataFrame = {
+  private def simhashPairsFrom(hashed0: DataFrame): DataFrame = {
+    // the (url, simhash) relation feeds THREE consumers (the chunk
+    // explode and both sides of the pair re-attach join); without a cut
+    // each consumer re-ran the full SimHash map over the corpus — 3× the
+    // per-doc hash compute (r8; the blocks are reclaimed by the
+    // ContextCleaner once the query's DataFrame is dropped, the
+    // clusterRepresentatives generation pattern)
+    val hashed = hashed0.localCheckpoint(true)
     val bands = hashed.select(col("url"),
       explode(array((0 until 4).map(i => struct(lit(i).as("i"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("c"))): _*)).as("ch"))
@@ -368,7 +375,10 @@ object SparkEntry {
     }
     val emb = orig.union(s.createDataset(planted))
     val corpus = emb.toDF("vec_id", "embedding")
-    val n = corpus.count()
+    // same value as corpus.count() (orig rows + the 50 planted), but the
+    // parquet side resolves from footer metadata instead of scanning the
+    // union (r8 — one less full-scan job in the chain)
+    val n = raw.count() + planted.size
 
     val q = corpus.filter(col("vec_id") >= 0 && col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -1346,13 +1356,22 @@ object SparkEntry {
         val r2 = ExtractJob.runResumable(s, pages, out, 8, "run2")
         val data = s.read.parquet(out + "/data")
         val manifest = s.read.parquet(out + "/manifest")
-        val manifestPages = manifest.agg(sum("n_rows")).first().getLong(0)
-        val manifestParts = manifest.filter(col("run_id") === "run1").count()
+        // one aggregation job per table instead of one job per metric
+        // (guide §1.4/§2.4): distinct-url + row counts fuse into a single
+        // pass over data, the two manifest metrics into one over manifest —
+        // the VALUES produced are identical to the r7 per-metric actions
+        val dataRow = data.agg(
+          countDistinct(col("url")).as("du"), count(lit(1)).as("n")).first()
+        val mRow = manifest.agg(
+          sum("n_rows").as("pages"),
+          sum(when(col("run_id") === "run1", 1L).otherwise(0L)).as("parts")).first()
+        val manifestPages = mRow.getLong(0)
+        val manifestParts = mRow.getLong(1)
         // the Seq materializes every metric eagerly, so the files can be
         // deleted in the finally without the returned DataFrame re-reading them
         Seq(
-          ("data_distinct_urls", data.select("url").distinct().count()),
-          ("data_rows", data.count()),
+          ("data_distinct_urls", dataRow.getLong(0)),
+          ("data_rows", dataRow.getLong(1)),
           ("manifest_pages_sum", manifestPages),
           ("manifest_run1_partitions_min", math.min(manifestParts, 1L)),
           ("run1_empty_content", r1.emptyContent),

@@ -70,7 +70,12 @@ object CacheRetention {
     * returns (remaining, evicted count). */
   def cleanup(cache: DataFrame, nowMs: Long): (DataFrame, Long) = {
     val keep = cache.filter(lit(nowMs) <= col("expires_at"))
-    val evicted = cache.count() - keep.count()
+    // one pass: total and surviving counts from a single aggregate instead
+    // of the r7 two-count (two full jobs) form — same evicted value
+    val row = cache.agg(
+      count(lit(1)).as("n"),
+      sum(when(lit(nowMs) <= col("expires_at"), 1L).otherwise(0L)).as("kept")).head()
+    val evicted = row.getLong(0) - (if (row.isNullAt(1)) 0L else row.getLong(1))
     (keep, evicted)
   }
 
@@ -112,10 +117,22 @@ object CacheRetention {
   }
 
   /** The full post-run `set()` lifecycle as ONE batch commit: touch the
-    * hit keys, insert the new rows (first-writer-wins on duplicate keys,
-    * matching set()'s has-check — both against the existing table AND
-    * within the batch itself: a Map can never hold two entries per key,
-    * so neither may the table), sweep expired, cut to capacity.
+    * hit keys, insert the new rows (first-writer-wins on duplicate keys —
+    * both against the existing table AND within the batch itself: a Map
+    * can never hold two entries per key, so neither may the table), sweep
+    * expired, cut to capacity.
+    *
+    * DELIBERATE DEVIATION from the reference `set()` (ADVICE r7): the
+    * reference unconditionally overwrites a live key (refreshing value and
+    * all timestamps; `has()` is only consulted for eviction), while this
+    * batch commit keeps the EXISTING unexpired row and drops the incoming
+    * duplicate — a re-set of a live key therefore retains the original
+    * TTL. Rationale: the batch form has no per-call ordering, so
+    * last-writer-wins would be nondeterministic within a batch; the
+    * pipeline's only caller re-sets a key solely on a cache MISS (the hit
+    * path goes through `touch`), so the divergent case is unreachable from
+    * [[graft.embed.EmbedPipeline]]. The `cache_retention_fixture` oracle
+    * pins this first-writer-wins semantics.
     *
     * The unioned relation is localCheckpoint'ed once: it would otherwise
     * recompute the touch join + union for enforceMaxEntries' count, each

@@ -45,8 +45,8 @@ object DedupOps {
     import spark.implicits._
     docs.select(col(idCol).cast("string"), col(textCol).cast("string"))
       .as[(String, String)].map { case (id, t) =>
-        val sh = TextOps.shingles(t, shingleN)
-        (id, TextOps.shingleHashes(sh), TextOps.minHash(sh, minhashK))
+        val (sh, sig) = TextOps.shingleHashSig(t, shingleN, minhashK)
+        (id, sh, sig)
       }.toDF("id", "sh", "sig")
   }
 
@@ -107,6 +107,11 @@ object DedupOps {
     * threshold comparison. */
   def suppressMegaBuckets(bands: DataFrame, bucketCols: Seq[String],
                           maxBucket: Int): DataFrame = {
+    // Int.MaxValue disables suppression by contract (every count passes the
+    // filter) — skip the count aggregate + self-join entirely instead of
+    // paying two exchanges for an identity transform (the embedding-LSH
+    // chain always runs with suppression off; r8, guide §2.4)
+    if (maxBucket == Int.MaxValue) return bands
     val keyCols = bucketCols.map(col)
     val smallKeys = bands.groupBy(keyCols: _*).count()
       .filter(col("count") <= maxBucket).drop("count")
@@ -163,37 +168,54 @@ object DedupOps {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .dropDuplicates("src", "dst")
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // initialization folds a FREE first hop: the id set needs a groupBy on
+    // src anyway (the r7 form paid the same exchange for distinct()), so
+    // seed label = min(id, min neighbor) instead of the identity — one
+    // whole hop+jump round saved for the common pair/clique components,
+    // which then converge at the first convergence check
+    val labels0 = edges.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
+      .localCheckpoint(true)
+    // self-edges fold the "least(own label, neighbor min)" hop into ONE
+    // aggregation over the edge join (guide §2.4: two operations keyed the
+    // same way share one exchange) — and the self-edge row doubles as the
+    // carrier of the PREVIOUS label, so convergence is read off the
+    // materialized generation instead of a per-round shuffle join against
+    // the prior one (r7 shape: join + groupBy + left-join + self-join +
+    // count-join = ~9 exchanges/round; this shape: join + groupBy +
+    // self-join = ~5, and the convergence check is a take(1) scan).
+    val selfEdges = labels0.select(col("id").as("src"), col("id").as("dst"))
+    var labels = labels0
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
-        .groupBy("src").agg(min("nbr_label").as("nbr_label"))
-      val hopped = labels
-        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val hopped = edges.union(selfEdges)
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy("src").agg(
+          min("dlabel").as("label"),
+          // the self-edge (dst == src) joined exactly this src's current
+          // label — min over that single non-null value IS the prev label
+          min(when(col("dst") === col("src"), col("dlabel"))).as("prev"))
       // pointer jumping: follow one's label to ITS label — halves the
       // distance to the component minimum every round
       val updated = hopped
         .join(
-          hopped.select(col("id").as("label"), col("label").as("parent")),
+          hopped.select(col("src").as("label"), col("label").as("parent")),
           Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
+        .select(col("src").as("id"),
+          least(col("label"), coalesce(col("parent"), col("label"))).as("label"),
+          col("prev"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+      // convergence off the checkpointed leaf: no join, no full count —
+      // take(1) over the materialized blocks
+      converged = updated.filter(col("label") =!= col("prev")).isEmpty
       // NOTE: Dataset.unpersist would be a no-op here — localCheckpoint
       // blocks live in the block manager, not the CacheManager. Superseded
       // generations are reclaimed by the ContextCleaner once this loop
       // drops its reference (the only handle to the checkpointed RDD).
       labels = updated
-      converged = changed == 0
       i += 1
     }
-    labels
+    labels.select("id", "label")
   }
 }

@@ -213,17 +213,41 @@ object IncrementalDedup {
                   maxBucket: Int = 64,
                   histBands: DataFrame = null): BatchResult = {
 
+    val spark = batch.sparkSession
+    import spark.implicits._
     val hashed = batch.select(col(idCol).cast("string").as("id"),
         col(textCol).as("text"))
       .withColumn("hash", expr("substring(sha2(text, 256), 1, 32)"))
       .persist()
 
+    // Bootstrap short-circuit (r8): when the history index is the literal
+    // empty LocalRelation (fresh store — openStore found nothing) and no
+    // band table exists, every history join is an identity/empty transform
+    // — but each still costs AQE jobs (broadcast builds + shuffle stages;
+    // measured ~20 of the first batch's 74 jobs at fixture scale). A
+    // plan-level check (no data scanned) skips them; output is identical
+    // because joining an empty relation yields nothing.
+    val emptyHist = histBands == null && Seq(index.hashes, index.sigs).forall {
+      df => df.queryExecution.optimizedPlan match {
+        // optimizedPlan: ConvertToLocalRelation collapses the toDF Project
+        // so an emptyIndex frame IS a LocalRelation here
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+        case _ => false
+      }
+    }
+    def emptyDrops(): DataFrame =
+      Seq.empty[(String, String, String)].toDF("id", "stage", "reason")
+
     // 1. exact vs history
-    val histDrops = hashed
-      .join(index.hashes.select(col("hash"), col("id").as("hist_id")), Seq("hash"))
-      .groupBy(col("id")).agg(min(col("hist_id")).as("reason"))
-      .select(col("id"), lit("exact_dup_hist").as("stage"), col("reason"))
-    val afterHist = hashed.join(histDrops.select("id"), Seq("id"), "left_anti")
+    val histDrops =
+      if (emptyHist) emptyDrops()
+      else hashed
+        .join(index.hashes.select(col("hash"), col("id").as("hist_id")), Seq("hash"))
+        .groupBy(col("id")).agg(min(col("hist_id")).as("reason"))
+        .select(col("id"), lit("exact_dup_hist").as("stage"), col("reason"))
+    val afterHist =
+      if (emptyHist) hashed
+      else hashed.join(histDrops.select("id"), Seq("id"), "left_anti")
 
     // 2. exact within the batch
     val keepers = afterHist.groupBy("hash").agg(min(col("id")).as("keeper"))
@@ -241,6 +265,9 @@ object IncrementalDedup {
     val batchBands = DedupOps.explodeBands(sigs, bandSize).persist()
 
     val bucketKey = Seq("band_idx", "band_key")
+    val toUnpersist = scala.collection.mutable.ArrayBuffer[DataFrame](
+      hashed, sigs, batchBands)
+    val nearHistDrops: DataFrame = if (emptyHist) emptyDrops() else {
     // vs history: batch id on the left, history id on the right. Both
     // sides get the ONE shared mega-bucket rule (template boilerplate =
     // O(|batch bucket| × |hist bucket|) near-zero-precision pairs). The
@@ -253,6 +280,7 @@ object IncrementalDedup {
     // broadcast the touched-key list when batch ≪ history.
     val cappedBatch = DedupOps.suppressMegaBuckets(batchBands, bucketKey, maxBucket)
       .persist() // two consumers: the touched-key semi-join and the join itself
+    toUnpersist += cappedBatch
     // left_semi: restricts WITHOUT multiplying and dedupes its build side
     // internally — no separate distinct() shuffle. With a persisted band
     // store (histBands != null) the history side is a bucketed-table scan
@@ -278,15 +306,19 @@ object IncrementalDedup {
         bucketKey)
       .select(col("id").as("id_a"), col("hist_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val nearHistDrops = DedupOps.verifyPairs(histPairs, sigs, index.sigs,
+    val nh = DedupOps.verifyPairs(histPairs, sigs, index.sigs,
         estFloor, jaccardThreshold)
       .groupBy(col("id_a").as("id")).agg(min(col("id_b")).as("reason"))
       .select(col("id"), lit("near_dup_hist").as("stage"), col("reason"))
       .persist() // read by the anti-join below and by the ledger union
+    toUnpersist += nh
+    nh
+    }
 
     // within the batch, among docs that survived the history check
-    val stillBands = batchBands
-      .join(nearHistDrops.select("id"), Seq("id"), "left_anti")
+    val stillBands =
+      if (emptyHist) batchBands
+      else batchBands.join(nearHistDrops.select("id"), Seq("id"), "left_anti")
     val batchPairs = DedupOps.candidatePairs(stillBands,
       Seq("band_idx", "band_key"), "id", maxBucket)
     val nearBatchDrops = DedupOps.clusterRepresentatives(
@@ -305,16 +337,24 @@ object IncrementalDedup {
         coalesce(col("reason"), lit("")).as("reason"))
       .localCheckpoint(true)
 
+    // ONE materialization for both delta relations (r8): every accepted
+    // doc that entered `uniq` has a sigs row, so the fused
+    // (id, hash, sh, sig) join checkpoints once and both deltas are lazy
+    // projections of the leaf (was: two separate checkpoint executions,
+    // each paying its own broadcast-build + shuffle jobs). The sigs side
+    // joins LEFT so a theoretical null-hash doc (null text never enters
+    // the hash-keyed uniq join) still lands in deltaHashes exactly as
+    // before; the sh-not-null filter keeps deltaSigs' rows identical.
     val accepted = ledger.filter(col("kept")).select("id")
-    val deltaHashes = hashed.join(accepted, Seq("id"))
-      .select(col("hash"), col("id")).localCheckpoint(true)
-    val deltaSigs = sigs.join(accepted, Seq("id")).localCheckpoint(true)
+    val deltaAll = hashed.select(col("id"), col("hash"))
+      .join(accepted, Seq("id"))
+      .join(sigs, Seq("id"), "left")
+      .localCheckpoint(true)
+    val deltaHashes = deltaAll.select(col("hash"), col("id"))
+    val deltaSigs = deltaAll.filter(col("sh").isNotNull)
+      .select(col("id"), col("sh"), col("sig"))
 
-    hashed.unpersist(false)
-    sigs.unpersist(false)
-    batchBands.unpersist(false)
-    cappedBatch.unpersist(false)
-    nearHistDrops.unpersist(false)
+    toUnpersist.foreach(_.unpersist(false))
     (BatchResult(ledger, Index(deltaHashes, deltaSigs)))
   }
 }

@@ -55,7 +55,16 @@ object Pack {
       .withColumn("skey", expr("x3 ^ shiftright(x3, 13)"))
       .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)))
     PrefixSum.rankAndRunningSum(base, Seq("shard"), Seq("skey", "id"), "pos")
-      .withColumn("pos", col("pos").cast("int"))
+      // pos stays int for schema parity with the row_number() oracle; a
+      // shard rank past Int.MaxValue (reachable at ~2^31 rows/shard) must
+      // fail loudly instead of wrapping negative (ADVICE r7). The guard is
+      // a codegen'd branch on the already-computed rank — no extra pass.
+      .withColumn("pos",
+        when(col("pos") <= lit(Int.MaxValue.toLong), col("pos"))
+          .otherwise(raise_error(concat(
+            lit("Pack.seededShuffle: shard rank "), col("pos"),
+            lit(" exceeds Int.MaxValue — pos:int would overflow; use more shards"))))
+        .cast("int"))
       .select("id", "skey", "shard", "pos")
   }
 

@@ -73,6 +73,16 @@ object PrefixSum extends Serializable {
       sumName: String = "running_sum",
       numPartitions: Option[Int] = None): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty, "need group and order columns")
+    // loud collision guard (ADVICE r7): the internal value column, the rank
+    // column and (in rank-only mode, where it is added then dropped) the
+    // sum column would silently consume/overwrite caller columns of the
+    // same name
+    require(!df.columns.contains("__psv"),
+      "input already has a '__psv' column — it would be consumed as the internal value")
+    require(!df.columns.contains(rankName),
+      s"input already has a '$rankName' column — rankName would overwrite it")
+    require(valueCol.isDefined || !df.columns.contains(sumName),
+      s"input already has a '$sumName' column — rank-only mode would drop it")
     // group keys must be ATOMIC types: the run-change detector compares a
     // copied key (GenericArrayData/GenericInternalRow) against the scanner's
     // unsafe view, and Spark's container classes define equality only

@@ -74,6 +74,11 @@ object RepetitionOps {
   private[graft] val StopWords =
     Set("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // precompiled: String.split(regex) recompiles the pattern per call, and
+  // profile() runs per document on every quality/curation path
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+  private val ParaSplit = java.util.regex.Pattern.compile("\n{2,}")
+
   /** One-pass (per structure) repetition/quality profile of a document.
     * `maxWords` overrides the [[MaxProfileWords]] guard (tests). */
   def profile(text: String, maxWords: Int = MaxProfileWords): Profile = {
@@ -82,7 +87,7 @@ object RepetitionOps {
     // ---- words ----
     val trimmed = t.trim
     val allWords: Array[String] =
-      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+      if (trimmed.isEmpty) Array.empty else WsSplit.split(trimmed)
     val truncated = allWords.length > maxWords
     val words = if (truncated) allWords.take(maxWords) else allWords
     val nWords = words.length
@@ -218,7 +223,7 @@ object RepetitionOps {
     }
     val lines = t.split("\n", -1)
     val (nLines, dupLines, lineChars, dupLineChars) = segStats(lines)
-    val (nParas, dupParas, paraChars, dupParaChars) = segStats(t.split("\n{2,}", -1))
+    val (nParas, dupParas, paraChars, dupParaChars) = segStats(ParaSplit.split(t, -1))
 
     // ---- symbols / line shapes ----
     var nHash = 0

@@ -82,8 +82,8 @@ object TextOps {
     }
 
     // tier 2: Latin stopword profiles
-    val words = text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(500).toArray
+    val words = NonLetterSplit.split(text.toLowerCase(java.util.Locale.ROOT))
+      .iterator.filter(_.nonEmpty).take(500).toArray
     if (words.isEmpty) return ("und", 0.0)
     var bestLang = "und"
     var bestHits = 0
@@ -119,11 +119,11 @@ object TextOps {
       if (Character.isDigit(c)) digit += 1
       i += 1
     }
-    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val words = WsSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     val nWords = words.length
     val meanWordLen = if (nWords == 0) 0.0 else words.map(_.length).sum.toDouble / nWords
     val en = profiles("en")
-    val stopHits = words.count(w => en.contains(w.replaceAll("[^\\p{L}]", "")))
+    val stopHits = words.count(w => en.contains(NonLetter.matcher(w).replaceAll("")))
     val stopRatio = if (nWords == 0) 0.0 else stopHits.toDouble / nWords
     val punctRatio = punct.toDouble / n
     val upperRatio = upper.toDouble / n
@@ -143,7 +143,7 @@ object TextOps {
 
   /** Whitespace token count. */
   def wsTokens(text: String): Int =
-    if (text == null || text.isEmpty) 0 else text.split("\\s+").count(_.nonEmpty)
+    if (text == null || text.isEmpty) 0 else WsSplit.split(text).count(_.nonEmpty)
 
   private val bpePattern = java.util.regex.Pattern.compile(
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
@@ -213,13 +213,74 @@ object TextOps {
 
   // ---- shingles / MinHash / SimHash ----
 
+  // precompiled split/strip patterns — String.split(regex) and
+  // String.replaceAll recompile the pattern on EVERY call, and these run
+  // per document (often per word) on the hot dedup/quality paths
+  private val NonWordSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+  private val NonLetterSplit = java.util.regex.Pattern.compile("[^\\p{L}]+")
+  private val NonLetter = java.util.regex.Pattern.compile("[^\\p{L}]")
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
   /** Lowercased word n-gram shingles (the usual 5-gram dedup setting). */
   def shingles(text: String, n: Int = 5): Array[String] = {
-    val words = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val words = NonWordSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (words.length < n) {
       if (words.isEmpty) Array.empty else Array(words.mkString(" "))
     } else
       (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).toArray
+  }
+
+  /** FNV-1a 64 over the words `[from, until)` joined by single spaces —
+    * bit-identical to `fnv64(words.slice(from, until).mkString(" "))`
+    * without materializing the joined string. */
+  private def fnvWords(words: Array[String], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var w = from
+    while (w < until) {
+      if (w > from) { h ^= ' '; h *= 0x100000001b3L }
+      val s = words(w)
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      w += 1
+    }
+    h
+  }
+
+  /** Fused shingle front half of the MinHash dedup chains: returns
+    * `(sortedDistinctShingleHashes, minhashSignature)` — bit-identical to
+    * `(shingleHashes(shingles(text, n)), minHash(shingles(text, n), k))`
+    * (TextOpsSpec pins the equivalence on a seeded sweep) but with ONE
+    * word split, no shingle-string materialization (the r7 form built and
+    * garbage-collected one ~40-char string per shingle) and one FNV pass
+    * per shingle instead of two (guide §1.2 step 2: per-task work). */
+  def shingleHashSig(text: String, n: Int, k: Int): (Array[Long], Array[Long]) = {
+    val words = NonWordSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (words.isEmpty) return (Array.emptyLongArray, sig)
+    val short = words.length < n
+    val nSh = if (short) 1 else words.length - n + 1
+    val hashes = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      val base = fnvWords(words, i, if (short) words.length else i + n)
+      hashes(i) = base
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted array (same as shingleHashes)
+    var w = 0
+    i = 0
+    while (i < hashes.length) {
+      if (w == 0 || hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    (if (w == hashes.length) hashes else java.util.Arrays.copyOf(hashes, w), sig)
   }
 
   /** MinHash signature of k permutations via k seeded mixes of one base hash. */
@@ -302,7 +363,7 @@ object TextOps {
 
   /** 64-bit SimHash over word features. */
   def simHash(text: String): Long = {
-    val words = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val words = NonWordSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (words.isEmpty) return 0L
     val v = new Array[Int](64)
     words.foreach { w =>

@@ -227,7 +227,9 @@ object GraftExtensions {
     FunctionIdentifier("bpe_token_count"),
     new ExpressionInfo("graft.plans.BpeTokenCount", null, "bpe_token_count",
       "bpe_token_count(str, merges) - byte-level BPE subword token count " +
-        "(merges: 'l r;l r;…' constant)", ""),
+        "(merges: newline-delimited 'left right\\nleft right\\n…' constant, " +
+        "as produced by Bpe.mergesSpec — ';' is a legal symbol char, not a " +
+        "delimiter)", ""),
     (children: Seq[Expression]) => BpeTokenCount(children(0), children(1)))
 
   private[plans] val cosineSimDescriptor = (

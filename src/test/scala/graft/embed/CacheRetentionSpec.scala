@@ -94,7 +94,9 @@ class CacheRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(out) == Set("old_hot", "fresh"))
     val hot = out.filter($"cache_key" === "old_hot").head()
     // the surviving old_hot row is the ORIGINAL entry, touched — not the
-    // duplicate insert (set()'s has-check), and its vector is unchanged
+    // duplicate insert, and its vector is unchanged. NOTE: this is the
+    // DOCUMENTED deviation from reference set() (which overwrites live
+    // keys) — see the absorb scaladoc (ADVICE r7)
     assert(hot.getAs[Long]("accessed_at") == 1000L)
     assert(hot.getAs[Long]("created_at") == 0L)
     assert(hot.getAs[scala.collection.Seq[Float]]("vector").toSeq == Seq(0.5f))

@@ -127,16 +127,47 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sumErr / n < 0.1, f"estimate should track exact jaccard (mean |err| = ${sumErr / n}%.3f)")
   }
 
+  test("clusterRepresentatives: matches union-find ground truth on seeded random graphs") {
+    // the r8 loop-body rewrite (self-edge fused hop + leaf-scan convergence)
+    // must label every component by its true minimum — checked against an
+    // independent local union-find over graphs with chains, cliques and
+    // singleton-free random edges
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    (0 until 3).foreach { trial =>
+      val nIds = 60 + trial * 30
+      val edges = ((0 until nIds).flatMap { i =>
+        if (rnd.nextDouble() < 0.6) Some((i.toLong, rnd.nextInt(nIds).toLong)) else None
+      } ++ (0L until 12L).map(i => (i, i + 1L))) // a long chain on top
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      // local union-find ground truth
+      val parent = scala.collection.mutable.Map((0L until nIds.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(i => i -> find(i)).toMap
+      val got = DedupOps.clusterRepresentatives(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: CC labels diverge from union-find")
+    }
+  }
+
   test("clusterRepresentatives: maxIter bounds the work (partial labels remain sound)") {
     val s = spark
     import s.implicits._
     val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    // one round = one neighbor hop + one pointer jump: labels close at most
-    // distance 2 — sound but not converged on a long chain
+    // initialization seeds min(id, neighbors) — a free hop (r8) — then one
+    // round = one neighbor hop + one pointer jump: labels close at most
+    // distance 4 from the seed — sound but not converged on a long chain
     val labels = DedupOps.clusterRepresentatives(pairs, maxIter = 1)
       .as[(Long, Long)].collect().toMap
-    assert(labels(1L) == 0L)          // reached in one hop
-    assert(labels(10L) == 8L)         // hop to 9, jump to 9's hopped label 8
+    assert(labels(1L) == 0L)          // seed hop reaches 0 directly
+    assert(labels(10L) == 6L)         // seed 9 → hop 8 → jump to hop(8) = 6
     assert(labels.forall { case (id, l) => l <= id }) // labels only decrease
   }
 }

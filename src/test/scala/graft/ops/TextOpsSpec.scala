@@ -32,6 +32,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.detectLanguage(mixed)._1 == "en")
   }
 
+  test("shingleHashSig: bit-identical to the unfused shingleHashes/minHash composition") {
+    // the r8 fused front half (one split, incremental FNV, single pass)
+    // must reproduce the r7 composition EXACTLY — the dedup oracles hash
+    // these values
+    val rnd = new scala.util.Random(2026)
+    val lexicon = Array("alpha", "beta", "Gamma", "δέλτα", "42", "naïve",
+      "x", "", "foo-bar", "line\nbreak", "tab\tsep", "ünïcode", "日本語",
+      "punct...", "MiXeD")
+    val cases = Seq("", " ", "one", "one two", "one two three four") ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(60)).map(_ => lexicon(rnd.nextInt(lexicon.length)))
+          .mkString(Seq(" ", "  ", ", ", "! ")(rnd.nextInt(4)))
+      }
+    for (t <- cases; n <- Seq(3, 5); k <- Seq(8, 64)) {
+      val sh = TextOps.shingles(t, n)
+      val expHashes = TextOps.shingleHashes(sh)
+      val expSig = TextOps.minHash(sh, k)
+      val (gotHashes, gotSig) = TextOps.shingleHashSig(t, n, k)
+      assert(gotHashes.sameElements(expHashes), s"hashes diverge for n=$n: '$t'")
+      assert(gotSig.sameElements(expSig), s"sig diverges for n=$n k=$k: '$t'")
+    }
+  }
+
   test("shingleHashes: distinct + sorted; jaccardSorted equals string jaccard") {
     val a = TextOps.shingles("the quick brown fox jumps over the lazy dog entirely", 3)
     val b = TextOps.shingles("the quick brown fox jumps over a lazy dog entirely", 3)
