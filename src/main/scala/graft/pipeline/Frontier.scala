@@ -140,14 +140,15 @@ object Frontier {
     math.max(1L, (rawNumBits(expectedSeen, fpp) + MaxBloomBits - 1) / MaxBloomBits)
       .toInt
 
-  /** Ceiling on how many sharded sketches ride the plan. Every sketch is a
-    * foldable LITERAL (Spark's `bloom_might_contain` requires it), so all k
-    * live in driver heap at once and ship to every task in the serialized
-    * plan — 8 × 256 MiB = 2 GiB is the honest limit of the literal-probe
-    * design, covering ~2.4×10^9 seen URLs at 3% fpp. Past it the prefilter
-    * is INFEASIBLE in this form (a 10^12-URL seen-set would need ~3.4k
-    * sketches ≈ 870 GB of plan literals), so [[unseenByBloom]] falls back
-    * to the exact anti-join — the bucketed-seen-set scale path
+  /** Ceiling on how many sharded sketches are built at once. All k live in
+    * driver heap during the build and (since r8) ship to each EXECUTOR
+    * once as a broadcast variable — no longer in every serialized task
+    * binary, which is where the r7 literal-probe design paid k × 256 MiB
+    * per task. The 8 × 256 MiB = 2 GiB ceiling is now purely the
+    * driver/executor MEMORY budget for resident sketches (covering
+    * ~2.4×10^9 seen URLs at 3% fpp); past it a 10^12-URL seen-set would
+    * need ~3.4k sketches ≈ 870 GB resident, so [[unseenByBloom]] falls
+    * back to the exact anti-join — the bucketed-seen-set scale path
     * `runResumable` documents — rather than pretend. */
   val MaxBloomShards: Int = 8
 
@@ -195,7 +196,8 @@ object Frontier {
       urlCol: String = "url",
       expectedSeen: Long = 1L << 20,
       fpp: Double = 0.03,
-      shards: Int = 0): DataFrame = {
+      shards: Int = 0,
+      probeViaBroadcast: Boolean = true): DataFrame = {
     val spark = candidates.sparkSession
     graft.plans.GraftExtensions.registerNative(spark)
     val k = if (shards > 0) shards else bloomShards(expectedSeen, fpp)
@@ -243,8 +245,34 @@ object Frontier {
         case (key, None)    => spark.conf.unset(key)
       }
     if (filters.isEmpty) return candidates // empty seen set: all unseen
+    // Probe via a BROADCAST VARIABLE (r8, VERDICT r7 #6): the r7 form
+    // embedded every sketch as a foldable plan literal, so all k × up to
+    // 256 MiB rode the serialized task binary of EVERY task of both
+    // consumer branches. The broadcast ships each sketch to an executor
+    // ONCE (torrent blocks, deserialized BloomFilter objects cached by the
+    // block manager) and the typed probe reads the row's own shard —
+    // identical output (same sketch bytes, same xxhash64 input, same
+    // mightContainLong bit test; null urls hash to null and drop from both
+    // branches exactly as the literal expression did). The literal path is
+    // kept under `probeViaBroadcast = false` as the A/B evidence harness
+    // (FrontierBloomSpec pins output equality of the two forms).
     val mightContain =
-      if (k == 1)
+      if (probeViaBroadcast) {
+        val bf = filters.map { case (s, bytes) =>
+          s -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+        }
+        val bc = spark.sparkContext.broadcast(bf)
+        val kL = k.toLong
+        val probe = udf { (h: java.lang.Long) =>
+          if (h == null) null.asInstanceOf[java.lang.Boolean]
+          else {
+            val f = bc.value.getOrElse(((h % kL) + kL) % kL, null)
+            java.lang.Boolean.valueOf(f != null && f.mightContainLong(h))
+          }
+        }.withName("bloom_shard_probe") // identifiable in plan audits
+        probe(xxhash64(col(urlCol)))
+      } else if (k == 1)
         call_function("bloom_might_contain",
           lit(filters(0L)), xxhash64(col(urlCol)))
       else {

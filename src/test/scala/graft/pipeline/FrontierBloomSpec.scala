@@ -100,7 +100,8 @@ class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
     val verifyFilter = nodes.collect {
       case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.toString.contains("might_contain") &&
+          if (f.condition.toString.contains("might_contain") ||
+              f.condition.toString.contains("bloom_shard_probe")) &&
              !f.condition.toString.trim.toUpperCase.startsWith("NOT") => f
     }
     assert(verifyFilter.nonEmpty, nodes.map(_.nodeName).mkString(","))
@@ -194,6 +195,28 @@ class FrontierBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and k-1 shards would NOT fit (k is minimal)
     val perShardAtKminus1 = (huge + k - 2) / (k - 1)
     assert(Frontier.rawNumBits(perShardAtKminus1, 0.03) > Frontier.MaxBloomBits)
+  }
+
+  test("broadcast probe == literal probe == exact path (r8 A/B, forced k=4)") {
+    // the r8 broadcast-variable probe must be bit-identical to the r7
+    // plan-literal CASE probe and to the exact anti-join — same sketches,
+    // same xxhash64 input, same mightContainLong test
+    val s = spark; import s.implicits._
+    graft.plans.GraftExtensions.registerNative(spark)
+    val cands = urls("bcast", 80)
+    val seen = (0 until 30).map(i => s"https://bcast.example.com/p$i")
+      .++((0 until 12).map(i => s"https://elsewhere.example.com/s$i")).toDF("url")
+    val exact = cands.join(seen.select(col("url").as("u")),
+        col("url") === col("u"), "left_anti")
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val viaBroadcast = Frontier.unseenByBloom(cands, seen, "url",
+        expectedSeen = 42, shards = 4, probeViaBroadcast = true)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val viaLiterals = Frontier.unseenByBloom(cands, seen, "url",
+        expectedSeen = 42, shards = 4, probeViaBroadcast = false)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaBroadcast == exact)
+    assert(viaLiterals == exact)
   }
 
   test("past MaxBloomShards the prefilter honestly falls back to the exact anti-join") {
